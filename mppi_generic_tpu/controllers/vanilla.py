@@ -1,0 +1,154 @@
+"""Vanilla MPPI controller.
+
+Parity target: reference ``controllers/MPPI/mppi_controller.{cuh,cu}``
+(computeControl, mppi_controller.cu:152-241). The per-iteration
+host<->device ping-pong of the CUDA implementation (2 H2D + >=3 D2H copies
+per iteration, see SURVEY §3.1) disappears: the whole multi-iteration solve
+is ONE jitted XLA program; only x0 enters and the solution leaves the chip.
+
+Per optimization iteration:
+  1. sample controls around the mean (Gaussian carve-outs incl. sample-0 =
+     mean, frozen head, pure-noise tail; gaussian.cu:101-121),
+  2. clamp to control constraints (the reference clamps in-kernel and writes
+     the clamped sample back),
+  3. roll out dynamics + running cost + likelihood-ratio cost (combined or
+     split kernel analog),
+  4. baseline = min cost, weights = exp(-(J - baseline)/lambda)
+     (or Tsallis / CEM transforms),
+  5. mean <- sum_k (w_k / eta) U_k   (weightedReductionKernel analog).
+
+Afterwards: Savitzky-Golay smoothing, mean re-rollout, final clamp —
+matching mppi_controller.cu:225-231.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from mppi_generic_tpu.controllers.base import (
+    ControllerBase,
+    ControllerState,
+    SolveResult,
+)
+from mppi_generic_tpu.ops import rollout as rollout_ops
+from mppi_generic_tpu.ops import weights as weight_ops
+from mppi_generic_tpu.ops.weights import FreeEnergyStats
+
+
+class VanillaMPPI(ControllerBase):
+    # weight transform: "exp" (normExp), "tsallis", or "cem"
+    weight_transform: str = struct.field(pytree_node=False, default="exp")
+    tsallis_gamma: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(10.0))
+    tsallis_r: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(2.0))
+    cem_elite_fraction: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.float32(0.1)
+    )
+
+    # ------------------------------------------------------------------
+    def _transform_weights(self, costs, baseline):
+        if self.weight_transform == "exp":
+            return weight_ops.norm_exp_weights(costs, self.lam, baseline)
+        if self.weight_transform == "tsallis":
+            return weight_ops.tsallis_weights(
+                costs, self.tsallis_gamma, self.tsallis_r, baseline
+            )
+        if self.weight_transform == "cem":
+            return weight_ops.cem_weights(costs, self.cem_elite_fraction)
+        raise ValueError(f"unknown weight transform {self.weight_transform}")
+
+    def _rollout_costs(self, x0, U, mean):
+        """Returns (costs (K,), Y (K,T,O), crash (K,)) including the
+        likelihood-ratio term, normalized by T."""
+        T = self.num_timesteps
+        lr = self.sampler.likelihood_ratio_cost(U, mean, self.lam, self.alpha)
+        if self.kernel == "split":
+            Y = rollout_ops.rollout_outputs(self.dynamics, x0, U, self.dt)
+            state_costs, crash = rollout_ops.trajectory_state_costs(
+                self.cost, Y, U, sequential_crash=self.sequential_crash
+            )
+            costs = state_costs + lr / T
+        else:
+            costs, Y, crash = rollout_ops.rollout_combined(
+                self.dynamics, self.cost, x0, U, self.dt
+            )
+            costs = costs + lr / T
+        return costs, Y, crash
+
+    def _iteration(self, x0, mean, key, iteration, optimization_stride):
+        U = self.sampler.sample(
+            key,
+            mean,
+            self.num_rollouts,
+            iteration=iteration,
+            optimization_stride=optimization_stride,
+        )
+        U = self._clamp_controls(U)
+        U = self._shard_samples(U)
+        costs, Y, crash = self._rollout_costs(x0, U, mean)
+        baseline = weight_ops.baseline_cost(costs)
+        w = self._transform_weights(costs, baseline)
+        eta = weight_ops.normalizer(w)
+        new_mean = self.sampler.update_mean(U, w, eta)
+        return new_mean, (U, costs, w, baseline, eta, crash)
+
+    # ------------------------------------------------------------------
+    @partial(jax.jit, static_argnames=())
+    def solve(
+        self,
+        state: jnp.ndarray,
+        ctrl_state: ControllerState,
+        optimization_stride: jnp.ndarray = 0,
+    ):
+        """One full MPPI solve. Returns (SolveResult, new ControllerState)."""
+        mean = ctrl_state.control_mean
+        key = ctrl_state.key
+        diag = None
+        for it in range(self.num_iters):
+            key, sub = jax.random.split(key)
+            mean, diag = self._iteration(
+                state, mean, sub, it, optimization_stride
+            )
+        U, costs, w, baseline, eta, crash = diag
+
+        fe_mean, fe_var, fe_mod = weight_ops.compute_free_energy(
+            w, baseline, self.lam
+        )
+        free_energy = FreeEnergyStats(
+            free_energy_mean=fe_mean,
+            free_energy_variance=fe_var,
+            free_energy_modified_variance=fe_mod,
+            baseline=baseline,
+            normalizer_percent=eta / self.num_rollouts,
+            previous_baseline=ctrl_state.previous_baseline,
+            increase=baseline - ctrl_state.previous_baseline,
+        )
+
+        # post-processing: SG smoothing -> mean re-rollout -> clamp
+        mean = self._smooth(mean, ctrl_state.control_history)
+        states, outputs = self._mean_trajectory(state, mean)
+        mean = self._clamp_controls(mean)
+
+        result = SolveResult(
+            control_mean=mean,
+            state_trajectory=states,
+            output_trajectory=outputs,
+            costs=costs,
+            weights=w,
+            baseline=baseline,
+            normalizer=eta,
+            free_energy=free_energy,
+            crash=crash,
+            sampled_controls=U if self.return_samples else None,
+        )
+        new_ctrl_state = ctrl_state.replace(
+            control_mean=mean, key=key, previous_baseline=baseline
+        )
+        return result, new_ctrl_state
+
+    def compute_control(self, state, ctrl_state, optimization_stride=0):
+        """Reference-named alias of solve()."""
+        return self.solve(state, ctrl_state, optimization_stride)

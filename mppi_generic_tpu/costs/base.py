@@ -1,0 +1,45 @@
+"""Cost-function base class — TPU-native redesign of the reference's CRTP
+``Cost<CLASS_T, PARAMS_T, DYN_PARAMS_T>`` (cost_functions/cost.cuh:34-234).
+
+Costs are pure functions of the dynamics *output* vector (not state), exactly
+like the reference. Per-sample crash status is threaded explicitly as an
+int32 value (the reference passes an ``int* crash_status``); batched paths
+carry it through the rollout scan.
+
+Batching convention matches models/base.py: component indexing on axis 0 so
+one implementation serves vectors, vmap, and Pallas SoA blocks.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+
+class Cost(struct.PyTreeNode):
+    CONTROL_DIM: int = struct.field(pytree_node=False, default=0)
+    OUTPUT_DIM: int = struct.field(pytree_node=False, default=0)
+
+    # reference CostParams: per-timestep discount + crash coefficient
+    # (control_cost_coeff lives on the sampling distribution in the new
+    # framework, matching where the reference actually *uses* it — the
+    # likelihood-ratio term; cost.cuh computeControlCost defaults to 0).
+    discount: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(1.0))
+
+    def state_cost(self, y, t, crash):
+        """Per-timestep state cost. Returns (cost, new_crash_status)."""
+        raise NotImplementedError
+
+    def control_cost(self, u, t, crash):
+        """Zero by default (cost.cuh:128-131) — the quadratic control cost is
+        the sampler's likelihood-ratio term."""
+        del t, crash
+        return jnp.zeros_like(u[0])
+
+    def running_cost(self, y, u, t, crash):
+        """state + control cost (cost.cuh:212-219). Returns (cost, crash)."""
+        c_state, crash = self.state_cost(y, t, crash)
+        return c_state + self.control_cost(u, t, crash), crash
+
+    def terminal_cost(self, y):
+        raise NotImplementedError

@@ -1,0 +1,52 @@
+"""Multi-chip sample-axis sharding.
+
+The reference is single-GPU (no NCCL/MPI anywhere in its tree; SURVEY §2.12).
+The TPU framework makes the sample axis a first-class mesh axis: rollouts
+shard over chips, and the MPPI reductions (baseline = min, normalizer = sum,
+weighted mean update = weighted sum) lower to psum/pmin collectives over
+ICI/DCN automatically once the (K, T, C) sample tensor carries a
+``NamedSharding(mesh, P("samples"))`` constraint — the XLA-collective
+equivalent of the reference's in-block tree reductions
+(core/mppi_common.cu:1191-1254).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+SAMPLE_AXIS = "samples"
+
+
+def make_sample_mesh(num_devices: Optional[int] = None, devices=None) -> Mesh:
+    """1-D mesh over all (or the first N) devices with axis "samples"."""
+    if devices is None:
+        devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return jax.make_mesh(
+        (len(devices),),
+        (SAMPLE_AXIS,),
+        devices=np.array(devices),
+        axis_types=(jax.sharding.AxisType.Auto,),
+    )
+
+
+def sample_sharding(mesh: Mesh, ndim: int = 3) -> NamedSharding:
+    """NamedSharding placing the leading (sample) axis across the mesh."""
+    spec = P(SAMPLE_AXIS, *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def shard_controller(controller, mesh: Mesh):
+    """Return a copy of ``controller`` whose solves shard the sample axis
+    over ``mesh``. Requires num_rollouts % mesh size == 0."""
+    n = mesh.devices.size
+    if controller.num_rollouts % n != 0:
+        raise ValueError(
+            f"num_rollouts={controller.num_rollouts} not divisible by mesh size {n}"
+        )
+    return controller.replace(sample_sharding=sample_sharding(mesh))
