@@ -1,10 +1,17 @@
-"""Benchmark harness — measures MPPI rollout throughput on the current JAX
+"""Benchmark harness — measures MPPI solve throughput on the current JAX
 backend (real TPU under the driver) and prints ONE JSON line.
 
 Headline config (BASELINE.md): double integrator, vanilla MPPI, Gaussian
 sampling, H=100, K=8192, 1 optimization iteration — the analog of the
 reference's cartpole_example timing harness (examples/cartpole_example.cu:87)
 at the driver's target scale. Target: >= 1e6 rollouts/s/chip.
+
+Methodology: this environment reaches the TPU through a relay with ~30 ms
+host round-trip latency, so single-call wall-clock measures the tunnel, not
+the chip. We therefore time a closed-loop ``lax.scan`` of S sequential solves
+inside ONE jitted program (slide -> solve -> step, exactly the plant loop)
+and divide — the steady-state number a co-located host would see. The
+single-dispatch p50 is also reported for reference.
 """
 
 import json
@@ -37,39 +44,64 @@ def build_controller(K=8192, T=100, kernel="combined"):
     )
 
 
-def time_solves(ctrl, n_warmup=3, n_timed=20):
-    x0 = jnp.array([2.0, 0.0, 0.0, 1.0])
-    cs = ctrl.init_state(jax.random.PRNGKey(0))
+def closed_loop_fn(ctrl, S):
+    """S sequential full solves (slide -> solve -> simulate one dt) in one
+    jitted program — the real-time plant loop at steady state."""
 
-    solve = jax.jit(lambda x, s: ctrl.solve(x, s))
+    def many(x, cs):
+        def body(carry, _):
+            x, cs = carry
+            cs = ctrl.slide_control_sequence(cs, 1)
+            res, cs = ctrl.solve(x, cs)
+            u = res.control_mean[0]
+            x, _ = ctrl.dynamics.step(x, u, 0.0, ctrl.dt)
+            return (x, cs), res.baseline
+
+        (xf, csf), baselines = jax.lax.scan(body, (x, cs), None, length=S)
+        return xf, baselines[-1]
+
+    return jax.jit(many)
+
+
+def time_fn(f, args, n_warmup=2, n_timed=7):
+    r = None
     for _ in range(n_warmup):
-        res, cs = solve(x0, cs)
-    jax.block_until_ready(res.control_mean)
-
-    latencies = []
+        r = f(*args)
+    jax.block_until_ready(r)
+    ts = []
     for _ in range(n_timed):
         t0 = time.perf_counter()
-        res, cs = solve(x0, cs)
-        jax.block_until_ready(res.control_mean)
-        latencies.append(time.perf_counter() - t0)
-    return np.array(latencies), res
+        r = f(*args)
+        jax.block_until_ready(r)
+        ts.append(time.perf_counter() - t0)
+    return np.array(ts)
 
 
 def main():
-    K, T = 8192, 100
+    K, T, S = 8192, 100, 100
+    x0 = jnp.array([2.0, 0.0, 0.0, 1.0])
+
     # auto-tune combined vs split (the chooseAppropriateKernel analog,
     # mppi_controller.cu:45-143)
     best = None
     for kernel in ("combined", "split"):
         ctrl = build_controller(K=K, T=T, kernel=kernel)
-        lat, res = time_solves(ctrl)
-        p50 = float(np.median(lat))
-        if best is None or p50 < best[1]:
-            best = (kernel, p50, lat, res)
-    kernel, p50, lat, res = best
+        cs = ctrl.init_state(jax.random.PRNGKey(0))
+        f = closed_loop_fn(ctrl, S)
+        ts = time_fn(f, (x0, cs))
+        med = float(np.median(ts))
+        if best is None or med < best[1]:
+            best = (kernel, med, ctrl, cs)
+    kernel, total, ctrl, cs = best
 
-    solves_per_s = 1.0 / p50
+    per_solve = total / S
+    solves_per_s = 1.0 / per_solve
     rollouts_per_s = K * solves_per_s
+
+    # single-dispatch latency (includes the ~30 ms relay RTT in this env)
+    single = jax.jit(lambda x, s: ctrl.solve(x, s))
+    ts1 = time_fn(single, (x0, cs), n_warmup=2, n_timed=7)
+
     target = 1e6  # BASELINE.json north-star: >=1e6 rollouts/s/chip
     print(
         json.dumps(
@@ -79,12 +111,11 @@ def main():
                 "unit": "rollouts/s",
                 "vs_baseline": rollouts_per_s / target,
                 "solves_per_sec": solves_per_s,
-                "p50_solve_ms": p50 * 1e3,
-                "p90_solve_ms": float(np.percentile(lat, 90)) * 1e3,
-                "config": {"K": K, "T": T, "kernel": kernel, "iters": 1},
+                "steady_state_solve_ms": per_solve * 1e3,
+                "single_dispatch_p50_ms": float(np.median(ts1)) * 1e3,
+                "config": {"K": K, "T": T, "kernel": kernel, "iters": 1, "scan_len": S},
                 "backend": jax.devices()[0].platform,
                 "device": str(jax.devices()[0]),
-                "baseline_cost": float(res.baseline),
             }
         )
     )
