@@ -62,6 +62,9 @@ class ControllerState(struct.PyTreeNode):
     previous_baseline: jnp.ndarray = struct.field(
         default_factory=lambda: jnp.float32(1e8)
     )
+    # distribution-internal sequences (e.g. smooth-MPPI's derivative mean);
+    # None for stateless samplers
+    sampler_state: object = None
 
 
 class ControllerBase(struct.PyTreeNode):
@@ -99,6 +102,7 @@ class ControllerBase(struct.PyTreeNode):
             control_mean=initial_mean,
             control_history=jnp.zeros((2, C), jnp.float32),
             key=key,
+            sampler_state=self.sampler.init_state(),
         )
 
     # --- shared helpers ------------------------------------------------
@@ -137,8 +141,14 @@ class ControllerBase(struct.PyTreeNode):
             jnp.stack([mean[idx0], mean[idx1]]),
             ctrl_state.control_history,
         )
-        new_mean = self.sampler.shift_mean(mean, stride, self.slide_scale)
-        return ctrl_state.replace(control_mean=new_mean, control_history=new_hist)
+        new_mean, new_samp_state = self.sampler.shift(
+            mean, stride, self.slide_scale, ctrl_state.sampler_state
+        )
+        return ctrl_state.replace(
+            control_mean=new_mean,
+            control_history=new_hist,
+            sampler_state=new_samp_state,
+        )
 
     def get_current_control(self, result: SolveResult, rel_time):
         """Interpolate the feed-forward control at a wall-clock offset into

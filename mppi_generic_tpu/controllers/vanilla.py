@@ -78,13 +78,14 @@ class VanillaMPPI(ControllerBase):
             costs = costs + lr / T
         return costs, Y, crash
 
-    def _iteration(self, x0, mean, key, iteration, optimization_stride):
-        U = self.sampler.sample(
+    def _iteration(self, x0, mean, samp_state, key, iteration, optimization_stride):
+        U, aux = self.sampler.sample(
             key,
             mean,
             self.num_rollouts,
             iteration=iteration,
             optimization_stride=optimization_stride,
+            state=samp_state,
         )
         U = self._clamp_controls(U)
         U = self._shard_samples(U)
@@ -92,8 +93,10 @@ class VanillaMPPI(ControllerBase):
         baseline = weight_ops.baseline_cost(costs)
         w = self._transform_weights(costs, baseline)
         eta = weight_ops.normalizer(w)
-        new_mean = self.sampler.update_mean(U, w, eta)
-        return new_mean, (U, costs, w, baseline, eta, crash)
+        new_mean, new_samp_state = self.sampler.update_mean(
+            U, aux, w, eta, mean, samp_state
+        )
+        return new_mean, new_samp_state, (U, costs, w, baseline, eta, crash)
 
     # ------------------------------------------------------------------
     @partial(jax.jit, static_argnames=())
@@ -105,12 +108,13 @@ class VanillaMPPI(ControllerBase):
     ):
         """One full MPPI solve. Returns (SolveResult, new ControllerState)."""
         mean = ctrl_state.control_mean
+        samp_state = ctrl_state.sampler_state
         key = ctrl_state.key
         diag = None
         for it in range(self.num_iters):
             key, sub = jax.random.split(key)
-            mean, diag = self._iteration(
-                state, mean, sub, it, optimization_stride
+            mean, samp_state, diag = self._iteration(
+                state, mean, samp_state, sub, it, optimization_stride
             )
         U, costs, w, baseline, eta, crash = diag
 
@@ -145,7 +149,10 @@ class VanillaMPPI(ControllerBase):
             sampled_controls=U if self.return_samples else None,
         )
         new_ctrl_state = ctrl_state.replace(
-            control_mean=mean, key=key, previous_baseline=baseline
+            control_mean=mean,
+            key=key,
+            previous_baseline=baseline,
+            sampler_state=samp_state,
         )
         return result, new_ctrl_state
 

@@ -70,10 +70,32 @@ class GaussianDistribution(SamplingDistribution):
         threshold = (1.0 - self.pure_noise_percentage) * num_rollouts
         return k.astype(jnp.float32) >= threshold
 
-    def sample(self, key, mean, num_rollouts, *, iteration=0, optimization_stride=0):
+    def sample(
+        self,
+        key,
+        mean,
+        num_rollouts,
+        *,
+        iteration=0,
+        optimization_stride=0,
+        state=None,
+    ):
+        del state
+        eps = self._draw_noise(key, mean, num_rollouts, optimization_stride)
+        return self._apply_carveouts(
+            eps, mean, num_rollouts, iteration, optimization_stride
+        ), None
+
+    def _draw_noise(self, key, mean, num_rollouts, optimization_stride=0):
         T, C = mean.shape
+        return jax.random.normal(key, (num_rollouts, T, C), dtype=mean.dtype)
+
+    def _apply_carveouts(self, eps, mean, num_rollouts, iteration, optimization_stride):
+        """setGaussianControls semantics (gaussian.cu:101-121): scale noise by
+        (decayed) sigma, add the mean except for the pure-noise tail, and pin
+        sample 0 + the frozen head to the mean."""
         K = num_rollouts
-        eps = jax.random.normal(key, (K, T, C), dtype=mean.dtype)
+        T, C = mean.shape
         sigma = self._sigma(T, iteration)[None]  # (1, T, C)
         noise = sigma * eps
 

@@ -14,14 +14,14 @@ def make_sampler(**kw):
 def test_sample_zero_is_mean():
     s = make_sampler()
     mean = jnp.ones((10, 2)) * 0.7
-    U = s.sample(jax.random.PRNGKey(0), mean, 64)
+    U, _ = s.sample(jax.random.PRNGKey(0), mean, 64)
     np.testing.assert_allclose(U[0], mean, atol=1e-6)
 
 
 def test_frozen_head_optimization_stride():
     s = make_sampler()
     mean = jnp.linspace(0, 1, 20)[:, None] * jnp.ones((20, 2))
-    U = s.sample(jax.random.PRNGKey(0), mean, 64, optimization_stride=5)
+    U, _ = s.sample(jax.random.PRNGKey(0), mean, 64, optimization_stride=5)
     # all samples equal mean for t < 5
     np.testing.assert_allclose(U[:, :5], jnp.broadcast_to(mean[None, :5], (64, 5, 2)), atol=1e-6)
     # and differ afterwards for at least one non-zero sample
@@ -32,7 +32,7 @@ def test_pure_noise_tail_is_zero_mean():
     s = make_sampler(pure_noise_percentage=0.25)
     mean = jnp.ones((16, 2)) * 10.0  # large mean so the carve-out is obvious
     K = 1000
-    U = s.sample(jax.random.PRNGKey(1), mean, K)
+    U, _ = s.sample(jax.random.PRNGKey(1), mean, K)
     tail = U[int(0.75 * K) :]
     head = U[1 : int(0.75 * K)]
     assert abs(float(jnp.mean(tail))) < 0.2  # zero-mean
@@ -42,7 +42,7 @@ def test_pure_noise_tail_is_zero_mean():
 def test_sample_statistics_match_sigma():
     s = make_sampler()
     mean = jnp.zeros((32, 2))
-    U = s.sample(jax.random.PRNGKey(2), mean, 4096)
+    U, _ = s.sample(jax.random.PRNGKey(2), mean, 4096)
     stds = np.std(np.asarray(U[1:]), axis=(0, 1))
     np.testing.assert_allclose(stds, [0.5, 2.0], rtol=0.05)
 
@@ -50,8 +50,8 @@ def test_sample_statistics_match_sigma():
 def test_std_dev_decay():
     s = make_sampler(std_dev_decay=0.5)
     mean = jnp.zeros((32, 2))
-    U0 = s.sample(jax.random.PRNGKey(3), mean, 2048, iteration=0)
-    U2 = s.sample(jax.random.PRNGKey(3), mean, 2048, iteration=2)
+    U0, _ = s.sample(jax.random.PRNGKey(3), mean, 2048, iteration=0)
+    U2, _ = s.sample(jax.random.PRNGKey(3), mean, 2048, iteration=2)
     r = np.std(np.asarray(U2[1:])) / np.std(np.asarray(U0[1:]))
     assert np.isclose(r, 0.25, rtol=0.05)
 
@@ -60,7 +60,7 @@ def test_time_specific_std_dev():
     sigma_t = jnp.stack([jnp.full((2,), 0.1), jnp.full((2,), 5.0)] * 8)  # (16, 2)
     s = GaussianDistribution.create(std_dev=sigma_t)
     assert s.time_specific_std_dev
-    U = s.sample(jax.random.PRNGKey(4), jnp.zeros((16, 2)), 4096)
+    U, _ = s.sample(jax.random.PRNGKey(4), jnp.zeros((16, 2)), 4096)
     stds = np.std(np.asarray(U[1:]), axis=(0, 2))
     np.testing.assert_allclose(stds[0::2], 0.1, rtol=0.1)
     np.testing.assert_allclose(stds[1::2], 5.0, rtol=0.1)
@@ -109,5 +109,5 @@ def test_update_mean_weighted_average():
     s = make_sampler()
     U = jnp.stack([jnp.zeros((3, 2)), jnp.ones((3, 2))])  # K=2
     w = jnp.array([1.0, 3.0])
-    new_mean = s.update_mean(U, w, jnp.sum(w))
+    new_mean, _ = s.update_mean(U, None, w, jnp.sum(w), None)
     np.testing.assert_allclose(new_mean, 0.75 * jnp.ones((3, 2)), atol=1e-6)
