@@ -1,4 +1,23 @@
-from mppi_generic_tpu.controllers.base import ControllerBase, SolveResult
+from mppi_generic_tpu.controllers.base import ControllerBase, ControllerState, SolveResult
 from mppi_generic_tpu.controllers.vanilla import VanillaMPPI
+from mppi_generic_tpu.controllers.colored import ColoredMPPI
+from mppi_generic_tpu.controllers.tube import TubeMPPI, TubeControllerState, TubeSolveResult
+from mppi_generic_tpu.controllers.robust import (
+    RobustMPPI,
+    RobustControllerState,
+    RobustSolveResult,
+)
 
-__all__ = ["ControllerBase", "SolveResult", "VanillaMPPI"]
+__all__ = [
+    "ControllerBase",
+    "ControllerState",
+    "SolveResult",
+    "VanillaMPPI",
+    "ColoredMPPI",
+    "TubeMPPI",
+    "TubeControllerState",
+    "TubeSolveResult",
+    "RobustMPPI",
+    "RobustControllerState",
+    "RobustSolveResult",
+]

@@ -1,0 +1,244 @@
+"""iLQR/DDP trajectory-tracking feedback — jittable JAX rebuild of the
+reference's Eigen DDP solver (ddp/ddp.h:54-170) and its DDPFeedback wrapper
+(feedback_controllers/DDP/ddp.{cuh,cu}).
+
+Semantics matched to ddp/ddp.h run():
+
+* discrete model x' = x + f(x, u) dt; A_k = I + df/dx * dt, B_k = df/du * dt
+  (Jacobians via jax.jacfwd over the dynamics instead of the reference's
+  hand-written model wrappers);
+* quadratic tracking cost c = (x-x*)' Q (x-x*) + (u-u*)' R (u-u*) with
+  gradient Q(x-x*) (the reference's convention — Q absorbs the factor 2,
+  ddp_tracking_costs.h:37-53) and terminal cost via Q_f;
+* backward pass with LDLT -> here a Tikhonov-regularized linear solve;
+* forward pass with backtracking line search alpha in {1, 1/2, ...} and
+  control clamping to [u_min, u_max]; candidate accepted when its cost does
+  not exceed the previous iteration's (first iteration always accepts).
+  The data-dependent backtracking loop becomes a vmapped evaluation over a
+  static alpha ladder + argmax select (static shapes for XLA).
+
+The returned gains K[t] (C, S) implement u_fb = K[t] (x - x_goal) exactly as
+the reference's device k() (DDP/ddp.cu:11-45).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from mppi_generic_tpu.models.base import Dynamics
+
+
+class DDPFeedbackState(struct.PyTreeNode):
+    """fb_gain_traj_ analog (DDP/ddp.cuh:28-53): (T, C, S) gain trajectory
+    plus the solver's feedforward/trajectory outputs for diagnostics."""
+
+    gains: jnp.ndarray  # (T, C, S)
+    x_traj: jnp.ndarray = None  # (T, S)
+    u_traj: jnp.ndarray = None  # (T, C)
+    total_cost: jnp.ndarray = None
+
+
+def _alpha_ladder(n=14):
+    return jnp.power(0.5, jnp.arange(n, dtype=jnp.float32))
+
+
+def ilqr_tracking(
+    dynamics: Dynamics,
+    x0,
+    u_init,
+    goal_x,
+    goal_u,
+    Q,
+    R,
+    Q_f,
+    dt,
+    iterations: int = 1,
+    u_min=None,
+    u_max=None,
+):
+    """Run iLQR tracking. Shapes: x0 (S,), u_init (T, C), goal_x (T, S),
+    goal_u (T, C). Returns DDPFeedbackState with gains (T, C, S)."""
+    T, C = u_init.shape
+    S = x0.shape[0]
+    if u_min is None:
+        u_min = dynamics.control_ranges[:, 0]
+    if u_max is None:
+        u_max = dynamics.control_ranges[:, 1]
+    # guard against infinite ranges breaking clamping math
+    u_min = jnp.nan_to_num(u_min, neginf=-1e30)
+    u_max = jnp.nan_to_num(u_max, posinf=1e30)
+
+    f = lambda x, u: dynamics.state_deriv(x, u)
+
+    def clamp(u):
+        return jnp.clip(u, u_min, u_max)
+
+    def forward_rollout(x0, U):
+        def step(x, u):
+            x_next = x + f(x, clamp(u)) * dt
+            return x_next, x
+
+        _, xs = jax.lax.scan(step, x0, U)
+        return xs  # (T, S): xs[k] = state BEFORE applying U[k] (ddp.h x_ cols)
+
+    def running_cost(x, u, t):
+        ex = x - goal_x[t]
+        eu = u - goal_u[t]
+        return ex @ Q @ ex + eu @ R @ eu
+
+    def terminal_cost(x):
+        e = x - goal_x[-1]
+        return e @ Q_f @ e
+
+    def trajectory_cost(xs, us):
+        # ddp.h line-search cost: sum_k c(x_k, u_k, k)*dt + terminal V
+        ts = jnp.arange(T)
+        cs = jax.vmap(running_cost)(xs, us, ts)
+        return jnp.sum(cs[:-1]) * dt + terminal_cost(xs[-1])
+
+    def backward_pass(xs, us):
+        def jac(x, u):
+            A = jax.jacfwd(lambda s: f(s, u))(x) * dt + jnp.eye(S)
+            B = jax.jacfwd(lambda c: f(x, c))(u) * dt
+            return A, B
+
+        As, Bs = jax.vmap(jac)(xs, us)
+        ts = jnp.arange(T)
+        dLx = jax.vmap(lambda x, t: Q @ (x - goal_x[t]))(xs, ts)
+        dLu = jax.vmap(lambda u, t: R @ (u - goal_u[t]))(us, ts)
+
+        Vxx_T = 0.5 * (Q_f + Q_f.T)
+        Vx_T = Q_f @ (xs[-1] - goal_x[-1])
+
+        def bwd(carry, inp):
+            Vx, Vxx = carry
+            A, B, lx, lu = inp
+            qx = lx * dt + A.T @ Vx
+            qu = lu * dt + B.T @ Vx
+            qux = B.T @ Vxx @ A
+            qxx = Q * dt + A.T @ Vxx @ A
+            quu = R * dt + B.T @ Vxx @ B
+            quu_reg = quu + 1e-6 * jnp.eye(C)
+            Kk = -jnp.linalg.solve(quu_reg, qux)
+            kk = -jnp.linalg.solve(quu_reg, qu)
+            Vxx_new = qxx + qux.T @ Kk
+            Vxx_new = 0.5 * (Vxx_new + Vxx_new.T)
+            Vx_new = qx + qux.T @ kk
+            return (Vx_new, Vxx_new), (Kk, kk)
+
+        (_, _), (Ks, ks) = jax.lax.scan(
+            bwd, (Vx_T, Vxx_T), (As[:-1], Bs[:-1], dLx[:-1], dLu[:-1]), reverse=True
+        )
+        # pad step T-1 with zeros (reference leaves Lk_(H-1) at zero)
+        Ks = jnp.concatenate([Ks, jnp.zeros((1, C, S))], axis=0)
+        ks = jnp.concatenate([ks, jnp.zeros((1, C))], axis=0)
+        return Ks, ks
+
+    def forward_pass(xs, us, Ks, ks, alpha):
+        def step(x, inp):
+            x_ref, u_ref, Kk, kk = inp
+            u = clamp(u_ref + alpha * kk + Kk @ (x - x_ref))
+            x_next = x + f(x, u) * dt
+            return x_next, (x, u)
+
+        _, (xnew, unew) = jax.lax.scan(step, xs[0], (xs, us, Ks, ks))
+        return xnew, unew
+
+    def iteration(carry, it):
+        xs, us, prev_cost = carry
+        Ks, ks = backward_pass(xs, us)
+        alphas = _alpha_ladder()
+
+        def try_alpha(a):
+            xn, un = forward_pass(xs, us, Ks, ks, a)
+            return xn, un, trajectory_cost(xn, un)
+
+        xns, uns, cs = jax.vmap(try_alpha)(alphas)
+        accept = (cs <= prev_cost) | (it == 0)
+        # first (largest) accepted alpha; fall back to the smallest alpha
+        idx = jnp.argmax(accept)
+        idx = jnp.where(jnp.any(accept), idx, alphas.shape[0] - 1)
+        xs_new = xns[idx]
+        us_new = uns[idx]
+        cost_new = cs[idx]
+        return (xs_new, us_new, cost_new), (Ks, ks)
+
+    us0 = clamp(u_init)
+    xs0 = forward_rollout(x0, us0)
+    carry = (xs0, us0, jnp.float32(jnp.inf))
+    gains = None
+    for it in range(iterations):
+        carry, (gains, ffs) = iteration(carry, it)
+    xs, us, cost = carry
+    return DDPFeedbackState(gains=gains, x_traj=xs, u_traj=us, total_cost=cost)
+
+
+class DDPFeedback(struct.PyTreeNode):
+    """DDPFeedback analog (feedback_controllers/DDP/ddp.cuh:106-161):
+    iLQR tracking of the nominal trajectory, gains applied as
+    u_fb = K[t](x - x_goal)."""
+
+    dynamics: Dynamics
+    Q: jnp.ndarray = None
+    R: jnp.ndarray = None
+    Q_f: jnp.ndarray = None
+    dt: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.02))
+    num_iterations: int = struct.field(pytree_node=False, default=1)
+
+    @classmethod
+    def create(cls, dynamics, dt, Q=None, R=None, Q_f=None, num_iterations=1):
+        S, C = dynamics.STATE_DIM, dynamics.CONTROL_DIM
+        if Q is None:
+            Q = jnp.eye(S)
+        if R is None:
+            R = jnp.eye(C)
+        if Q_f is None:
+            Q_f = jnp.eye(S)
+        return cls(
+            dynamics=dynamics,
+            Q=jnp.asarray(Q, jnp.float32),
+            R=jnp.asarray(R, jnp.float32),
+            Q_f=jnp.asarray(Q_f, jnp.float32),
+            dt=jnp.float32(dt),
+            num_iterations=num_iterations,
+        )
+
+    def init_feedback_state(self, num_timesteps):
+        S, C = self.dynamics.STATE_DIM, self.dynamics.CONTROL_DIM
+        return DDPFeedbackState(
+            gains=jnp.zeros((num_timesteps, C, S)),
+            x_traj=jnp.zeros((num_timesteps, S)),
+            u_traj=jnp.zeros((num_timesteps, C)),
+            total_cost=jnp.float32(0.0),
+        )
+
+    def compute_feedback(self, x0, goal_traj, control_traj):
+        return ilqr_tracking(
+            self.dynamics,
+            x0,
+            control_traj,
+            goal_traj,
+            jnp.zeros_like(control_traj),
+            self.Q,
+            self.R,
+            self.Q_f,
+            self.dt,
+            iterations=self.num_iterations,
+        )
+
+    def k(self, x, x_goal, t, fb_state: DDPFeedbackState):
+        return fb_state.gains[t] @ (x - x_goal)
+
+    def interpolate_feedback(self, x, fb_state, rel_time, dt, goal_traj):
+        T = goal_traj.shape[0]
+        idx_f = jnp.clip(rel_time / dt, 0.0, T - 1.0)
+        lo = jnp.clip(jnp.floor(idx_f).astype(jnp.int32), 0, T - 1)
+        hi = jnp.clip(lo + 1, 0, T - 1)
+        a = idx_f - lo.astype(jnp.float32)
+        u_lo = self.k(x, goal_traj[lo], lo, fb_state)
+        u_hi = self.k(x, goal_traj[hi], hi, fb_state)
+        return (1 - a) * u_lo + a * u_hi
