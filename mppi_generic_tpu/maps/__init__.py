@@ -1,0 +1,3 @@
+from mppi_generic_tpu.maps.texture import MapTexture2D, MapTexture3D
+
+__all__ = ["MapTexture2D", "MapTexture3D"]

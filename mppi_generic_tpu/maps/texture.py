@@ -1,0 +1,195 @@
+"""Map "texture" subsystem — HBM-resident arrays + bilinear gather.
+
+TPU-native rebuild of the reference's CUDA texture helpers
+(``utils/texture_helpers/texture_helper.{cuh,cu}``, ``two_d_texture_helper``,
+``three_d_texture_helper``): there are no texture units on TPU, so the
+hardware bilinear lookup becomes an explicit gather + lerp over an HBM/VMEM
+array. The coordinate pipeline is reproduced exactly:
+
+* world -> map: map = R @ (world - origin), R rows stored like
+  texture_helper.cu:94-103;
+* map -> normalized tex coord: (map / resolution) / extent
+  (texture_helper.cu:106-123);
+* query: CUDA ``cudaFilterModeLinear`` + ``cudaAddressModeClamp`` +
+  ``normalizedCoords=1`` semantics — sample position x = u*N - 0.5,
+  bilinear between clamped neighbor texels.
+
+Double-buffered CPU staging (textures_buffer_) is unnecessary: textures are
+immutable pytree leaves; "updating the map" is building a new pytree (cheap,
+and safe while a solve is in flight).
+
+Arrays are stored row-major [y, x] (2D) / [z, y, x] (3D) with an optional
+trailing channel axis, matching the reference's row-major copies
+(two_d_texture_helper.cu columnMajor handling).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+
+def _bilinear_axis(coord_norm, n):
+    """CUDA linear-filter sample setup along one axis: normalized coord ->
+    (lo_index, hi_index, fraction) with clamp addressing."""
+    # clamp addressing: the unnormalized sample coordinate saturates at the
+    # edge texel centers, so out-of-range queries return the edge value
+    x = jnp.clip(coord_norm * n - 0.5, 0.0, n - 1.0)
+    lo = jnp.floor(x)
+    frac = x - lo
+    lo_i = lo.astype(jnp.int32)
+    hi_i = jnp.clip(lo_i + 1, 0, n - 1)
+    return lo_i, hi_i, frac
+
+
+class MapTexture2D(struct.PyTreeNode):
+    """One 2D map layer (TwoDTextureHelper analog)."""
+
+    data: jnp.ndarray = None  # (H, W) or (H, W, CH)
+    origin: jnp.ndarray = None  # (3,)
+    rotation: jnp.ndarray = None  # (3, 3), rows like the reference
+    resolution: jnp.ndarray = None  # (3,) meters per texel per axis
+
+    @classmethod
+    def create(cls, data, origin=(0, 0, 0), rotation=None, resolution=1.0):
+        data = jnp.asarray(data, jnp.float32)
+        if rotation is None:
+            rotation = jnp.eye(3)
+        resolution = jnp.asarray(resolution, jnp.float32)
+        if resolution.ndim == 0:
+            resolution = jnp.full((3,), resolution)
+        return cls(
+            data=data,
+            origin=jnp.asarray(origin, jnp.float32),
+            rotation=jnp.asarray(rotation, jnp.float32),
+            resolution=resolution,
+        )
+
+    @property
+    def height(self):
+        return self.data.shape[0]
+
+    @property
+    def width(self):
+        return self.data.shape[1]
+
+    # --- coordinate pipeline (texture_helper.cu:94-134) -------------------
+    def world_to_map(self, world):
+        """world (..., 3) -> map-frame meters (..., 3)."""
+        diff = world - self.origin
+        return jnp.einsum("ij,...j->...i", self.rotation, diff)
+
+    def map_to_tex(self, map_pose):
+        """map meters -> normalized tex coords (x, y[, z])."""
+        px = map_pose[..., 0] / self.resolution[0] / self.width
+        py = map_pose[..., 1] / self.resolution[1] / self.height
+        return px, py
+
+    def world_to_tex(self, world):
+        return self.map_to_tex(self.world_to_map(world))
+
+    # --- queries -----------------------------------------------------------
+    def query_tex(self, u, v):
+        """Bilinear lookup at normalized (u, v); u indexes width (x),
+        v indexes height (y). Batched over leading dims."""
+        x0, x1, fx = _bilinear_axis(u, self.width)
+        y0, y1, fy = _bilinear_axis(v, self.height)
+        d = self.data
+        v00 = d[y0, x0]
+        v01 = d[y0, x1]
+        v10 = d[y1, x0]
+        v11 = d[y1, x1]
+        if d.ndim == 3:
+            fx = fx[..., None]
+            fy = fy[..., None]
+        top = v00 + fx * (v01 - v00)
+        bot = v10 + fx * (v11 - v10)
+        return top + fy * (bot - top)
+
+    def query_at_map_pose(self, map_pose):
+        u, v = self.map_to_tex(map_pose)
+        return self.query_tex(u, v)
+
+    def query_at_world_pose(self, world):
+        u, v = self.world_to_tex(world)
+        return self.query_tex(u, v)
+
+    def query_at_world_offset_pose(self, world, offset, rotation_rpy):
+        """queryTextureAtWorldOffsetPose: rotate a body-frame offset into the
+        world (Z-Y-X Euler), add, and query (texture_helper.cu:137-144)."""
+        from mppi_generic_tpu.utils.math_utils import euler_to_quat, quat_rotate
+
+        q = euler_to_quat(rotation_rpy[0], rotation_rpy[1], rotation_rpy[2])
+        world_offset = world + quat_rotate(q, offset)
+        return self.query_at_world_pose(world_offset)
+
+
+class MapTexture3D(struct.PyTreeNode):
+    """One 3D (layered) map (ThreeDTextureHelper analog): trilinear lookup."""
+
+    data: jnp.ndarray = None  # (D, H, W)
+    origin: jnp.ndarray = None
+    rotation: jnp.ndarray = None
+    resolution: jnp.ndarray = None
+
+    @classmethod
+    def create(cls, data, origin=(0, 0, 0), rotation=None, resolution=1.0):
+        data = jnp.asarray(data, jnp.float32)
+        if rotation is None:
+            rotation = jnp.eye(3)
+        resolution = jnp.asarray(resolution, jnp.float32)
+        if resolution.ndim == 0:
+            resolution = jnp.full((3,), resolution)
+        return cls(
+            data=data,
+            origin=jnp.asarray(origin, jnp.float32),
+            rotation=jnp.asarray(rotation, jnp.float32),
+            resolution=resolution,
+        )
+
+    @property
+    def depth(self):
+        return self.data.shape[0]
+
+    @property
+    def height(self):
+        return self.data.shape[1]
+
+    @property
+    def width(self):
+        return self.data.shape[2]
+
+    def world_to_map(self, world):
+        diff = world - self.origin
+        return jnp.einsum("ij,...j->...i", self.rotation, diff)
+
+    def map_to_tex(self, map_pose):
+        px = map_pose[..., 0] / self.resolution[0] / self.width
+        py = map_pose[..., 1] / self.resolution[1] / self.height
+        pz = map_pose[..., 2] / self.resolution[2] / self.depth
+        return px, py, pz
+
+    def query_tex(self, u, v, w):
+        x0, x1, fx = _bilinear_axis(u, self.width)
+        y0, y1, fy = _bilinear_axis(v, self.height)
+        z0, z1, fz = _bilinear_axis(w, self.depth)
+        d = self.data
+
+        def plane(z):
+            v00 = d[z, y0, x0]
+            v01 = d[z, y0, x1]
+            v10 = d[z, y1, x0]
+            v11 = d[z, y1, x1]
+            top = v00 + fx * (v01 - v00)
+            bot = v10 + fx * (v11 - v10)
+            return top + fy * (bot - top)
+
+        p0 = plane(z0)
+        p1 = plane(z1)
+        return p0 + fz * (p1 - p0)
+
+    def query_at_map_pose(self, map_pose):
+        return self.query_tex(*self.map_to_tex(map_pose))
+
+    def query_at_world_pose(self, world):
+        return self.query_at_map_pose(self.world_to_map(world))
