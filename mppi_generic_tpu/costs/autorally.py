@@ -1,0 +1,131 @@
+"""AutoRally costs (track-map costmap + speed/slip/crash terms).
+
+Parity target: reference ``cost_functions/autorally/ar_standard_cost.{cuh,cu}``
+(and the robust variant ``ar_robust_cost.*``). The CUDA float4 costmap
+texture with a homogeneous coordinate transform becomes a ``MapTexture2D``
+(channel 0 = track cost); term-for-term semantics
+(ar_standard_cost.cu:282-413):
+
+* track cost: mean |costmap| under the car's front (+0.5m) and back (-0.5m)
+  points along the heading; zeroed inside ``track_slop``; crash when either
+  point exceeds ``boundary_threshold``;
+* speed cost: speed_coeff * (v_x - desired)^2 (or |.| in L1 mode);
+* stabilizing cost: slip_coeff * slip^2 with slip = -atan(v_y/|v_x|), plus
+  crash_coeff when |slip| > max_slip_ang; rollover (|roll| > pi/2) sets the
+  crash flag;
+* crash cost: discount^t * crash_coeff once crashed (sticky crash status);
+* cost saturated at MAX_COST_VALUE (1e16) and NaN-guarded.
+
+State layout is the AutoRally model's output: [x, y, yaw, roll, v_x, v_y,
+yaw_rate].
+
+The robust variant (ARRobustCost) shapes the costmap value into a smooth
+barrier before applying the crash logic.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import struct
+
+from mppi_generic_tpu.costs.base import Cost
+from mppi_generic_tpu.maps.texture import MapTexture2D
+
+MAX_COST_VALUE = 1e16
+FRONT_D = 0.5
+BACK_D = -0.5
+
+
+class ARStandardCost(Cost):
+    CONTROL_DIM: int = struct.field(pytree_node=False, default=2)
+    OUTPUT_DIM: int = struct.field(pytree_node=False, default=7)
+
+    desired_speed: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(6.0))
+    speed_coeff: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(4.25))
+    track_coeff: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(200.0))
+    max_slip_ang: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(1.25))
+    slip_coeff: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(10.0))
+    track_slop: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.0))
+    crash_coeff: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(10000.0))
+    boundary_threshold: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.float32(0.65)
+    )
+    l1_speed_cost: bool = struct.field(pytree_node=False, default=False)
+    costmap: Optional[MapTexture2D] = None
+
+    def _track_value(self, x, y):
+        pt = jnp.stack([x, y, jnp.zeros_like(x)], axis=-1)
+        val = self.costmap.query_at_world_pose(pt)
+        if val.ndim > jnp.ndim(x):  # multichannel costmap: channel 0
+            val = val[..., 0]
+        return val
+
+    def _track_cost(self, y, crash):
+        cos_y, sin_y = jnp.cos(y[2]), jnp.sin(y[2])
+        front = self._track_value(y[0] + FRONT_D * cos_y, y[1] + FRONT_D * sin_y)
+        back = self._track_value(y[0] + BACK_D * cos_y, y[1] + BACK_D * sin_y)
+        track = 0.5 * (jnp.abs(front) + jnp.abs(back))
+        track = jnp.where(
+            jnp.abs(track) < self.track_slop, 0.0, self.track_coeff * track
+        )
+        crash = jnp.where(
+            (front >= self.boundary_threshold) | (back >= self.boundary_threshold),
+            jnp.ones_like(crash),
+            crash,
+        )
+        return track, crash
+
+    def _speed_cost(self, y):
+        err = y[4] - self.desired_speed
+        if self.l1_speed_cost:
+            return self.speed_coeff * jnp.abs(err)
+        return self.speed_coeff * err * err
+
+    def _stabilizing_cost(self, y, crash):
+        slip = -jnp.arctan(y[5] / jnp.maximum(jnp.abs(y[4]), 1e-3))
+        moving = jnp.abs(y[4]) > 0.001
+        cost = jnp.where(moving, self.slip_coeff * slip * slip, 0.0)
+        cost = cost + jnp.where(
+            moving & (jnp.abs(slip) > self.max_slip_ang), self.crash_coeff, 0.0
+        )
+        crash = jnp.where(jnp.abs(y[3]) > jnp.pi / 2, jnp.ones_like(crash), crash)
+        return cost, crash
+
+    def state_cost(self, y, t, crash):
+        track, crash = self._track_cost(y, crash)
+        speed = self._speed_cost(y)
+        stab, crash = self._stabilizing_cost(y, crash)
+        t_f = jnp.asarray(t, jnp.float32)
+        crash_cost = jnp.where(
+            crash > 0, jnp.power(self.discount, t_f) * self.crash_coeff, 0.0
+        )
+        cost = speed + crash_cost + track + stab
+        cost = jnp.where(
+            jnp.isnan(cost) | (cost > MAX_COST_VALUE), MAX_COST_VALUE, cost
+        )
+        return cost, crash
+
+    def terminal_cost(self, y):
+        return jnp.zeros_like(y[0])
+
+
+class ARRobustCost(ARStandardCost):
+    """Robust variant (ar_robust_cost.cu): the costmap value is shaped into
+    a smooth quadratic barrier toward the boundary before crashing."""
+
+    def _track_cost(self, y, crash):
+        cos_y, sin_y = jnp.cos(y[2]), jnp.sin(y[2])
+        front = self._track_value(y[0] + FRONT_D * cos_y, y[1] + FRONT_D * sin_y)
+        back = self._track_value(y[0] + BACK_D * cos_y, y[1] + BACK_D * sin_y)
+        track = 0.5 * (jnp.abs(front) + jnp.abs(back))
+        # quadratic barrier normalized by the boundary threshold
+        d = track / jnp.maximum(self.boundary_threshold, 1e-6)
+        cost = self.track_coeff * 0.5 * d * d
+        crash = jnp.where(
+            (front >= self.boundary_threshold) | (back >= self.boundary_threshold),
+            jnp.ones_like(crash),
+            crash,
+        )
+        return cost, crash

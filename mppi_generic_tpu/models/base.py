@@ -150,6 +150,19 @@ class Dynamics(struct.PyTreeNode):
     def update_from_buffer(self, buffer):
         return self
 
+    # --- recurrent models (LSTM-in-rollout) -----------------------------------
+    # The reference keeps per-rollout LSTM hidden/cell state in kernel shared
+    # memory (lstm_helper.cuh:130-133); here it rides in the rollout scan
+    # carry as an arbitrary pytree. Stateless models use None.
+    def init_recurrent_state(self):
+        return None
+
+    def step_recurrent(self, x, rec, u, t, dt):
+        """One step for recurrent models: returns (x_next, output, rec_next).
+        Default: delegate to the stateless step."""
+        x_next, y = self.step(x, u, t, dt)
+        return x_next, y, rec
+
     def state_from_map(self, mapping):
         """Build a state vector from a {name: value} dict (dynamics.cuh:508)."""
         raise NotImplementedError
@@ -159,13 +172,18 @@ def rollout_single(dynamics: Dynamics, x0, U, dt) -> Tuple[jnp.ndarray, jnp.ndar
     """Roll a single control sequence (T, C) from x0; returns (states (T+1, S),
     outputs (T, O)). The CPU-oracle analog of computeStateTrajectoryHelper."""
 
-    def step_fn(x, ut_t):
+    def step_fn(carry, ut_t):
+        x, rec = carry
         u, t = ut_t
         u = dynamics.enforce_constraints(x, u)
-        x_next, y = dynamics.step(x, u, t, dt)
-        return x_next, (x_next, y)
+        x_next, y, rec = dynamics.step_recurrent(x, rec, u, t, dt)
+        return (x_next, rec), (x_next, y)
 
     T = U.shape[0]
-    _, (xs, ys) = jax.lax.scan(step_fn, x0, (U, jnp.arange(T, dtype=jnp.float32)))
+    _, (xs, ys) = jax.lax.scan(
+        step_fn,
+        (x0, dynamics.init_recurrent_state()),
+        (U, jnp.arange(T, dtype=jnp.float32)),
+    )
     states = jnp.concatenate([x0[None], xs], axis=0)
     return states, ys

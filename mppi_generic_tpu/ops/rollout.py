@@ -61,14 +61,16 @@ def rollout_combined(
 
     def one_sample(x0_k, U_k, lr_k):
         def step_fn(carry, inp):
-            x, crash, acc = carry
+            x, rec, crash, acc = carry
             u, t, lr_t = inp
-            x_next, y = dynamics.step(x, u, t.astype(jnp.float32), dt)
+            x_next, y, rec = dynamics.step_recurrent(
+                x, rec, u, t.astype(jnp.float32), dt
+            )
             c, crash = cost.running_cost(y, u, t, crash)
-            return (x_next, crash, acc + c + lr_t), y
+            return (x_next, rec, crash, acc + c + lr_t), y
 
-        init = (x0_k, jnp.int32(0), jnp.float32(0.0))
-        (xT, crash, acc), Y_k = jax.lax.scan(step_fn, init, (U_k, ts, lr_k))
+        init = (x0_k, dynamics.init_recurrent_state(), jnp.int32(0), jnp.float32(0.0))
+        (xT, rec, crash, acc), Y_k = jax.lax.scan(step_fn, init, (U_k, ts, lr_k))
         total = (acc + cost.terminal_cost(Y_k[-1])) / T
         return total, Y_k, crash
 
@@ -84,12 +86,17 @@ def rollout_outputs(dynamics: Dynamics, x0: jnp.ndarray, U: jnp.ndarray, dt: flo
     ts = _time_indices(T)
 
     def one_sample(x0_k, U_k):
-        def step_fn(x, inp):
+        def step_fn(carry, inp):
+            x, rec = carry
             u, t = inp
-            x_next, y = dynamics.step(x, u, t.astype(jnp.float32), dt)
-            return x_next, y
+            x_next, y, rec = dynamics.step_recurrent(
+                x, rec, u, t.astype(jnp.float32), dt
+            )
+            return (x_next, rec), y
 
-        _, Y_k = jax.lax.scan(step_fn, x0_k, (U_k, ts))
+        _, Y_k = jax.lax.scan(
+            step_fn, (x0_k, dynamics.init_recurrent_state()), (U_k, ts)
+        )
         return Y_k
 
     x0_b = jnp.broadcast_to(x0, (K,) + x0.shape) if x0.ndim == 1 else x0
