@@ -1,0 +1,230 @@
+"""ctypes bindings for the native runtime data plane (native/mppi_runtime.cpp).
+
+Compiled on demand with g++ (cached in native/build/); every binding has a
+pure-Python fallback (PyBuffer / PyMailbox) so the framework works without a
+toolchain — matching the reference's approach of keeping the real-time data
+plane in C++ while the compute plane lives on the accelerator.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+import bisect
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO_ROOT, "native", "mppi_runtime.cpp")
+_BUILD_DIR = os.path.join(_REPO_ROOT, "native", "build")
+_SO = os.path.join(_BUILD_DIR, "libmppi_runtime.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+
+
+def _compile():
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    cmd = ["g++", "-O2", "-std=c++17", "-fPIC", "-shared", "-pthread",
+           _SRC, "-o", _SO]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def load_library():
+    """Load (compiling if needed) the native library; None on failure."""
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        try:
+            if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+                _compile()
+            lib = ctypes.CDLL(_SO)
+        except Exception:
+            return None
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.rt_buffer_new.restype = ctypes.c_void_p
+        lib.rt_buffer_new.argtypes = [ctypes.c_int, ctypes.c_double]
+        lib.rt_buffer_free.argtypes = [ctypes.c_void_p]
+        lib.rt_buffer_size.restype = ctypes.c_int
+        lib.rt_buffer_size.argtypes = [ctypes.c_void_p]
+        lib.rt_buffer_add.argtypes = [ctypes.c_void_p, ctypes.c_double, f32p]
+        lib.rt_buffer_interp.restype = ctypes.c_int
+        lib.rt_buffer_interp.argtypes = [ctypes.c_void_p, ctypes.c_double, f32p]
+        lib.rt_buffer_smoothed.restype = ctypes.c_int
+        lib.rt_buffer_smoothed.argtypes = [
+            ctypes.c_void_p, ctypes.c_double, ctypes.c_double, ctypes.c_int, f32p
+        ]
+        lib.rt_mailbox_new.restype = ctypes.c_void_p
+        lib.rt_mailbox_new.argtypes = [ctypes.c_int]
+        lib.rt_mailbox_free.argtypes = [ctypes.c_void_p]
+        lib.rt_mailbox_put.argtypes = [ctypes.c_void_p, ctypes.c_double, f32p]
+        lib.rt_mailbox_get.restype = ctypes.c_long
+        lib.rt_mailbox_get.argtypes = [
+            ctypes.c_void_p, f32p, ctypes.POINTER(ctypes.c_double)
+        ]
+        lib.rt_mailbox_wait.restype = ctypes.c_long
+        lib.rt_mailbox_wait.argtypes = [ctypes.c_void_p, ctypes.c_long, ctypes.c_double]
+        _lib = lib
+        return _lib
+
+
+def _as_f32p(arr):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+class NativeBuffer:
+    """Time-ordered vector buffer (Buffer<DYN_T> analog, buffer.hpp:17-118)."""
+
+    def __init__(self, dim, time_horizon=2.0, lib=None):
+        self._lib = lib or load_library()
+        self.dim = dim
+        if self._lib is None:
+            raise RuntimeError("native library unavailable")
+        self._h = self._lib.rt_buffer_new(dim, time_horizon)
+
+    def __del__(self):
+        if getattr(self, "_h", None) and self._lib is not None:
+            self._lib.rt_buffer_free(self._h)
+            self._h = None
+
+    def __len__(self):
+        return self._lib.rt_buffer_size(self._h)
+
+    def add(self, time, vec):
+        vec = np.ascontiguousarray(vec, np.float32)
+        assert vec.shape == (self.dim,)
+        self._lib.rt_buffer_add(self._h, float(time), _as_f32p(vec))
+
+    def interp(self, time):
+        out = np.empty((self.dim,), np.float32)
+        rc = self._lib.rt_buffer_interp(self._h, float(time), _as_f32p(out))
+        if rc != 0:
+            raise ValueError("empty buffer")
+        return out
+
+    def smoothed(self, end_time, dt, steps):
+        """(steps, dim) fixed-dt resample ending at end_time
+        (getSmoothedBuffer analog)."""
+        out = np.empty((steps, self.dim), np.float32)
+        rc = self._lib.rt_buffer_smoothed(
+            self._h, float(end_time), float(dt), int(steps), _as_f32p(out)
+        )
+        if rc != 0:
+            raise ValueError("empty buffer")
+        return out
+
+
+class NativeMailbox:
+    """Latest-state mailbox with condvar wakeup (base_plant.hpp:50-67)."""
+
+    def __init__(self, dim, lib=None):
+        self._lib = lib or load_library()
+        self.dim = dim
+        if self._lib is None:
+            raise RuntimeError("native library unavailable")
+        self._h = self._lib.rt_mailbox_new(dim)
+
+    def __del__(self):
+        if getattr(self, "_h", None) and self._lib is not None:
+            self._lib.rt_mailbox_free(self._h)
+            self._h = None
+
+    def put(self, time, vec):
+        vec = np.ascontiguousarray(vec, np.float32)
+        self._lib.rt_mailbox_put(self._h, float(time), _as_f32p(vec))
+
+    def get(self):
+        out = np.empty((self.dim,), np.float32)
+        t = ctypes.c_double()
+        seq = self._lib.rt_mailbox_get(self._h, _as_f32p(out), ctypes.byref(t))
+        return seq, t.value, out
+
+    def wait(self, last_seq, timeout=0.1):
+        return self._lib.rt_mailbox_wait(self._h, int(last_seq), float(timeout))
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python fallbacks (identical semantics)
+# ---------------------------------------------------------------------------
+class PyBuffer:
+    def __init__(self, dim, time_horizon=2.0):
+        self.dim = dim
+        self.horizon = time_horizon
+        self._times = []
+        self._vals = []
+        self._mu = threading.Lock()
+
+    def __len__(self):
+        return len(self._times)
+
+    def add(self, time, vec):
+        vec = np.asarray(vec, np.float32)
+        with self._mu:
+            i = bisect.bisect_right(self._times, time)
+            self._times.insert(i, float(time))
+            self._vals.insert(i, vec)
+            cutoff = self._times[-1] - self.horizon
+            k = bisect.bisect_left(self._times, cutoff)
+            del self._times[:k]
+            del self._vals[:k]
+
+    def interp(self, time):
+        with self._mu:
+            if not self._times:
+                raise ValueError("empty buffer")
+            if time <= self._times[0]:
+                return self._vals[0].copy()
+            if time >= self._times[-1]:
+                return self._vals[-1].copy()
+            hi = bisect.bisect_right(self._times, time)
+            lo = hi - 1
+            denom = self._times[hi] - self._times[lo]
+            a = (time - self._times[lo]) / denom if denom > 1e-12 else 0.0
+            return ((1 - a) * self._vals[lo] + a * self._vals[hi]).astype(np.float32)
+
+    def smoothed(self, end_time, dt, steps):
+        return np.stack(
+            [self.interp(end_time - dt * (steps - 1 - k)) for k in range(steps)]
+        )
+
+
+class PyMailbox:
+    def __init__(self, dim):
+        self.dim = dim
+        self._mu = threading.Condition()
+        self._state = np.zeros((dim,), np.float32)
+        self._time = -1.0
+        self._seq = 0
+
+    def put(self, time, vec):
+        with self._mu:
+            self._state = np.asarray(vec, np.float32).copy()
+            self._time = float(time)
+            self._seq += 1
+            self._mu.notify_all()
+
+    def get(self):
+        with self._mu:
+            return self._seq, self._time, self._state.copy()
+
+    def wait(self, last_seq, timeout=0.1):
+        with self._mu:
+            self._mu.wait_for(lambda: self._seq > last_seq, timeout=timeout)
+            return self._seq
+
+
+def make_buffer(dim, time_horizon=2.0):
+    try:
+        return NativeBuffer(dim, time_horizon)
+    except Exception:
+        return PyBuffer(dim, time_horizon)
+
+
+def make_mailbox(dim):
+    try:
+        return NativeMailbox(dim)
+    except Exception:
+        return PyMailbox(dim)

@@ -1,0 +1,270 @@
+"""Plant runtime — soft-real-time MPC loop.
+
+Parity target: reference ``core/base_plant.hpp`` (BasePlant, 603 LoC) and
+``core/buffered_plant.hpp``. Architecture preserved:
+
+* an estimator thread calls ``update_state(state, time)`` at sensor rate:
+  the state lands in a mailbox AND, if the time falls inside the current
+  optimized trajectory, a control is published immediately by interpolating
+  the feed-forward sequence (+ feedback gains) at that wall-clock offset
+  (base_plant.hpp:288-320);
+* a solver thread runs ``run_control_loop``: wait for a fresh state ->
+  hot-swap any queued dynamics/cost/controller params (:398-426) -> NaN
+  guard (:471-474) -> LSTM warm-start from the smoothed sensor buffer
+  (:477-482) -> compute the slide stride from measured latency (:488-507)
+  -> updateImportanceSampling + slide -> solve -> NaN output check (fatal,
+  :516-535) -> publish the solution + free-energy stats -> timing stats
+  (:536-563) -> sleep out the 1/hz budget (:582-594).
+
+The mailbox/buffer data plane is native C++ (runtime/native.py); the solve
+itself is the controller's single jitted XLA program.
+"""
+
+from __future__ import annotations
+
+import threading
+import time as time_mod
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from mppi_generic_tpu.runtime.native import make_buffer, make_mailbox
+from mppi_generic_tpu.utils import math_utils
+
+
+class PlantStats:
+    """Wall-clock accounting (base_plant.hpp:102-117)."""
+
+    def __init__(self):
+        self.num_iterations = 0
+        self.avg_loop_ms = 0.0
+        self.avg_optimize_ms = 0.0
+        self.avg_feedback_ms = 0.0
+        self.avg_sleep_ms = 0.0
+
+    def update(self, field, value_ms):
+        n = self.num_iterations
+        old = getattr(self, field)
+        setattr(self, field, (old * n + value_ms) / (n + 1))
+
+
+class BasePlant:
+    """Abstract MPC runtime. Subclasses implement the I/O boundary:
+    ``pub_control``, ``pub_nominal_state``, ``pub_free_energy_statistics``,
+    ``check_status``, ``get_current_time``."""
+
+    def __init__(self, controller, controller_state, hz=10.0,
+                 optimization_stride=1, debug_mode=False):
+        self.controller = controller
+        self.controller_state = controller_state
+        self.hz = hz
+        self.optimization_stride = optimization_stride
+        self.debug_mode = debug_mode
+
+        S = controller.dynamics.STATE_DIM
+        self._mailbox = make_mailbox(S)
+        self._last_seq = 0
+        self._last_used_state_time = -1.0
+        self.last_optimization_stride = 0
+
+        self._solution_lock = threading.Lock()
+        self.latest_result = None
+        self.stats = PlantStats()
+
+        # queued parameter hot-swaps (setDynamicsParams etc.,
+        # base_plant.hpp:351-426)
+        self._param_lock = threading.Lock()
+        self._new_dynamics = None
+        self._new_cost = None
+        self._new_sampler = None
+
+    # --- I/O boundary (pure virtuals, base_plant.hpp:23-164) ---------------
+    def pub_control(self, u):
+        raise NotImplementedError
+
+    def pub_nominal_state(self, state):
+        pass
+
+    def pub_free_energy_statistics(self, fe_stats):
+        pass
+
+    def check_status(self) -> int:
+        return 0
+
+    def get_current_time(self) -> float:
+        return time_mod.monotonic()
+
+    # --- estimator-side API --------------------------------------------------
+    def update_state(self, state, time):
+        """Store the newest state and publish an interpolated control if the
+        time lies within the current trajectory (base_plant.hpp:288-320)."""
+        self._mailbox.put(time, np.asarray(state, np.float32))
+        with self._solution_lock:
+            result = self.latest_result
+            sol_time = self._last_used_state_time
+        if result is None or sol_time < 0:
+            return
+        rel = time - sol_time
+        horizon = float(self.controller.dt) * self.controller.num_timesteps
+        if 0 < rel < horizon:
+            u = self.get_published_control(jnp.asarray(state), result, rel)
+            self.pub_control(np.asarray(u))
+            if self.debug_mode:
+                T = result.state_trajectory.shape[0]
+                idx = min(int(rel / float(self.controller.dt)), T - 1)
+                self.pub_nominal_state(np.asarray(result.state_trajectory[idx]))
+
+    def get_published_control(self, state, result, rel_time):
+        """Feed-forward interpolation; controllers with feedback add
+        K(t)(x - x_nom) (getCurrentControl, controller.cuh:329-345)."""
+        ctrl = self.controller
+        u = ctrl.get_current_control(result, rel_time)
+        fb = getattr(ctrl, "feedback", None)
+        fb_state = getattr(self.controller_state, "feedback_state", None)
+        if fb is not None and fb_state is not None:
+            nominal = getattr(result, "nominal", result)
+            goal_traj = nominal.state_trajectory[:-1]
+            u = u + fb.interpolate_feedback(
+                state, fb_state, rel_time, float(ctrl.dt), goal_traj
+            )
+            u = ctrl._clamp_controls(u)
+        return u
+
+    # --- parameter hot-swap ----------------------------------------------------
+    def set_dynamics_params(self, dynamics):
+        with self._param_lock:
+            self._new_dynamics = dynamics
+
+    def set_cost_params(self, cost):
+        with self._param_lock:
+            self._new_cost = cost
+
+    def set_sampler_params(self, sampler):
+        with self._param_lock:
+            self._new_sampler = sampler
+
+    def _update_parameters(self):
+        with self._param_lock:
+            c = self.controller
+            if self._new_dynamics is not None:
+                c = c.replace(dynamics=self._new_dynamics)
+                self._new_dynamics = None
+            if self._new_cost is not None:
+                c = c.replace(cost=self._new_cost)
+                self._new_cost = None
+            if self._new_sampler is not None:
+                c = c.replace(sampler=self._new_sampler)
+                self._new_sampler = None
+            self.controller = c
+
+    # --- solver-side loop -------------------------------------------------------
+    def _buffer_hook(self, state_time):
+        """Overridden by BufferedPlant for LSTM warm-starting."""
+        pass
+
+    def run_control_iteration(self, timeout=1.0) -> bool:
+        """One optimization cycle (runControlIteration, base_plant.hpp:436-563).
+        Returns False if no fresh state arrived within the timeout."""
+        loop_start = time_mod.monotonic()
+        seq = self._mailbox.wait(self._last_seq, timeout)
+        if seq == self._last_seq:
+            return False
+        self._last_seq, state_time, state = (
+            seq,
+            *self._mailbox.get()[1:],
+        )
+
+        self._update_parameters()
+
+        if not np.all(np.isfinite(state)):
+            return False  # NaN state skips the iteration (:471-474)
+
+        self._buffer_hook(state_time)
+        self.check_status()
+
+        # stride from measured latency (:488-507)
+        if self._last_used_state_time < 0:
+            stride = 0
+        else:
+            dt_wall = state_time - self._last_used_state_time
+            stride = max(
+                int(round(dt_wall / float(self.controller.dt))),
+                self.optimization_stride,
+            )
+        self.last_optimization_stride = stride
+
+        ctrl = self.controller
+        cs = self.controller_state
+        if 0 < stride < ctrl.num_timesteps:
+            if hasattr(ctrl, "update_importance_sampling"):
+                cs, _ = ctrl.update_importance_sampling(
+                    jnp.asarray(state), cs, stride
+                )
+            cs = ctrl.slide_control_sequence(cs, stride)
+
+        t_opt = time_mod.monotonic()
+        result, cs = ctrl.solve(jnp.asarray(state), cs, stride)
+        main = getattr(result, "real", result)
+        control_mean = np.asarray(main.control_mean)
+        opt_ms = (time_mod.monotonic() - t_opt) * 1e3
+
+        # NaN in the solution is fatal (:516-535)
+        if not np.all(np.isfinite(control_mean)):
+            raise FloatingPointError("NaN in control trajectory inside plant")
+        if not np.all(np.isfinite(np.asarray(main.state_trajectory))):
+            raise FloatingPointError("NaN in state trajectory inside plant")
+
+        with self._solution_lock:
+            self.latest_result = result
+            self.controller_state = cs
+            self._last_used_state_time = state_time
+        self.pub_free_energy_statistics(main.free_energy)
+
+        self.stats.update("avg_optimize_ms", opt_ms)
+        self.stats.update(
+            "avg_loop_ms", (time_mod.monotonic() - loop_start) * 1e3
+        )
+        self.stats.num_iterations += 1
+        return True
+
+    def run_control_loop(self, is_alive, max_iterations=None):
+        """Threaded solver loop (runControlLoop, base_plant.hpp:566-601)."""
+        period = 1.0 / self.hz
+        while is_alive():
+            t0 = time_mod.monotonic()
+            ran = self.run_control_iteration(timeout=period)
+            if max_iterations is not None and self.stats.num_iterations >= max_iterations:
+                return
+            if ran:
+                sleep_left = period - (time_mod.monotonic() - t0)
+                if sleep_left > 0:
+                    self.stats.update("avg_sleep_ms", sleep_left * 1e3)
+                    time_mod.sleep(sleep_left)
+
+
+class BufferedPlant(BasePlant):
+    """Adds the time-synchronized sensor buffer for LSTM warm-starting
+    (core/buffered_plant.hpp:11-84 + buffer.hpp)."""
+
+    def __init__(self, *args, buffer_dim=None, buffer_tau=2.0, buffer_dt=0.02,
+                 buffer_steps=10, **kw):
+        super().__init__(*args, **kw)
+        dim = buffer_dim or self.controller.dynamics.STATE_DIM
+        self.buffer = make_buffer(dim, buffer_tau)
+        self.buffer_dt = buffer_dt
+        self.buffer_steps = buffer_steps
+
+    def add_buffer_entry(self, time, vec):
+        self.buffer.add(time, np.asarray(vec, np.float32))
+
+    def get_smoothed_buffer(self, end_time):
+        return self.buffer.smoothed(end_time, self.buffer_dt, self.buffer_steps)
+
+    def _buffer_hook(self, state_time):
+        dyn = self.controller.dynamics
+        if dyn.requires_buffer and len(self.buffer) > 0:
+            buf = jnp.asarray(self.get_smoothed_buffer(state_time))
+            self.controller = self.controller.replace(
+                dynamics=dyn.update_from_buffer(buf)
+            )

@@ -1,0 +1,233 @@
+"""Plant runtime tests — analog of tests/mppi_core/base_plant_tester.cu
+(mock-based state handoff / stride / loop tests, SURVEY §4.3) plus the
+native buffer/mailbox data plane."""
+
+import threading
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mppi_generic_tpu.controllers import VanillaMPPI
+from mppi_generic_tpu.costs import DoubleIntegratorCircleCost
+from mppi_generic_tpu.models import DoubleIntegratorDynamics
+from mppi_generic_tpu.sampling import GaussianDistribution
+from mppi_generic_tpu.runtime import BasePlant, BufferedPlant
+from mppi_generic_tpu.runtime.native import (
+    PyBuffer,
+    PyMailbox,
+    load_library,
+    make_buffer,
+    make_mailbox,
+)
+
+
+# --------------------------- data plane ------------------------------------
+def buffer_impls():
+    impls = [PyBuffer]
+    if load_library() is not None:
+        from mppi_generic_tpu.runtime.native import NativeBuffer
+
+        impls.append(NativeBuffer)
+    return impls
+
+
+def test_native_library_compiles():
+    assert load_library() is not None, "native runtime failed to build"
+
+
+@pytest.mark.parametrize("impl_idx", [0, 1])
+def test_buffer_insertion_sorted_interp(impl_idx):
+    impls = buffer_impls()
+    if impl_idx >= len(impls):
+        pytest.skip("native unavailable")
+    buf = impls[impl_idx](2, 10.0)
+    # insert out of order (buffer.hpp insertionSort)
+    buf.add(2.0, [2.0, 20.0])
+    buf.add(0.0, [0.0, 0.0])
+    buf.add(1.0, [1.0, 10.0])
+    np.testing.assert_allclose(buf.interp(0.5), [0.5, 5.0], atol=1e-6)
+    np.testing.assert_allclose(buf.interp(1.5), [1.5, 15.0], atol=1e-6)
+    # clamped outside
+    np.testing.assert_allclose(buf.interp(-1.0), [0.0, 0.0], atol=1e-6)
+    np.testing.assert_allclose(buf.interp(9.0), [2.0, 20.0], atol=1e-6)
+
+
+@pytest.mark.parametrize("impl_idx", [0, 1])
+def test_buffer_smoothed_resampling(impl_idx):
+    impls = buffer_impls()
+    if impl_idx >= len(impls):
+        pytest.skip("native unavailable")
+    buf = impls[impl_idx](1, 10.0)
+    for t in np.linspace(0, 1, 11):
+        buf.add(float(t), [float(t) * 3.0])
+    out = buf.smoothed(1.0, 0.1, 5)  # samples at t=0.6..1.0
+    np.testing.assert_allclose(out[:, 0], np.array([0.6, 0.7, 0.8, 0.9, 1.0]) * 3, atol=1e-5)
+
+
+@pytest.mark.parametrize("impl_idx", [0, 1])
+def test_buffer_horizon_cleanup(impl_idx):
+    impls = buffer_impls()
+    if impl_idx >= len(impls):
+        pytest.skip("native unavailable")
+    buf = impls[impl_idx](1, 1.0)
+    for t in range(5):
+        buf.add(float(t), [float(t)])
+    assert len(buf) <= 3  # only ~1s of history behind t=4 kept
+
+
+def test_mailbox_put_get_wait():
+    mb = make_mailbox(3)
+    seq0, t0, _ = mb.get()
+    assert t0 < 0
+    mb.put(1.5, [1.0, 2.0, 3.0])
+    seq, t, s = mb.get()
+    assert seq > seq0 and t == 1.5
+    np.testing.assert_allclose(s, [1, 2, 3])
+
+    # waiting thread wakes on put
+    result = {}
+
+    def waiter():
+        result["seq"] = mb.wait(seq, timeout=2.0)
+
+    th = threading.Thread(target=waiter)
+    th.start()
+    time.sleep(0.05)
+    mb.put(2.0, [4.0, 5.0, 6.0])
+    th.join()
+    assert result["seq"] == seq + 1
+
+    # timeout path
+    assert mb.wait(result["seq"], timeout=0.05) == result["seq"]
+
+
+# --------------------------- plant -----------------------------------------
+class RecordingPlant(BasePlant):
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.published = []
+        self.fe_stats = []
+
+    def pub_control(self, u):
+        self.published.append(np.asarray(u))
+
+    def pub_free_energy_statistics(self, fe):
+        self.fe_stats.append(fe)
+
+
+def make_plant(plant_cls=RecordingPlant, **kw):
+    ctrl = VanillaMPPI(
+        dynamics=DoubleIntegratorDynamics.create(),
+        cost=DoubleIntegratorCircleCost(),
+        sampler=GaussianDistribution.create(
+            std_dev=[1.0, 1.0], control_cost_coeff=[0.01, 0.01]
+        ),
+        dt=jnp.float32(0.02),
+        lam=jnp.float32(1.0),
+        alpha=jnp.float32(0.0),
+        num_timesteps=32,
+        num_rollouts=128,
+    )
+    cs = ctrl.init_state(jax.random.PRNGKey(0))
+    return plant_cls(ctrl, cs, **kw)
+
+
+def test_iteration_requires_fresh_state():
+    plant = make_plant()
+    assert not plant.run_control_iteration(timeout=0.05)
+    plant.update_state(np.array([2.0, 0, 0, 1], np.float32), 0.0)
+    assert plant.run_control_iteration(timeout=0.5)
+    assert plant.stats.num_iterations == 1
+    assert len(plant.fe_stats) == 1
+
+
+def test_nan_state_skipped():
+    plant = make_plant()
+    plant.update_state(np.array([np.nan, 0, 0, 1], np.float32), 0.0)
+    assert not plant.run_control_iteration(timeout=0.2)
+    assert plant.latest_result is None
+
+
+def test_stride_computed_from_latency():
+    plant = make_plant(optimization_stride=1)
+    plant.update_state(np.array([2.0, 0, 0, 1], np.float32), 0.0)
+    plant.run_control_iteration()
+    assert plant.last_optimization_stride == 0  # first iteration
+    # 0.1s later at dt=0.02 -> stride 5 (base_plant.hpp:488-507)
+    plant.update_state(np.array([2.0, 0, 0.1, 1], np.float32), 0.1)
+    plant.run_control_iteration()
+    assert plant.last_optimization_stride == 5
+
+
+def test_estimator_rate_publication():
+    """After a solve, update_state at a time inside the horizon publishes an
+    interpolated control immediately (base_plant.hpp:288-320)."""
+    plant = make_plant()
+    plant.update_state(np.array([2.0, 0, 0, 1], np.float32), 1.0)
+    plant.run_control_iteration()
+    assert len(plant.published) == 0
+    plant.update_state(np.array([2.0, 0, 0, 1], np.float32), 1.01)
+    assert len(plant.published) == 1
+    u = plant.published[0]
+    res = plant.latest_result
+    expected = np.asarray(plant.controller.get_current_control(res, 0.01))
+    np.testing.assert_allclose(u, expected, atol=1e-5)
+    # outside the horizon: no publication
+    plant.update_state(np.array([2.0, 0, 0, 1], np.float32), 100.0)
+    assert len(plant.published) == 1
+
+
+def test_param_hot_swap_applied_next_iteration():
+    plant = make_plant()
+    new_cost = DoubleIntegratorCircleCost(crash_cost=jnp.float32(123.0))
+    plant.set_cost_params(new_cost)
+    plant.update_state(np.array([2.0, 0, 0, 1], np.float32), 0.0)
+    plant.run_control_iteration()
+    assert float(plant.controller.cost.crash_cost) == 123.0
+
+
+def test_threaded_control_loop():
+    """Full loop: estimator thread feeding states while the solver loop
+    runs (runControlLoopRegular analog)."""
+    plant = make_plant(hz=50.0)
+    alive = {"v": True}
+    x = np.array([2.0, 0.0, 0.0, 1.0], np.float32)
+
+    def estimator():
+        t = 0.0
+        for _ in range(40):
+            plant.update_state(x, t)
+            time.sleep(0.01)
+            t += 0.01
+
+    est = threading.Thread(target=estimator)
+    solver = threading.Thread(
+        target=lambda: plant.run_control_loop(lambda: alive["v"], max_iterations=10)
+    )
+    est.start()
+    solver.start()
+    solver.join(timeout=30)
+    alive["v"] = False
+    est.join()
+    assert plant.stats.num_iterations >= 10
+    assert plant.stats.avg_optimize_ms > 0
+    assert len(plant.published) > 0
+
+
+def test_buffered_plant_warm_start_hook():
+    class BufferedRecording(BufferedPlant, RecordingPlant):
+        pass
+
+    plant = make_plant(plant_cls=BufferedRecording, buffer_dim=4,
+                       buffer_steps=4, buffer_dt=0.05)
+    for t in np.linspace(0, 1, 8):
+        plant.add_buffer_entry(float(t), [t, 2 * t, 0, 0])
+    sm = plant.get_smoothed_buffer(1.0)
+    assert sm.shape == (4, 4)
+    np.testing.assert_allclose(sm[-1, 0], 1.0, atol=1e-5)
+    # plain dynamics: hook is a no-op but must not crash
+    plant.update_state(np.array([2.0, 0, 0, 1], np.float32), 1.0)
+    assert plant.run_control_iteration()
