@@ -77,18 +77,30 @@ def time_fn(f, args, n_warmup=2, n_timed=7):
     return np.array(ts)
 
 
+def _rng_key():
+    """On TPU the hardware-friendly RBG generator is ~3x faster than the
+    default Threefry for the (K*T*C)-normals-per-solve sampling load; both
+    are counter-based with the same distribution semantics."""
+    if jax.default_backend() == "tpu":
+        return jax.random.key(0, impl="rbg")
+    return jax.random.PRNGKey(0)
+
+
 def main():
-    K, T, S = 8192, 100, 100
+    K, T, S = 8192, 100, 500
     x0 = jnp.array([2.0, 0.0, 0.0, 1.0])
 
-    # auto-tune combined vs split (the chooseAppropriateKernel analog,
-    # mppi_controller.cu:45-143)
+    # auto-tune over all three rollout paths (the chooseAppropriateKernel
+    # analog, mppi_controller.cu:45-143)
     best = None
-    for kernel in ("combined", "split"):
+    for kernel in ("combined", "split", "pallas"):
         ctrl = build_controller(K=K, T=T, kernel=kernel)
-        cs = ctrl.init_state(jax.random.PRNGKey(0))
+        cs = ctrl.init_state(_rng_key())
         f = closed_loop_fn(ctrl, S)
-        ts = time_fn(f, (x0, cs))
+        try:
+            ts = time_fn(f, (x0, cs))
+        except Exception:
+            continue  # kernel variant unavailable on this backend
         med = float(np.median(ts))
         if best is None or med < best[1]:
             best = (kernel, med, ctrl, cs)

@@ -34,6 +34,7 @@ from mppi_generic_tpu.controllers.base import (
     ControllerState,
     SolveResult,
 )
+from mppi_generic_tpu.ops import pallas_rollout
 from mppi_generic_tpu.ops import rollout as rollout_ops
 from mppi_generic_tpu.ops import weights as weight_ops
 from mppi_generic_tpu.ops.weights import FreeEnergyStats
@@ -71,6 +72,17 @@ class VanillaMPPI(ControllerBase):
                 self.cost, Y, U, sequential_crash=self.sequential_crash
             )
             costs = state_costs + lr / T
+        elif self.kernel == "pallas":
+            if self.sample_sharding is not None:
+                raise pallas_rollout.PallasIncompatible(
+                    "kernel='pallas' is single-chip; use the XLA kernels "
+                    "with sample_sharding (multi-chip)"
+                )
+            state_costs, crash = pallas_rollout.fused_rollout_costs(
+                self.dynamics, self.cost, x0, U, self.dt
+            )
+            costs = state_costs + lr / T
+            Y = None  # never materialized — the fused kernel's HBM win
         else:
             costs, Y, crash = rollout_ops.rollout_combined(
                 self.dynamics, self.cost, x0, U, self.dt

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from mppi_generic_tpu.costs.base import Cost
+from mppi_generic_tpu.utils import math_utils
 from mppi_generic_tpu.maps.texture import MapTexture2D
 
 MAX_COST_VALUE = 1e16
@@ -99,7 +100,7 @@ class ARStandardCost(Cost):
         stab, crash = self._stabilizing_cost(y, crash)
         t_f = jnp.asarray(t, jnp.float32)
         crash_cost = jnp.where(
-            crash > 0, jnp.power(self.discount, t_f) * self.crash_coeff, 0.0
+            crash > 0, math_utils.discount_pow(self.discount, t_f) * self.crash_coeff, 0.0
         )
         cost = speed + crash_cost + track + stab
         cost = jnp.where(

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from mppi_generic_tpu.costs.base import Cost
+from mppi_generic_tpu.utils import math_utils
 
 
 class DoubleIntegratorCircleCost(Cost):
@@ -44,7 +45,7 @@ class DoubleIntegratorCircleCost(Cost):
         )
         t_f = jnp.asarray(t, jnp.float32)
         cost = jnp.where(
-            out_of_track, jnp.power(self.discount, t_f) * self.crash_cost, 0.0
+            out_of_track, math_utils.discount_pow(self.discount, t_f) * self.crash_cost, 0.0
         )
         cost = cost + self.velocity_cost * jnp.abs(speed - self.velocity_desired)
         cost = cost + self.velocity_cost * jnp.abs(
@@ -92,7 +93,7 @@ class DoubleIntegratorRobustCost(Cost):
         # saturating barrier
         out = jnp.abs(d) > 1.0
         t_f = jnp.asarray(t, jnp.float32)
-        cost = jnp.where(out, jnp.power(self.discount, t_f) * self.crash_cost, cost)
+        cost = jnp.where(out, math_utils.discount_pow(self.discount, t_f) * self.crash_cost, cost)
         cost = cost + self.velocity_cost * jnp.abs(speed - self.velocity_desired)
         cost = cost + self.velocity_cost * jnp.abs(
             ang_mom - self.angular_momentum_desired

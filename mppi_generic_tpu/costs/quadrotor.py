@@ -93,7 +93,7 @@ class QuadrotorMapCost(QuadrotorQuadraticCost):
         t_f = jnp.asarray(t, jnp.float32)
         cost = base + self.map_coeff * map_val
         cost = cost + jnp.where(
-            crash > 0, jnp.power(self.discount, t_f) * self.crash_coeff, 0.0
+            crash > 0, mu.discount_pow(self.discount, t_f) * self.crash_coeff, 0.0
         )
         cost = jnp.where(jnp.isnan(cost) | (cost > MAX_COST_VALUE), MAX_COST_VALUE, cost)
         return cost, crash

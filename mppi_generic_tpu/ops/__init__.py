@@ -1,3 +1,8 @@
+from mppi_generic_tpu.ops.autotune import choose_appropriate_kernel
+from mppi_generic_tpu.ops.pallas_rollout import (
+    PallasIncompatible,
+    fused_rollout_costs,
+)
 from mppi_generic_tpu.ops.rollout import (
     rollout_combined,
     rollout_outputs,
@@ -10,6 +15,9 @@ from mppi_generic_tpu.ops.weights import (
 )
 
 __all__ = [
+    "PallasIncompatible",
+    "choose_appropriate_kernel",
+    "fused_rollout_costs",
     "rollout_combined",
     "rollout_outputs",
     "trajectory_state_costs",

@@ -1,0 +1,85 @@
+"""Empirical kernel auto-tuning — the analog of the reference's
+``chooseAppropriateKernel`` (controllers/MPPI/mppi_controller.cu:45-143),
+which times the single-kernel vs split-kernel variants for 10 launches at
+construction and picks the faster.
+
+Here the candidates are the three rollout paths ("combined" XLA scan,
+"split" scan + time-parallel cost, "pallas" fused kernel); results are
+cached per (dynamics type, cost type, K, T, backend) so a plant that
+rebuilds controllers does not re-tune.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+
+from mppi_generic_tpu.ops.pallas_rollout import PallasIncompatible
+
+_CACHE: dict = {}
+DEFAULT_CANDIDATES = ("combined", "split", "pallas")
+
+
+def _config_key(controller):
+    return (
+        type(controller.dynamics).__name__,
+        type(controller.cost).__name__,
+        int(controller.num_rollouts),
+        int(controller.num_timesteps),
+        controller.sample_sharding is not None,
+        jax.default_backend(),
+    )
+
+
+def time_solve(controller, x0, ctrl_state, num_evaluations=10):
+    """Median wall-clock of ``num_evaluations`` dispatched solves (after one
+    warm-up/compile call). Returns seconds."""
+    solve = jax.jit(lambda x, s: controller.solve(x, s))
+    result, state = solve(x0, ctrl_state)
+    jax.block_until_ready(result.control_mean)
+    times = []
+    for _ in range(num_evaluations):
+        t0 = time.perf_counter()
+        result, state = solve(x0, ctrl_state)
+        jax.block_until_ready(result.control_mean)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
+
+
+def choose_appropriate_kernel(
+    controller,
+    x0,
+    ctrl_state=None,
+    candidates=DEFAULT_CANDIDATES,
+    num_evaluations=10,
+):
+    """Return ``controller.replace(kernel=<fastest>)``.
+
+    Any candidate that fails to build (e.g. "pallas" with a recurrent or
+    oversized model, mirroring the reference's shared-memory fallback) is
+    skipped. Timings are cached per configuration.
+    """
+    key = _config_key(controller)
+    if key in _CACHE:
+        return controller.replace(kernel=_CACHE[key])
+
+    if ctrl_state is None:
+        ctrl_state = controller.init_state(jax.random.PRNGKey(0))
+
+    best, best_t = None, None
+    for name in candidates:
+        if name == "pallas" and controller.sample_sharding is not None:
+            continue
+        cand = controller.replace(kernel=name)
+        try:
+            t = time_solve(cand, x0, ctrl_state, num_evaluations)
+        except PallasIncompatible:
+            continue
+        if best_t is None or t < best_t:
+            best, best_t = name, t
+    if best is None:  # every candidate failed — keep what we had
+        return controller
+    _CACHE[key] = best
+    return controller.replace(kernel=best)

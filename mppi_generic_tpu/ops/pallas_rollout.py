@@ -1,0 +1,225 @@
+"""Pallas fused rollout kernel — the TPU-native analog of the reference's
+combined ``rolloutKernel`` (core/mppi_common.cu:28-146).
+
+Where the CUDA kernel gives each sample a thread-block-x lane and keeps the
+state in registers/shared memory for the whole horizon, this kernel gives
+each *grid step* a tile of ``tile_k`` samples laid out lane-major
+(structure-of-arrays): every state component is a ``(tile_k/128, 128)``
+VPU-shaped block, the control tile lives in VMEM for the whole horizon, and
+the T-step loop runs entirely on-chip. Nothing but the control samples is
+read from HBM and nothing but the per-sample cost (and crash status) is
+written back — in particular the (K, T, O) output trajectory is never
+materialized (the XLA combined path relies on dead-code elimination for
+this; here it is structural).
+
+Genericity: like the reference kernel — which is templated over
+Dynamics/Cost and calls them through device pointers — this kernel is
+specialized per (dynamics, cost) pair by tracing their pure ``step`` /
+``running_cost`` methods inside the kernel body. Their parameter pytrees are
+flattened and passed as kernel operands (scalars via SMEM, arrays via VMEM),
+the in-kernel objects are rebuilt with ``tree_unflatten``. Models whose
+parameters are too large for VMEM or that carry recurrent state fall back to
+the XLA paths, mirroring the reference's shared-memory-overflow fallback
+(controllers/MPPI/mppi_controller.cu:58-87).
+
+Batching convention: dynamics/cost methods index only axis 0 of state /
+control / output vectors (see models/base.py), so they trace correctly with
+components of shape (tile_k/128, 128).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mppi_generic_tpu.costs.base import Cost
+from mppi_generic_tpu.models.base import Dynamics
+
+LANES = 128
+# Per-leaf VMEM budget for model/cost parameters (bytes). Anything larger
+# (huge map textures) falls back to the XLA rollout.
+_MAX_PARAM_BYTES = 2 * 1024 * 1024
+# VMEM budget for the (T, C, tile_k) control tile.
+_MAX_U_TILE_BYTES = 4 * 1024 * 1024
+
+
+class PallasIncompatible(Exception):
+    """The (dynamics, cost) pair cannot run in the fused Pallas kernel."""
+
+
+def _check_compatible(dynamics: Dynamics, leaves):
+    if dynamics.init_recurrent_state() is not None:
+        raise PallasIncompatible("recurrent dynamics state is not supported")
+    for leaf in leaves:
+        arr = jnp.asarray(leaf)
+        if arr.size * arr.dtype.itemsize > _MAX_PARAM_BYTES:
+            raise PallasIncompatible(
+                f"parameter leaf of {arr.size * arr.dtype.itemsize} bytes "
+                "exceeds the VMEM budget"
+            )
+        if arr.ndim > 3:
+            raise PallasIncompatible(f"parameter leaf of rank {arr.ndim} > 3")
+
+
+def default_tile_k(K: int, T: int, C: int) -> int:
+    """Largest power-of-two sample tile that fits the VMEM control-tile
+    budget (auto-tuning can override)."""
+    tile = LANES
+    while (
+        tile * 2 <= 2048
+        and T * C * tile * 2 * 4 <= _MAX_U_TILE_BYTES
+        and tile * 2 <= _round_up(K, LANES)
+    ):
+        tile *= 2
+    return tile
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def _leaf_spec(arr):
+    """(kernel_shape, blockspec) for a parameter leaf."""
+    if arr.ndim == 0:
+        return (1, 1), pl.BlockSpec(memory_space=pltpu.SMEM)
+    if arr.ndim == 1:
+        return (1, arr.shape[0]), pl.BlockSpec(memory_space=pltpu.VMEM)
+    return arr.shape, pl.BlockSpec(memory_space=pltpu.VMEM)
+
+
+def _read_leaf(ref, orig_ndim):
+    if orig_ndim == 0:
+        return ref[0, 0]
+    if orig_ndim == 1:
+        return ref[0]
+    return ref[...]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dynamics_static", "cost_static", "T", "C", "S",
+                     "tile_k", "interpret", "treedef"),
+)
+def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_tck,
+                dt, T, C, S, tile_k, interpret):
+    del dynamics_static, cost_static  # only part of the jit cache key
+    K_pad = U_tck.shape[-1]
+    rows = tile_k // LANES
+    grid = K_pad // tile_k
+    leaf_ndims = tuple(l.ndim for l in leaves)
+
+    def kernel(*refs):
+        leaf_refs = refs[: len(leaves)]
+        x0_ref, u_ref, dt_ref = refs[len(leaves): len(leaves) + 3]
+        costs_ref, crash_ref = refs[len(leaves) + 3:]
+
+        vals = [_read_leaf(r, nd) for r, nd in zip(leaf_refs, leaf_ndims)]
+        dynamics, cost = jax.tree_util.tree_unflatten(treedef, vals)
+        dt_k = dt_ref[0, 0]
+
+        x = jnp.broadcast_to(x0_ref[...].reshape(S, 1, 1), (S, rows, LANES))
+        crash0 = jnp.zeros((rows, LANES), jnp.int32)
+        acc0 = jnp.zeros((rows, LANES), jnp.float32)
+        y0 = jnp.broadcast_to(
+            x0_ref[...].reshape(S, 1, 1)[: dynamics.OUTPUT_DIM],
+            (dynamics.OUTPUT_DIM, rows, LANES),
+        )
+
+        def body(t, carry):
+            x, crash, acc, _ = carry
+            u = u_ref[pl.ds(t, 1)].reshape(C, rows, LANES)
+            x_next, y = dynamics.step(x, u, t.astype(jnp.float32), dt_k)
+            c, crash = cost.running_cost(y, u, t, crash)
+            return (x_next, crash, acc + c, y)
+
+        _, crash, acc, y_last = jax.lax.fori_loop(
+            0, T, body, (x, crash0, acc0, y0)
+        )
+        costs_ref[...] = ((acc + cost.terminal_cost(y_last)) / T)[None]
+        crash_ref[...] = crash[None]
+
+    leaf_shapes, leaf_specs = [], []
+    for l in leaves:
+        shp, spec = _leaf_spec(l)
+        leaf_shapes.append(l.reshape(shp))
+        leaf_specs.append(spec)
+
+    in_specs = leaf_specs + [
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # x0 (S, 1)
+        pl.BlockSpec((T, C, tile_k), lambda i: (0, 0, i),
+                     memory_space=pltpu.VMEM),  # U tile
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # dt (1, 1)
+    ]
+    out_specs = (
+        pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((grid, rows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((grid, rows, LANES), jnp.int32),
+    )
+    costs2d, crash2d = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=40 * K_pad * T * (S + C),
+            bytes_accessed=U_tck.size * 4 + K_pad * 8,
+            transcendentals=2 * K_pad * T,
+        ),
+    )(*leaf_shapes, x0.reshape(S, 1), U_tck,
+      jnp.asarray(dt, jnp.float32).reshape(1, 1))
+    return costs2d.reshape(-1), crash2d.reshape(-1)
+
+
+def fused_rollout_costs(
+    dynamics: Dynamics,
+    cost: Cost,
+    x0: jnp.ndarray,
+    U: jnp.ndarray,
+    dt,
+    tile_k: int | None = None,
+    interpret: bool | None = None,
+):
+    """Fused Pallas rollout: returns (costs (K,), crash (K,)).
+
+    ``costs`` = (sum_t running + terminal) / T, matching
+    ``trajectory_state_costs`` — the sampler likelihood-ratio term is added
+    by the caller. ``U`` is the (K, T, C) pre-clamped control-sample tensor;
+    ``x0`` a single (S,) initial state. Raises :class:`PallasIncompatible`
+    for models the kernel cannot host (recurrent state, oversized params).
+    """
+    K, T, C = U.shape
+    S = dynamics.STATE_DIM
+    leaves, treedef = jax.tree_util.tree_flatten((dynamics, cost))
+    leaves = [jnp.asarray(l) for l in leaves]
+    _check_compatible(dynamics, leaves)
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if tile_k is None:
+        tile_k = default_tile_k(K, T, C)
+    if tile_k % LANES:
+        raise ValueError(f"tile_k must be a multiple of {LANES}")
+
+    K_pad = _round_up(K, tile_k)
+    # time-major lane-major layout; XLA fuses the transpose into the
+    # producer of U (the sampler's noise write).
+    U_tck = jnp.transpose(U, (1, 2, 0))
+    if K_pad != K:
+        U_tck = jnp.pad(U_tck, ((0, 0), (0, 0), (0, K_pad - K)))
+
+    costs, crash = _fused_call(
+        leaves, treedef, type(dynamics).__name__, type(cost).__name__,
+        x0, U_tck, dt, T, C, S, tile_k, interpret,
+    )
+    return costs[:K], crash[:K]

@@ -34,6 +34,16 @@ def sign(x):
     return jnp.where(x < 0, -1.0, 1.0)
 
 
+def discount_pow(base, t):
+    """``base ** t`` for a positive discount factor, as exp(t*log(base)).
+
+    Identical numerics for base > 0 but lowers to exp/log everywhere —
+    scalar ``powf`` is not lowerable inside Pallas TPU kernels, and cost
+    functions must trace both under XLA and inside the fused rollout kernel.
+    """
+    return jnp.exp(jnp.asarray(t, jnp.float32) * jnp.log(base))
+
+
 # ---------------------------------------------------------------------------
 # Quaternions: stored [w, x, y, z] like the reference (Eigen::Quaternionf).
 # ---------------------------------------------------------------------------

@@ -1,0 +1,115 @@
+"""Pallas fused rollout kernel parity + auto-tuner tests.
+
+Mirrors the reference's kernel-parity strategy (GPU kernel vs CPU oracle
+across a sweep of block dims, tests/mppi_core/rollout_kernel_tests.cu):
+here the oracle is the XLA combined scan and the sweep is over sample tile
+sizes. On the CPU test backend the kernel runs in Pallas interpret mode;
+the compiled path is exercised on real TPU by bench.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mppi_generic_tpu.controllers import VanillaMPPI
+from mppi_generic_tpu.costs import CartpoleQuadraticCost, DoubleIntegratorCircleCost
+from mppi_generic_tpu.models import CartpoleDynamics, DoubleIntegratorDynamics
+from mppi_generic_tpu.ops import (
+    PallasIncompatible,
+    choose_appropriate_kernel,
+    fused_rollout_costs,
+    rollout_combined,
+)
+from mppi_generic_tpu.sampling import GaussianDistribution
+
+
+def _cases():
+    return [
+        (
+            DoubleIntegratorDynamics.create(),
+            DoubleIntegratorCircleCost(),
+            jnp.array([2.0, 0.0, 0.0, 1.0]),
+        ),
+        (
+            CartpoleDynamics.create(),
+            CartpoleQuadraticCost(),
+            jnp.array([0.1, 0.0, 0.2, 0.0]),
+        ),
+    ]
+
+
+@pytest.mark.parametrize("tile_k", [128, 256, 512])
+@pytest.mark.parametrize("K", [256, 300, 1024])
+def test_fused_rollout_matches_xla_combined(tile_k, K):
+    """Tile-size sweep (the reference's block-dim sweep) incl. ragged K
+    needing padding."""
+    for dyn, cost, x0 in _cases():
+        T, C = 40, dyn.CONTROL_DIM
+        U = jax.random.normal(jax.random.PRNGKey(1), (K, T, C)) * 0.5
+        dt = jnp.float32(0.02)
+        c_ref, _, crash_ref = rollout_combined(dyn, cost, x0, U, dt)
+        c_p, crash_p = fused_rollout_costs(dyn, cost, x0, U, dt, tile_k=tile_k)
+        np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_ref),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(crash_p), np.asarray(crash_ref))
+
+
+def _make_controller(kernel):
+    return VanillaMPPI(
+        dynamics=DoubleIntegratorDynamics.create(),
+        cost=DoubleIntegratorCircleCost(),
+        sampler=GaussianDistribution.create(
+            std_dev=[1.0, 1.0], control_cost_coeff=[0.01, 0.01]
+        ),
+        dt=jnp.float32(0.02),
+        lam=jnp.float32(1.0),
+        alpha=jnp.float32(0.0),
+        num_timesteps=32,
+        num_rollouts=256,
+        num_iters=1,
+        kernel=kernel,
+    )
+
+
+def test_full_solve_parity_pallas_vs_combined():
+    """End-to-end solve (same RNG key) must produce identical control means
+    whichever rollout path is used."""
+    x0 = jnp.array([2.0, 0.0, 0.0, 1.0])
+    ref = _make_controller("combined")
+    pal = _make_controller("pallas")
+    cs = ref.init_state(jax.random.PRNGKey(0))
+    r_ref, _ = jax.jit(ref.solve)(x0, cs)
+    r_pal, _ = jax.jit(pal.solve)(x0, cs)
+    np.testing.assert_allclose(
+        np.asarray(r_pal.control_mean), np.asarray(r_ref.control_mean),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        float(r_pal.baseline), float(r_ref.baseline), rtol=1e-5
+    )
+
+
+def test_recurrent_dynamics_rejected():
+    """Recurrent models must fall back (the shared-mem-overflow analog)."""
+
+    class FakeRecurrent(DoubleIntegratorDynamics):
+        def init_recurrent_state(self):
+            return jnp.zeros((4,))
+
+    dyn = FakeRecurrent.create()
+    with pytest.raises(PallasIncompatible):
+        fused_rollout_costs(
+            dyn, DoubleIntegratorCircleCost(),
+            jnp.zeros(4), jnp.zeros((128, 8, 2)), 0.02,
+        )
+
+
+def test_choose_appropriate_kernel_smoke():
+    ctrl = _make_controller("combined")
+    x0 = jnp.array([2.0, 0.0, 0.0, 1.0])
+    tuned = choose_appropriate_kernel(ctrl, x0, num_evaluations=2)
+    assert tuned.kernel in ("combined", "split", "pallas")
+    # cached second call must be instant and identical
+    tuned2 = choose_appropriate_kernel(ctrl, x0, num_evaluations=2)
+    assert tuned2.kernel == tuned.kernel
