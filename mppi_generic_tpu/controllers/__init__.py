@@ -7,6 +7,11 @@ from mppi_generic_tpu.controllers.robust import (
     RobustControllerState,
     RobustSolveResult,
 )
+from mppi_generic_tpu.controllers.primitives import (
+    PrimitivesController,
+    PrimitivesControllerState,
+    PrimitivesSolveResult,
+)
 
 __all__ = [
     "ControllerBase",
@@ -20,4 +25,7 @@ __all__ = [
     "RobustMPPI",
     "RobustControllerState",
     "RobustSolveResult",
+    "PrimitivesController",
+    "PrimitivesControllerState",
+    "PrimitivesSolveResult",
 ]

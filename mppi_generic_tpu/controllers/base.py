@@ -150,6 +150,22 @@ class ControllerBase(struct.PyTreeNode):
             sampler_state=new_samp_state,
         )
 
+    def visualize(self, state, result: SolveResult, num_vis: int = 32,
+                  num_top: int = 8):
+        """Visualization pass over the solve's sampled controls (the
+        visualizeKernel analog, mppi_common.cu:364-684). Requires
+        ``return_samples=True`` so the solve kept its (K, T, C) samples;
+        jit this separately so it stays off the solve's critical path (the
+        reference's vis_stream_)."""
+        from mppi_generic_tpu.ops.visualize import visualize as vis_fn
+
+        if result.sampled_controls is None:
+            raise ValueError("visualize() needs return_samples=True")
+        return vis_fn(
+            self.dynamics, self.cost, state, result.sampled_controls,
+            result.weights, self.dt, num_vis=num_vis, num_top=num_top,
+        )
+
     def get_current_control(self, result: SolveResult, rel_time):
         """Interpolate the feed-forward control at a wall-clock offset into
         the trajectory (interpolateControls, controller.cuh:363-378)."""

@@ -61,11 +61,14 @@ class VanillaMPPI(ControllerBase):
             return weight_ops.cem_weights(costs, self.cem_elite_fraction)
         raise ValueError(f"unknown weight transform {self.weight_transform}")
 
-    def _rollout_costs(self, x0, U, mean):
+    def _rollout_costs(self, x0, U, mean, sampler=None):
         """Returns (costs (K,), Y (K,T,O), crash (K,)) including the
-        likelihood-ratio term, normalized by T."""
+        likelihood-ratio term, normalized by T. ``sampler`` overrides the
+        distribution whose likelihood term is charged (the Primitives
+        controller scores its piecewise phase with its own sampler)."""
         T = self.num_timesteps
-        lr = self.sampler.likelihood_ratio_cost(U, mean, self.lam, self.alpha)
+        sampler = self.sampler if sampler is None else sampler
+        lr = sampler.likelihood_ratio_cost(U, mean, self.lam, self.alpha)
         if self.kernel == "split":
             Y = rollout_ops.rollout_outputs(self.dynamics, x0, U, self.dt)
             state_costs, crash = rollout_ops.trajectory_state_costs(

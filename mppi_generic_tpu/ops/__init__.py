@@ -8,6 +8,12 @@ from mppi_generic_tpu.ops.rollout import (
     rollout_outputs,
     trajectory_state_costs,
 )
+from mppi_generic_tpu.ops.visualize import (
+    VisualizationResult,
+    select_visualization_samples,
+    visualize,
+    visualize_rollouts,
+)
 from mppi_generic_tpu.ops.weights import (
     FreeEnergyStats,
     compute_free_energy,
