@@ -10,6 +10,11 @@ from mppi_generic_tpu.models.racer_dubins_elevation import (
     RacerDubinsElevationLSTMSteering,
 )
 from mppi_generic_tpu.models.bicycle_slip import BicycleSlipDynamics
+from mppi_generic_tpu.models.racer_suspension import RacerSuspensionDynamics
+from mppi_generic_tpu.models.racer_dubins_unc import (
+    RacerDubinsElevationSuspension,
+    RacerDubinsElevationLSTMUncertainty,
+)
 
 __all__ = [
     "Dynamics",
@@ -22,4 +27,7 @@ __all__ = [
     "RacerDubinsElevationDynamics",
     "RacerDubinsElevationLSTMSteering",
     "BicycleSlipDynamics",
+    "RacerSuspensionDynamics",
+    "RacerDubinsElevationSuspension",
+    "RacerDubinsElevationLSTMUncertainty",
 ]
