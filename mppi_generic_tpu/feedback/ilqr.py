@@ -59,6 +59,7 @@ def ilqr_tracking(
     iterations: int = 1,
     u_min=None,
     u_max=None,
+    use_boxqp: bool = False,
 ):
     """Run iLQR tracking. Shapes: x0 (S,), u_init (T, C), goal_x (T, S),
     goal_u (T, C). Returns DDPFeedbackState with gains (T, C, S)."""
@@ -116,22 +117,31 @@ def ilqr_tracking(
 
         def bwd(carry, inp):
             Vx, Vxx = carry
-            A, B, lx, lu = inp
+            A, B, lx, lu, u_k = inp
             qx = lx * dt + A.T @ Vx
             qu = lu * dt + B.T @ Vx
             qux = B.T @ Vxx @ A
             qxx = Q * dt + A.T @ Vxx @ A
             quu = R * dt + B.T @ Vxx @ B
             quu_reg = quu + 1e-6 * jnp.eye(C)
-            Kk = -jnp.linalg.solve(quu_reg, qux)
-            kk = -jnp.linalg.solve(quu_reg, qu)
+            if use_boxqp:
+                # control-constrained QP on du (ddp.h backward pass +
+                # ddp/boxqp.h): bounds relative to the current control
+                from mppi_generic_tpu.feedback.boxqp import boxqp, boxqp_gains
+
+                kk, free = boxqp(quu_reg, qu, u_min - u_k, u_max - u_k)
+                Kk = boxqp_gains(quu_reg, qux, free)
+            else:
+                Kk = -jnp.linalg.solve(quu_reg, qux)
+                kk = -jnp.linalg.solve(quu_reg, qu)
             Vxx_new = qxx + qux.T @ Kk
             Vxx_new = 0.5 * (Vxx_new + Vxx_new.T)
             Vx_new = qx + qux.T @ kk
             return (Vx_new, Vxx_new), (Kk, kk)
 
         (_, _), (Ks, ks) = jax.lax.scan(
-            bwd, (Vx_T, Vxx_T), (As[:-1], Bs[:-1], dLx[:-1], dLu[:-1]), reverse=True
+            bwd, (Vx_T, Vxx_T),
+            (As[:-1], Bs[:-1], dLx[:-1], dLu[:-1], us[:-1]), reverse=True
         )
         # pad step T-1 with zeros (reference leaves Lk_(H-1) at zero)
         Ks = jnp.concatenate([Ks, jnp.zeros((1, C, S))], axis=0)
@@ -188,9 +198,14 @@ class DDPFeedback(struct.PyTreeNode):
     Q_f: jnp.ndarray = None
     dt: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(0.02))
     num_iterations: int = struct.field(pytree_node=False, default=1)
+    # control-constrained backward pass via the projected-Newton BoxQP
+    # (ddp/boxqp.h); off by default — identical to the plain Newton step
+    # when the control ranges are infinite.
+    use_boxqp: bool = struct.field(pytree_node=False, default=False)
 
     @classmethod
-    def create(cls, dynamics, dt, Q=None, R=None, Q_f=None, num_iterations=1):
+    def create(cls, dynamics, dt, Q=None, R=None, Q_f=None, num_iterations=1,
+               use_boxqp=False):
         S, C = dynamics.STATE_DIM, dynamics.CONTROL_DIM
         if Q is None:
             Q = jnp.eye(S)
@@ -205,6 +220,7 @@ class DDPFeedback(struct.PyTreeNode):
             Q_f=jnp.asarray(Q_f, jnp.float32),
             dt=jnp.float32(dt),
             num_iterations=num_iterations,
+            use_boxqp=use_boxqp,
         )
 
     def init_feedback_state(self, num_timesteps):
@@ -228,6 +244,7 @@ class DDPFeedback(struct.PyTreeNode):
             self.Q_f,
             self.dt,
             iterations=self.num_iterations,
+            use_boxqp=self.use_boxqp,
         )
 
     def k(self, x, x_goal, t, fb_state: DDPFeedbackState):

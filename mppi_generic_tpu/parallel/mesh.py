@@ -41,6 +41,26 @@ def sample_sharding(mesh: Mesh, ndim: int = 3) -> NamedSharding:
     return NamedSharding(mesh, spec)
 
 
+def distributed_init(coordinator_address=None, num_processes=None,
+                     process_id=None):
+    """Multi-host bring-up: initialize jax.distributed so a DCN-connected
+    pod slice presents all chips in ``jax.devices()`` and the sample mesh
+    spans hosts (SURVEY §2.12 — the reference has no distributed backend;
+    this is the TPU-native scaling path). No-op if already initialized or
+    running single-process with no coordinator configured."""
+    try:
+        if coordinator_address is None and num_processes is None:
+            jax.distributed.initialize()  # env-driven (TPU pod autodetect)
+        else:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+    except (RuntimeError, ValueError):
+        pass  # already initialized or single-process environment
+
+
 def shard_controller(controller, mesh: Mesh):
     """Return a copy of ``controller`` whose solves shard the sample axis
     over ``mesh``. Requires num_rollouts % mesh size == 0."""
