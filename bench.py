@@ -90,10 +90,10 @@ def main():
     K, T, S = 8192, 100, 500
     x0 = jnp.array([2.0, 0.0, 0.0, 1.0])
 
-    # auto-tune over all three rollout paths (the chooseAppropriateKernel
+    # auto-tune over all rollout paths (the chooseAppropriateKernel
     # analog, mppi_controller.cu:45-143)
     best = None
-    for kernel in ("combined", "split", "pallas"):
+    for kernel in ("combined", "split", "pallas", "pallas_fused"):
         ctrl = build_controller(K=K, T=T, kernel=kernel)
         cs = ctrl.init_state(_rng_key())
         f = closed_loop_fn(ctrl, S)

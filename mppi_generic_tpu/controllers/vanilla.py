@@ -94,6 +94,31 @@ class VanillaMPPI(ControllerBase):
         return costs, Y, crash
 
     def _iteration(self, x0, mean, samp_state, key, iteration, optimization_stride):
+        if self.kernel == "pallas_fused":
+            # one kernel: hardware-PRNG sampling + carve-outs + clamp +
+            # rollout + likelihood-ratio cost (the combined rolloutKernel
+            # with generateSamples folded in)
+            if self.sample_sharding is not None:
+                raise pallas_rollout.PallasIncompatible(
+                    "kernel='pallas_fused' is single-chip"
+                )
+            seed = jax.random.randint(
+                key, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+            )
+            costs, crash, U = pallas_rollout.fused_sample_rollout_costs(
+                self.dynamics, self.cost, self.sampler, x0, mean, seed,
+                self.dt, self.lam, self.alpha, self.num_rollouts,
+                iteration=iteration, optimization_stride=optimization_stride,
+            )
+            aux = None
+            baseline = weight_ops.baseline_cost(costs)
+            w = self._transform_weights(costs, baseline)
+            eta = weight_ops.normalizer(w)
+            new_mean, new_samp_state = self.sampler.update_mean(
+                U, aux, w, eta, mean, samp_state
+            )
+            return new_mean, new_samp_state, (U, costs, w, baseline, eta, crash)
+
         U, aux = self.sampler.sample(
             key,
             mean,

@@ -18,7 +18,7 @@ import jax
 from mppi_generic_tpu.ops.pallas_rollout import PallasIncompatible
 
 _CACHE: dict = {}
-DEFAULT_CANDIDATES = ("combined", "split", "pallas")
+DEFAULT_CANDIDATES = ("combined", "split", "pallas", "pallas_fused")
 
 
 def _config_key(controller):
@@ -70,12 +70,18 @@ def choose_appropriate_kernel(
 
     best, best_t = None, None
     for name in candidates:
-        if name == "pallas" and controller.sample_sharding is not None:
+        if name.startswith("pallas") and controller.sample_sharding is not None:
             continue
         cand = controller.replace(kernel=name)
         try:
             t = time_solve(cand, x0, ctrl_state, num_evaluations)
         except PallasIncompatible:
+            continue
+        except Exception:
+            # a kernel variant the model cannot lower (e.g. unsupported ops
+            # in Mosaic) — the reference's shared-mem-overflow fallback
+            if not name.startswith("pallas"):
+                raise
             continue
         if best_t is None or t < best_t:
             best, best_t = name, t

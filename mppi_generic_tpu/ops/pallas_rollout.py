@@ -223,3 +223,247 @@ def fused_rollout_costs(
         x0, U_tck, dt, T, C, S, tile_k, interpret,
     )
     return costs[:K], crash[:K]
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused sample + rollout kernel: the TPU hardware PRNG generates the
+# Gaussian control samples *inside* the rollout kernel (Box-Muller over
+# pltpu.prng_random_bits), applies the reference's carve-outs
+# (setGaussianControls, gaussian.cu:101-121), clamps, accumulates the
+# likelihood-ratio cost (gaussian.cu:481-568) alongside the running cost,
+# and writes the clamped samples out once for the weighted mean update.
+# HBM traffic: one U write + the per-sample outputs — the separate
+# noise-generation pass (the dominant cost of the unfused solve) disappears.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dynamics_static", "cost_static", "T", "C", "S", "K",
+                     "K_pad", "tile_k", "interpret", "treedef"),
+)
+def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
+                       x0, mean, sigma, coeff, constraints, seed, dt, lam,
+                       alpha, stride, pure_threshold, T, C, S, K, K_pad,
+                       tile_k, interpret):
+    del dynamics_static, cost_static
+    rows = tile_k // LANES
+    grid = K_pad // tile_k
+    leaf_ndims = tuple(l.ndim for l in leaves)
+    TWO_PI = 6.2831853071795864
+    INV_2_24 = float(2.0 ** -24)
+
+    def kernel(*refs):
+        leaf_refs = refs[: len(leaves)]
+        (x0_ref, mean_ref, sigma_ref, coeff_ref, cons_ref, seed_ref,
+         scal_ref) = refs[len(leaves): len(leaves) + 7]
+        costs_ref, crash_ref, u_out_ref = refs[len(leaves) + 7:]
+
+        vals = [_read_leaf(r, nd) for r, nd in zip(leaf_refs, leaf_ndims)]
+        dynamics, cost = jax.tree_util.tree_unflatten(treedef, vals)
+        seed_k = seed_ref[0, 0]
+        dt_k = scal_ref[0, 0]
+        lam_k = scal_ref[0, 1]
+        alpha_k = scal_ref[0, 2]
+        stride_k = scal_ref[0, 3].astype(jnp.int32)
+        pure_thresh = scal_ref[0, 4]
+
+        i = pl.program_id(0)
+        pltpu.prng_seed(seed_k + i)  # independent stream per sample tile
+
+        lane = (jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0) * LANES
+                + jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1))
+        sample_idx = i * tile_k + lane
+        pure = sample_idx.astype(jnp.float32) >= pure_thresh
+        is_zero = sample_idx == 0
+
+        x = jnp.broadcast_to(x0_ref[...].reshape(S, 1, 1), (S, rows, LANES))
+        crash0 = jnp.zeros((rows, LANES), jnp.int32)
+        acc0 = jnp.zeros((rows, LANES), jnp.float32)
+        y0 = jnp.broadcast_to(
+            x0_ref[...].reshape(S, 1, 1)[: dynamics.OUTPUT_DIM],
+            (dynamics.OUTPUT_DIM, rows, LANES),
+        )
+
+        def body(t, carry):
+            x, crash, acc, _ = carry
+            # --- on-chip N(0,1) via Box-Muller over the hardware PRNG ---
+            b1 = pltpu.bitcast(
+                pltpu.prng_random_bits((C, rows, LANES)), jnp.uint32
+            )
+            b2 = pltpu.bitcast(
+                pltpu.prng_random_bits((C, rows, LANES)), jnp.uint32
+            )
+            # uint32 -> f32 is not lowerable; >>8 fits int32, bitcast first
+            i1 = pltpu.bitcast(b1 >> 8, jnp.int32).astype(jnp.float32)
+            i2 = pltpu.bitcast(b2 >> 8, jnp.int32).astype(jnp.float32)
+            u1 = (i1 + 0.5) * INV_2_24  # (0, 1)
+            u2 = i2 * INV_2_24          # [0, 1)
+            eps = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(TWO_PI * u2)
+
+            # --- setGaussianControls carve-outs (gaussian.cu:101-121) ---
+            # mean/sigma/coeff live in SMEM; channels unroll to scalar
+            # broadcasts (lane-transposing reshapes are not lowerable)
+            pin_mean = is_zero | (t < stride_k)
+            u_cs = []
+            lr_t = jnp.zeros((rows, LANES), jnp.float32)
+            for ch in range(C):
+                m_c = mean_ref[t, ch]
+                s_c = sigma_ref[t, ch]
+                noise_c = s_c * eps[ch]
+                u_c = jnp.where(pure, noise_c, m_c + noise_c)
+                u_c = jnp.where(pin_mean, m_c, u_c)
+                # enforceConstraints per channel (dynamics.cuh:250-264):
+                # deadband snap / shrink, then clamp — scalar params from
+                # SMEM (cons rows: [lo, hi, deadband, zero_control])
+                lo_c, hi_c = cons_ref[0, ch], cons_ref[1, ch]
+                db_c, zc_c = cons_ref[2, ch], cons_ref[3, ch]
+                shrunk = u_c - db_c * jnp.where(u_c < 0, -1.0, 1.0)
+                u_c = jnp.where(jnp.abs(u_c) < db_c, zc_c, shrunk)
+                u_cs.append(jnp.clip(u_c, lo_c, hi_c))
+            u = jnp.stack(u_cs)
+            u_out_ref[pl.ds(t, 1)] = u.reshape(1, C, tile_k)
+
+            # --- likelihood-ratio cost on the clamped sample ---
+            for ch in range(C):
+                m_c = mean_ref[t, ch]
+                s_c = sigma_ref[t, ch]
+                mu_c = jnp.where(pure, 0.0, m_c)
+                lr_t = lr_t + coeff_ref[0, ch] * mu_c * (
+                    mu_c - 2.0 * u[ch]
+                ) / (s_c * s_c)
+            lr_t = 0.5 * lam_k * (1.0 - alpha_k) * lr_t
+
+            x_next, y = dynamics.step(x, u, t.astype(jnp.float32), dt_k)
+            c, crash = cost.running_cost(y, u, t, crash)
+            return (x_next, crash, acc + c + lr_t, y)
+
+        _, crash, acc, y_last = jax.lax.fori_loop(
+            0, T, body, (x, crash0, acc0, y0)
+        )
+        costs_ref[...] = ((acc + cost.terminal_cost(y_last)) / T)[None]
+        crash_ref[...] = crash[None]
+
+    leaf_shapes, leaf_specs = [], []
+    for l in leaves:
+        shp, spec = _leaf_spec(l)
+        leaf_shapes.append(l.reshape(shp))
+        leaf_specs.append(spec)
+
+    scalars = jnp.stack([
+        jnp.asarray(dt, jnp.float32),
+        jnp.asarray(lam, jnp.float32), jnp.asarray(alpha, jnp.float32),
+        jnp.asarray(stride, jnp.float32), pure_threshold,
+    ]).reshape(1, 5)
+
+    in_specs = leaf_specs + [
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # x0 (S, 1)
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # mean (T, C) scalars
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # sigma (T, C) scalars
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # coeff (1, C) scalars
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # constraints (4, C) scalars
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1, 1) int32
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars (1, 5)
+    ]
+    out_specs = (
+        pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((T, C, tile_k), lambda i: (0, 0, i),
+                     memory_space=pltpu.VMEM),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((grid, rows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((grid, rows, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((T, C, K_pad), jnp.float32),
+    )
+    costs3d, crash3d, U_tck = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=60 * K_pad * T * (S + C),
+            bytes_accessed=T * C * K_pad * 4 + K_pad * 8,
+            transcendentals=6 * K_pad * T * C,
+        ),
+    )(*leaf_shapes, x0.reshape(S, 1), mean, sigma,
+      coeff.reshape(1, C), constraints, seed.reshape(1, 1), scalars)
+    costs = costs3d.reshape(-1)[:K]
+    crash = crash3d.reshape(-1)[:K]
+    U = jnp.transpose(U_tck, (2, 0, 1))[:K]  # (K, T, C)
+    return costs, crash, U
+
+
+def fused_sample_rollout_costs(
+    dynamics: Dynamics,
+    cost: Cost,
+    sampler,
+    x0: jnp.ndarray,
+    mean: jnp.ndarray,
+    seed: jnp.ndarray,
+    dt,
+    lam,
+    alpha,
+    num_rollouts: int,
+    iteration: int = 0,
+    optimization_stride=0,
+    tile_k: int | None = None,
+    interpret: bool | None = None,
+):
+    """Fully-fused Gaussian sample + rollout. Returns
+    (costs (K,), crash (K,), U (K, T, C)) where ``costs`` already includes
+    the likelihood-ratio term normalized by T (combined-kernel semantics,
+    mppi_common.cu:126-145) and ``U`` is the clamped sample tensor for the
+    weighted mean update.
+
+    Only exact :class:`GaussianDistribution` samplers qualify (subclasses
+    override the noise process); others raise :class:`PallasIncompatible`.
+    """
+    from mppi_generic_tpu.sampling.gaussian import GaussianDistribution
+
+    if type(sampler) is not GaussianDistribution:
+        raise PallasIncompatible(
+            f"fused sampling requires a plain GaussianDistribution, "
+            f"got {type(sampler).__name__}"
+        )
+    if jax.default_backend() != "tpu":
+        raise PallasIncompatible(
+            "fused sampling uses the TPU hardware PRNG (pltpu.prng_*), "
+            "which has no CPU/interpret lowering"
+        )
+    T, C = mean.shape
+    S = dynamics.STATE_DIM
+    K = num_rollouts
+    leaves, treedef = jax.tree_util.tree_flatten((dynamics, cost))
+    leaves = [jnp.asarray(l) for l in leaves]
+    _check_compatible(dynamics, leaves)
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if tile_k is None:
+        tile_k = default_tile_k(K, T, C)
+    K_pad = _round_up(K, tile_k)
+
+    sigma = sampler._sigma(T, iteration)
+    pure_threshold = (1.0 - sampler.pure_noise_percentage) * K
+    # [lo, hi, deadband, zero_control] rows; finite-clamp infinities so the
+    # SMEM scalars stay well-behaved
+    constraints = jnp.stack([
+        jnp.nan_to_num(dynamics.control_ranges[:, 0], neginf=-1e30),
+        jnp.nan_to_num(dynamics.control_ranges[:, 1], posinf=1e30),
+        dynamics.control_deadband,
+        dynamics.zero_control,
+    ]).astype(jnp.float32)
+
+    return _fused_sample_call(
+        leaves, treedef, type(dynamics).__name__, type(cost).__name__,
+        x0, mean, sigma, sampler.control_cost_coeff, constraints,
+        jnp.asarray(seed, jnp.int32), dt, lam, alpha,
+        jnp.asarray(optimization_stride, jnp.int32),
+        jnp.asarray(pure_threshold, jnp.float32),
+        T, C, S, K, K_pad, tile_k, interpret,
+    )

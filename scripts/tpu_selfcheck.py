@@ -1,0 +1,92 @@
+"""TPU-only kernel self-checks — the compiled-path complement of the CPU
+pytest suite (which runs the Pallas kernels in interpret mode and cannot
+reach the hardware PRNG). Run on a real TPU:
+
+    python scripts/tpu_selfcheck.py
+
+Checks:
+1. fused rollout kernel (compiled) == XLA combined scan, bit-tolerant;
+2. fused sample+rollout kernel: carve-outs exact, N(0,1) statistics,
+   cost self-consistency against the XLA path re-scoring the emitted U;
+3. full-solve parity pallas vs combined.
+"""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from mppi_generic_tpu.controllers import VanillaMPPI
+from mppi_generic_tpu.costs import DoubleIntegratorCircleCost
+from mppi_generic_tpu.models import DoubleIntegratorDynamics
+from mppi_generic_tpu.ops import rollout_combined
+from mppi_generic_tpu.ops.pallas_rollout import (
+    fused_rollout_costs,
+    fused_sample_rollout_costs,
+)
+from mppi_generic_tpu.sampling import GaussianDistribution
+
+
+def main():
+    assert jax.default_backend() == "tpu", "run on a TPU backend"
+    dyn = DoubleIntegratorDynamics.create(control_ranges=[[-3, 3], [-3, 3]])
+    cost = DoubleIntegratorCircleCost()
+    x0 = jnp.array([2.0, 0.0, 0.0, 1.0])
+    dt = jnp.float32(0.02)
+    K, T = 1024, 50
+
+    # 1. compiled fused rollout vs XLA combined
+    U = jax.random.normal(jax.random.PRNGKey(0), (K, T, 2)) * 0.5
+    c_ref, _, cr_ref = rollout_combined(dyn, cost, x0, U, dt)
+    c_p, cr_p = fused_rollout_costs(dyn, cost, x0, U, dt)
+    np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_ref),
+                               rtol=1e-5, atol=1e-5)
+    assert bool(jnp.all(cr_p == cr_ref))
+    print("1. fused rollout parity: OK")
+
+    # 2. fused sample+rollout self-consistency
+    samp = GaussianDistribution.create(
+        std_dev=[1.0, 0.7], control_cost_coeff=[0.01, 0.02],
+        pure_noise_percentage=0.1,
+    )
+    mean = jnp.tile(jnp.array([0.3, -0.2]), (T, 1))
+    costs, crash, U2 = fused_sample_rollout_costs(
+        dyn, cost, samp, x0, mean, jnp.int32(1234), dt, 1.0, 0.0, K,
+        optimization_stride=3,
+    )
+    np.testing.assert_allclose(np.asarray(U2[0]), np.asarray(mean), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(U2[5, :3]), np.asarray(mean[:3]),
+                               atol=1e-6)
+    body = np.asarray(U2[1 : int(0.9 * K), 10:, 0])
+    assert abs(body.std() - 1.0) < 0.05, f"noise std {body.std()}"
+    c_r, _, cr_r = rollout_combined(dyn, cost, x0, U2, dt)
+    lr = samp.likelihood_ratio_cost(U2, mean, 1.0, 0.0)
+    np.testing.assert_allclose(np.asarray(costs), np.asarray(c_r + lr / T),
+                               rtol=1e-3, atol=1e-3)
+    assert bool(jnp.all(crash == cr_r))
+    print("2. fused sample+rollout self-consistency: OK")
+
+    # 3. full-solve parity pallas vs combined (same key)
+    def ctrl(kernel):
+        return VanillaMPPI(
+            dynamics=dyn, cost=cost,
+            sampler=GaussianDistribution.create(std_dev=[1.0, 1.0]),
+            dt=dt, lam=jnp.float32(1.0), alpha=jnp.float32(0.0),
+            num_timesteps=T, num_rollouts=K, num_iters=1, kernel=kernel,
+        )
+
+    cs = ctrl("combined").init_state(jax.random.PRNGKey(0))
+    r_ref, _ = jax.jit(ctrl("combined").solve)(x0, cs)
+    r_pal, _ = jax.jit(ctrl("pallas").solve)(x0, cs)
+    np.testing.assert_allclose(np.asarray(r_pal.control_mean),
+                               np.asarray(r_ref.control_mean),
+                               rtol=1e-3, atol=1e-4)
+    print("3. full-solve parity pallas vs combined: OK")
+    print("ALL TPU SELF-CHECKS PASSED")
+
+
+if __name__ == "__main__":
+    main()

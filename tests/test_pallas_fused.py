@@ -1,0 +1,51 @@
+"""CPU-side tests for the fused sample+rollout kernel (the TPU hardware-PRNG
+path). The compiled behavior is verified on hardware by
+scripts/tpu_selfcheck.py; on the CPU test backend the kernel must cleanly
+refuse (PallasIncompatible) so the auto-tuner and controllers fall back."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mppi_generic_tpu.controllers import VanillaMPPI
+from mppi_generic_tpu.costs import DoubleIntegratorCircleCost
+from mppi_generic_tpu.models import DoubleIntegratorDynamics
+from mppi_generic_tpu.ops import PallasIncompatible, choose_appropriate_kernel
+from mppi_generic_tpu.ops.pallas_rollout import fused_sample_rollout_costs
+from mppi_generic_tpu.sampling import ColoredNoiseDistribution, GaussianDistribution
+
+
+def test_fused_sampling_refuses_on_cpu():
+    dyn = DoubleIntegratorDynamics.create()
+    samp = GaussianDistribution.create(std_dev=[1.0, 1.0])
+    with pytest.raises(PallasIncompatible):
+        fused_sample_rollout_costs(
+            dyn, DoubleIntegratorCircleCost(), samp, jnp.zeros(4),
+            jnp.zeros((8, 2)), jnp.int32(0), 0.02, 1.0, 0.0, 128,
+        )
+
+
+def test_fused_sampling_refuses_non_gaussian():
+    dyn = DoubleIntegratorDynamics.create()
+    samp = ColoredNoiseDistribution.create(
+        std_dev=[1.0, 1.0], exponents=[1.0, 1.0]
+    )
+    with pytest.raises(PallasIncompatible):
+        fused_sample_rollout_costs(
+            dyn, DoubleIntegratorCircleCost(), samp, jnp.zeros(4),
+            jnp.zeros((8, 2)), jnp.int32(0), 0.02, 1.0, 0.0, 128,
+        )
+
+
+def test_autotune_skips_fused_on_cpu():
+    ctrl = VanillaMPPI(
+        dynamics=DoubleIntegratorDynamics.create(),
+        cost=DoubleIntegratorCircleCost(),
+        sampler=GaussianDistribution.create(std_dev=[1.0, 1.0]),
+        num_timesteps=16, num_rollouts=128,
+    )
+    tuned = choose_appropriate_kernel(
+        ctrl, jnp.array([2.0, 0.0, 0.0, 1.0]), num_evaluations=1,
+        candidates=("combined", "pallas_fused"),
+    )
+    assert tuned.kernel == "combined"
