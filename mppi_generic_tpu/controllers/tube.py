@@ -89,7 +89,35 @@ class TubeMPPI(ControllerBase):
         )
 
     def _solve_system(self, x0, mean, key, iteration, optimization_stride, samp_state):
-        """One vanilla-MPPI iteration for one system (shared noise via key)."""
+        """One vanilla-MPPI iteration for one system (shared noise via key).
+
+        The tube's "blockDim.z = 2" dual solve (tube_mppi_controller.cu:
+        190-192) becomes two same-key system solves; with the Pallas fused
+        sampling kernel, the same seed reproduces the same noise draws for
+        both systems, exactly the reference's shared noise tensor."""
+        from mppi_generic_tpu.ops import pallas_rollout
+
+        if self.kernel == "pallas_fused":
+            if self.sample_sharding is not None:
+                raise pallas_rollout.PallasIncompatible(
+                    "kernel='pallas_fused' is single-chip"
+                )
+            seed = jax.random.randint(
+                key, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+            )
+            costs, crash, U = pallas_rollout.fused_sample_rollout_costs(
+                self.dynamics, self.cost, self.sampler, x0, mean, seed,
+                self.dt, self.lam, self.alpha, self.num_rollouts,
+                iteration=iteration, optimization_stride=optimization_stride,
+            )
+            baseline = weight_ops.baseline_cost(costs)
+            w = weight_ops.norm_exp_weights(costs, self.lam, baseline)
+            eta = weight_ops.normalizer(w)
+            new_mean, new_samp_state = self.sampler.update_mean(
+                U, None, w, eta, mean, samp_state
+            )
+            return new_mean, new_samp_state, (U, costs, w, baseline, eta, crash)
+
         U, aux = self.sampler.sample(
             key,
             mean,
@@ -110,6 +138,15 @@ class TubeMPPI(ControllerBase):
                 self.cost, Y, U, sequential_crash=self.sequential_crash
             )
             costs = costs + lr / T
+        elif self.kernel == "pallas":
+            if self.sample_sharding is not None:
+                raise pallas_rollout.PallasIncompatible(
+                    "kernel='pallas' is single-chip"
+                )
+            state_costs, crash = pallas_rollout.fused_rollout_costs(
+                self.dynamics, self.cost, x0, U, self.dt
+            )
+            costs = state_costs + lr / T
         else:
             costs, Y, crash = rollout_ops.rollout_combined(
                 self.dynamics, self.cost, x0, U, self.dt
