@@ -57,13 +57,11 @@ class AutorallyNNDynamics(Dynamics):
         y_d = sin_y * x[4] + cos_y * x[5]
         yaw_d = -x[6]
 
-        # NN input: dynamic states then controls. Component convention: the
-        # pieces may be scalars or (1, K) blocks; stack on axis 0 then move
-        # the component axis last for the matmul.
+        # NN input: dynamic states then controls, component-first so the
+        # same code runs per-vector, under vmap, and inside Pallas kernels
+        # (forward_axis0 flattens batch dims into the matmul minor axis).
         feats = jnp.stack([x[3], x[4], x[5], x[6], u[0], u[1]])  # (6, ...)
-        feats_last = jnp.moveaxis(feats, 0, -1)  # (..., 6)
-        deriv = self.nn.forward(feats_last)  # (..., 4)
-        deriv = jnp.moveaxis(deriv, -1, 0)  # (4, ...)
+        deriv = self.nn.forward_axis0(feats)  # (4, ...)
         return jnp.concatenate(
             [jnp.stack([x_d, y_d, yaw_d]), deriv], axis=0
         )

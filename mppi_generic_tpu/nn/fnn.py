@@ -77,5 +77,20 @@ class FNN(struct.PyTreeNode):
                 x = jnp.tanh(x)
         return x
 
+    def forward_axis0(self, x):
+        """(in, *batch) -> (out, *batch): the component-first twin of
+        ``forward`` for the rollout SoA convention (models/base.py). Batch
+        dims flatten into one matmul minor axis, so inside Pallas kernels
+        this is a plain (out, in) @ (in, tile) MXU matmul with no
+        lane-transposing moveaxis."""
+        batch_shape = x.shape[1:]
+        h = x.reshape(x.shape[0], -1)
+        n = len(self.weights)
+        for i, (w, b) in enumerate(zip(self.weights, self.biases)):
+            h = jnp.dot(w, h, preferred_element_type=jnp.float32) + b[:, None]
+            if i < n - 1:
+                h = jnp.tanh(h)
+        return h.reshape((h.shape[0],) + batch_shape)
+
     def __call__(self, x):
         return self.forward(x)

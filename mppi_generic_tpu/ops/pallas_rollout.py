@@ -12,6 +12,13 @@ written back — in particular the (K, T, O) output trajectory is never
 materialized (the XLA combined path relies on dead-code elimination for
 this; here it is structural).
 
+Coverage boundary: analytic and FNN dynamics/costs lower into the kernels
+(NN matmuls ride the MXU via ``FNN.forward_axis0``); models that gather
+from map textures or carry recurrent (LSTM) state use the XLA rollout
+paths instead — XLA's native TPU gather/scan handles them, and the kernel
+auto-tuner falls back automatically, mirroring the reference's
+shared-memory-overflow fallback.
+
 Genericity: like the reference kernel — which is templated over
 Dynamics/Cost and calls them through device pointers — this kernel is
 specialized per (dynamics, cost) pair by tracing their pure ``step`` /

@@ -113,3 +113,21 @@ def test_choose_appropriate_kernel_smoke():
     # cached second call must be instant and identical
     tuned2 = choose_appropriate_kernel(ctrl, x0, num_evaluations=2)
     assert tuned2.kernel == tuned.kernel
+
+
+def test_fnn_model_on_pallas_path():
+    """NN-dynamics models lower into the fused kernel via forward_axis0
+    (component-first matmuls; no lane-transposing moveaxis)."""
+    from mppi_generic_tpu.costs import QuadraticCost
+    from mppi_generic_tpu.models import AutorallyNNDynamics
+
+    dyn = AutorallyNNDynamics.create(key=jax.random.PRNGKey(0))
+    cost = QuadraticCost.create(goal=jnp.zeros(7), output_dim=7)
+    K, T = 256, 24
+    x0 = jnp.zeros(7).at[4].set(3.0)
+    U = jax.random.normal(jax.random.PRNGKey(1), (K, T, 2)) * 0.3
+    dt = jnp.float32(0.02)
+    c_ref, _, _ = rollout_combined(dyn, cost, x0, U, dt)
+    c_p, _ = fused_rollout_costs(dyn, cost, x0, U, dt, tile_k=128)
+    np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_ref),
+                               rtol=1e-4, atol=1e-5)
