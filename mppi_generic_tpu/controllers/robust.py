@@ -320,9 +320,28 @@ class RobustMPPI(ControllerBase):
             )
             U = self._clamp_controls(U)
             U = self._shard_samples(U)
-            s_nom, j_real_state, s_fb, Yn, Yr, Ur, crash = self._augmented_rollout(
-                nominal_state, state, U, ctrl_state.feedback_state
-            )
+            if self.kernel in ("pallas", "pallas_fused"):
+                from mppi_generic_tpu.ops import pallas_rollout
+
+                if self.sample_sharding is not None:
+                    raise pallas_rollout.PallasIncompatible(
+                        "pallas RMPPI kernels are single-chip"
+                    )
+                s_nom, j_real_state, s_fb, crash, Ur = (
+                    pallas_rollout.fused_rmppi_rollout(
+                        self.dynamics, self.cost, nominal_state, state, U,
+                        ctrl_state.feedback_state.gains,
+                        self.sampler._sigma(T, 0),
+                        self.sampler.control_cost_coeff,
+                        self.dt, self.lam, self.alpha,
+                    )
+                )
+            else:
+                s_nom, j_real_state, s_fb, Yn, Yr, Ur, crash = (
+                    self._augmented_rollout(
+                        nominal_state, state, U, ctrl_state.feedback_state
+                    )
+                )
             # likelihood-ratio terms: nominal uses the raw sample, real uses
             # the feedback-included (written-back) control (rmppi_kernels.cu:
             # 595-615 via readControlSample after the dyn kernel's write-back)

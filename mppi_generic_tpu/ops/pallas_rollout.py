@@ -421,6 +421,215 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
     return costs, crash, U
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("dynamics_static", "cost_static", "T", "C", "S", "K",
+                     "K_pad", "tile_k", "interpret", "treedef"),
+)
+def _fused_rmppi_call(leaves, treedef, dynamics_static, cost_static,
+                      x0_nom, x0_real, U_tck, gains, sigma, coeff,
+                      constraints, dt, lam, alpha, T, C, S, K, K_pad,
+                      tile_k, interpret):
+    del dynamics_static, cost_static
+    rows = tile_k // LANES
+    grid = K_pad // tile_k
+    leaf_ndims = tuple(l.ndim for l in leaves)
+
+    def kernel(*refs):
+        leaf_refs = refs[: len(leaves)]
+        (xn_ref, xr_ref, u_ref, gains_ref, sigma_ref, coeff_ref, cons_ref,
+         scal_ref) = refs[len(leaves): len(leaves) + 8]
+        (snom_ref, jreal_ref, sfb_ref, crash_ref, ur_ref) = refs[
+            len(leaves) + 8:
+        ]
+
+        vals = [_read_leaf(r, nd) for r, nd in zip(leaf_refs, leaf_ndims)]
+        dynamics, cost = jax.tree_util.tree_unflatten(treedef, vals)
+        dt_k = scal_ref[0, 0]
+        lam_k = scal_ref[0, 1]
+        alpha_k = scal_ref[0, 2]
+
+        def bcast_x0(ref):
+            return jnp.broadcast_to(ref[...].reshape(S, 1, 1),
+                                    (S, rows, LANES))
+
+        x_nom = bcast_x0(xn_ref)
+        x_real = bcast_x0(xr_ref)
+        zero = jnp.zeros((rows, LANES), jnp.float32)
+        y0 = jnp.broadcast_to(
+            xn_ref[...].reshape(S, 1, 1)[: dynamics.OUTPUT_DIM],
+            (dynamics.OUTPUT_DIM, rows, LANES),
+        )
+        init = (x_nom, x_real, jnp.zeros_like(zero, jnp.int32),
+                jnp.zeros_like(zero, jnp.int32), zero, zero, zero, y0, y0)
+
+        def clamp(u):
+            out = []
+            for ch in range(C):
+                lo_c, hi_c = cons_ref[0, ch], cons_ref[1, ch]
+                db_c, zc_c = cons_ref[2, ch], cons_ref[3, ch]
+                u_c = u[ch]
+                shrunk = u_c - db_c * jnp.where(u_c < 0, -1.0, 1.0)
+                u_c = jnp.where(jnp.abs(u_c) < db_c, zc_c, shrunk)
+                out.append(jnp.clip(u_c, lo_c, hi_c))
+            return jnp.stack(out)
+
+        def body(t, carry):
+            (x_nom, x_real, crash_n, crash_r, s_nom, j_real, s_fb,
+             _, _) = carry
+            u_raw = u_ref[pl.ds(t, 1)].reshape(C, rows, LANES)
+            u_nom = clamp(u_raw)
+            # feedback u_fb = K[t] (x_real - x_nom), gains as SMEM scalars
+            # (rolloutRMPPIDynamicsKernel feedback-in-loop,
+            # core/rmppi_kernels.cu:441-443)
+            dx = [x_real[s] - x_nom[s] for s in range(S)]
+            u_fb = []
+            fb_cost = jnp.zeros((rows, LANES), jnp.float32)
+            for ch in range(C):
+                acc_fb = jnp.zeros((rows, LANES), jnp.float32)
+                for s in range(S):
+                    acc_fb = acc_fb + gains_ref[t, ch * S + s] * dx[s]
+                u_fb.append(acc_fb)
+                s_c = sigma_ref[t, ch]
+                fb_cost = fb_cost + coeff_ref[0, ch] * acc_fb * acc_fb / (
+                    s_c * s_c
+                )
+            fb_cost = 0.5 * lam_k * (1.0 - alpha_k) * fb_cost
+            u_real = clamp(jnp.stack([u_raw[ch] + u_fb[ch]
+                                      for ch in range(C)]))
+            ur_ref[pl.ds(t, 1)] = u_real.reshape(1, C, tile_k)
+
+            t_f = t.astype(jnp.float32)
+            x_nom2, y_nom = dynamics.step(x_nom, u_nom, t_f, dt_k)
+            x_real2, y_real = dynamics.step(x_real, u_real, t_f, dt_k)
+            c_nom, crash_n = cost.running_cost(y_nom, u_nom, t, crash_n)
+            c_real, crash_r = cost.running_cost(y_real, u_real, t, crash_r)
+            return (x_nom2, x_real2, crash_n, crash_r,
+                    s_nom + c_nom, j_real + c_real,
+                    s_fb + c_real + fb_cost, y_nom, y_real)
+
+        (_, _, _, crash_r, s_nom, j_real, s_fb, y_nom, y_real) = (
+            jax.lax.fori_loop(0, T, body, init)
+        )
+        term_n = cost.terminal_cost(y_nom)
+        term_r = cost.terminal_cost(y_real)
+        snom_ref[...] = ((s_nom + term_n) / T)[None]
+        jreal_ref[...] = ((j_real + term_r) / T)[None]
+        sfb_ref[...] = ((s_fb + term_r) / T)[None]
+        crash_ref[...] = crash_r[None]
+
+    leaf_shapes, leaf_specs = [], []
+    for l in leaves:
+        shp, spec = _leaf_spec(l)
+        leaf_shapes.append(l.reshape(shp))
+        leaf_specs.append(spec)
+
+    scalars = jnp.stack([
+        jnp.asarray(dt, jnp.float32), jnp.asarray(lam, jnp.float32),
+        jnp.asarray(alpha, jnp.float32),
+    ]).reshape(1, 3)
+
+    in_specs = leaf_specs + [
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # x0_nom (S, 1)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # x0_real (S, 1)
+        pl.BlockSpec((T, C, tile_k), lambda i: (0, 0, i),
+                     memory_space=pltpu.VMEM),  # U tile
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # gains (T, C*S)
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # sigma (T, C)
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # coeff (1, C)
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # constraints (4, C)
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars (1, 3)
+    ]
+    vec_out = pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out_specs = (vec_out, vec_out, vec_out, vec_out,
+                 pl.BlockSpec((T, C, tile_k), lambda i: (0, 0, i),
+                              memory_space=pltpu.VMEM))
+    out_shape = (
+        jax.ShapeDtypeStruct((grid, rows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((grid, rows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((grid, rows, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((grid, rows, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((T, C, K_pad), jnp.float32),
+    )
+    s_nom3, j_real3, s_fb3, crash3, Ur_tck = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=100 * K_pad * T * (S + C),
+            bytes_accessed=2 * T * C * K_pad * 4 + K_pad * 16,
+            transcendentals=4 * K_pad * T,
+        ),
+    )(*leaf_shapes, x0_nom.reshape(S, 1), x0_real.reshape(S, 1), U_tck,
+      gains, sigma, coeff.reshape(1, C), constraints, scalars)
+    Ur = jnp.transpose(Ur_tck, (2, 0, 1))[:K]
+    return (s_nom3.reshape(-1)[:K], j_real3.reshape(-1)[:K],
+            s_fb3.reshape(-1)[:K], crash3.reshape(-1)[:K], Ur)
+
+
+def fused_rmppi_rollout(
+    dynamics: Dynamics,
+    cost: Cost,
+    x0_nom: jnp.ndarray,
+    x0_real: jnp.ndarray,
+    U: jnp.ndarray,
+    gains: jnp.ndarray,
+    sigma: jnp.ndarray,
+    coeff: jnp.ndarray,
+    dt,
+    lam,
+    alpha,
+    tile_k: int | None = None,
+    interpret: bool | None = None,
+):
+    """Fused RMPPI augmented rollout (rolloutRMPPIDynamicsKernel +
+    rolloutRMPPICostKernel, core/rmppi_kernels.cu:359-665): per sample the
+    nominal and real systems step together, the real system applies the DDP
+    feedback K[t](x_real - x_nom) inside the loop, and the Gaussian feedback
+    cost accumulates alongside the running costs.
+
+    U: (K, T, C) raw samples (NOT pre-clamped — the kernel clamps both the
+    nominal and the feedback-added real control, matching the in-kernel
+    enforceConstraints + write-back). gains: (T, C, S). sigma: (T, C);
+    coeff: (C,) — the sampler's feedback-cost parameters.
+
+    Returns (s_nom (K,), j_real_state (K,), s_fb (K,), crash_real (K,),
+    U_real (K, T, C)) — the same contract as
+    ``RobustMPPI._augmented_rollout`` minus the (unused) output trajectories.
+    """
+    K, T, C = U.shape
+    S = dynamics.STATE_DIM
+    leaves, treedef = jax.tree_util.tree_flatten((dynamics, cost))
+    leaves = [jnp.asarray(l) for l in leaves]
+    _check_compatible(dynamics, leaves)
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if tile_k is None:
+        tile_k = default_tile_k(K, T, C)
+    K_pad = _round_up(K, tile_k)
+    U_tck = jnp.transpose(U, (1, 2, 0))
+    if K_pad != K:
+        U_tck = jnp.pad(U_tck, ((0, 0), (0, 0), (0, K_pad - K)))
+    constraints = jnp.stack([
+        jnp.nan_to_num(dynamics.control_ranges[:, 0], neginf=-1e30),
+        jnp.nan_to_num(dynamics.control_ranges[:, 1], posinf=1e30),
+        dynamics.control_deadband,
+        dynamics.zero_control,
+    ]).astype(jnp.float32)
+
+    return _fused_rmppi_call(
+        leaves, treedef, type(dynamics).__name__, type(cost).__name__,
+        x0_nom, x0_real, U_tck, gains.reshape(T, C * S),
+        jnp.asarray(sigma, jnp.float32), jnp.asarray(coeff, jnp.float32),
+        constraints, dt, lam, alpha, T, C, S, K, K_pad, tile_k, interpret,
+    )
+
+
 def fused_sample_rollout_costs(
     dynamics: Dynamics,
     cost: Cost,

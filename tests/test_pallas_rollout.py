@@ -131,3 +131,48 @@ def test_fnn_model_on_pallas_path():
     c_p, _ = fused_rollout_costs(dyn, cost, x0, U, dt, tile_k=128)
     np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_fused_rmppi_rollout_matches_xla():
+    """Augmented real+nominal rollout with feedback-in-loop: Pallas kernel vs
+    the controller's XLA scan (rmppi_kernels.cu analog)."""
+    from mppi_generic_tpu.controllers import RobustMPPI
+    from mppi_generic_tpu.feedback import DDPFeedback
+    from mppi_generic_tpu.ops.pallas_rollout import fused_rmppi_rollout
+
+    dyn = DoubleIntegratorDynamics.create(control_ranges=[[-3, 3], [-3, 3]])
+    cost = DoubleIntegratorCircleCost()
+    sampler = GaussianDistribution.create(
+        std_dev=[1.0, 0.8], control_cost_coeff=[0.02, 0.01]
+    )
+    fb = DDPFeedback.create(dyn, 0.02)
+    K, T = 192, 24
+    ctrl = RobustMPPI(
+        dynamics=dyn, cost=cost, sampler=sampler,
+        dt=jnp.float32(0.02), lam=jnp.float32(1.0), alpha=jnp.float32(0.0),
+        num_timesteps=T, num_rollouts=K, feedback=fb,
+    )
+    x_nom = jnp.array([2.0, 0.0, 0.0, 1.0])
+    x_real = jnp.array([2.2, -0.1, 0.1, 0.9])
+    goal = jnp.tile(x_nom, (T, 1))
+    fb_state = fb.compute_feedback(x_real, goal, jnp.zeros((T, 2)))
+    U = jax.random.normal(jax.random.PRNGKey(2), (K, T, 2)) * 0.7
+    U = ctrl._clamp_controls(U)
+
+    s_nom_r, j_real_r, s_fb_r, _, _, Ur_r, crash_r = ctrl._augmented_rollout(
+        x_nom, x_real, U, fb_state
+    )
+    s_nom_p, j_real_p, s_fb_p, crash_p, Ur_p = fused_rmppi_rollout(
+        dyn, cost, x_nom, x_real, U, fb_state.gains,
+        sampler._sigma(T, 0), sampler.control_cost_coeff,
+        jnp.float32(0.02), 1.0, 0.0, tile_k=128,
+    )
+    np.testing.assert_allclose(np.asarray(s_nom_p), np.asarray(s_nom_r),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(j_real_p), np.asarray(j_real_r),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_fb_p), np.asarray(s_fb_r),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(Ur_p), np.asarray(Ur_r),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(crash_p), np.asarray(crash_r))
