@@ -162,19 +162,40 @@ class RobustMPPI(ControllerBase):
             )
             U = self._clamp_controls(U)  # (S_per, T, C)
 
-            def eval_candidate(x0, cand_stride):
+            def shift_controls(cand_stride):
                 # candidate_t = min(t + stride, T-1) control indexing
                 t_idx = jnp.clip(jnp.arange(T) + cand_stride, 0, T - 1)
-                U_c = U[:, t_idx]  # (S_per, T, C)
-                lr = self.sampler.likelihood_ratio_cost(
-                    U_c, ctrl_state.nominal_mean, self.lam, self.alpha
-                )
-                costs, _, _ = rollout_ops.rollout_combined(
-                    self.dynamics, self.cost, x0, U_c, self.dt
-                )
-                return costs + lr / T  # (S_per,)
+                return U[:, t_idx]  # (S_per, T, C)
 
-            cand_costs = jax.vmap(eval_candidate)(candidates, cand_strides)
+            if self.kernel in ("pallas", "pallas_fused"):
+                # one fused-kernel launch over all (candidate, sample) pairs
+                # via per-sample initial states
+                from mppi_generic_tpu.ops import pallas_rollout
+
+                n = self.num_candidates
+                S_per = self.samples_per_condition
+                U_all = jax.vmap(shift_controls)(cand_strides)
+                U_flat = U_all.reshape(n * S_per, T, -1)
+                x0_all = jnp.repeat(candidates, S_per, axis=0)
+                lr = self.sampler.likelihood_ratio_cost(
+                    U_flat, ctrl_state.nominal_mean, self.lam, self.alpha
+                )
+                costs, _ = pallas_rollout.fused_rollout_costs(
+                    self.dynamics, self.cost, x0_all, U_flat, self.dt
+                )
+                cand_costs = (costs + lr / T).reshape(n, S_per)
+            else:
+                def eval_candidate(x0, cand_stride):
+                    U_c = shift_controls(cand_stride)
+                    lr = self.sampler.likelihood_ratio_cost(
+                        U_c, ctrl_state.nominal_mean, self.lam, self.alpha
+                    )
+                    costs, _, _ = rollout_ops.rollout_combined(
+                        self.dynamics, self.cost, x0, U_c, self.dt
+                    )
+                    return costs + lr / T  # (S_per,)
+
+                cand_costs = jax.vmap(eval_candidate)(candidates, cand_strides)
             # baseline over ALL eval rollouts (computeCandidateBaseline)
             baseline = jnp.min(cand_costs)
             fe = jnp.mean(jnp.exp(-(cand_costs - baseline) / self.lam), axis=1)

@@ -110,10 +110,10 @@ def _read_leaf(ref, orig_ndim):
 @functools.partial(
     jax.jit,
     static_argnames=("dynamics_static", "cost_static", "T", "C", "S",
-                     "tile_k", "interpret", "treedef"),
+                     "tile_k", "interpret", "treedef", "per_sample_x0"),
 )
 def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_tck,
-                dt, T, C, S, tile_k, interpret):
+                dt, T, C, S, tile_k, interpret, per_sample_x0=False):
     del dynamics_static, cost_static  # only part of the jit cache key
     K_pad = U_tck.shape[-1]
     rows = tile_k // LANES
@@ -129,11 +129,16 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_tck,
         dynamics, cost = jax.tree_util.tree_unflatten(treedef, vals)
         dt_k = dt_ref[0, 0]
 
-        x = jnp.broadcast_to(x0_ref[...].reshape(S, 1, 1), (S, rows, LANES))
+        if per_sample_x0:
+            # x0 tile is (S, tile_k): minor-dim split into VPU shape
+            x = x0_ref[...].reshape(S, rows, LANES)
+        else:
+            x = jnp.broadcast_to(x0_ref[...].reshape(S, 1, 1),
+                                 (S, rows, LANES))
         crash0 = jnp.zeros((rows, LANES), jnp.int32)
         acc0 = jnp.zeros((rows, LANES), jnp.float32)
         y0 = jnp.broadcast_to(
-            x0_ref[...].reshape(S, 1, 1)[: dynamics.OUTPUT_DIM],
+            jnp.zeros((1, 1), jnp.float32),
             (dynamics.OUTPUT_DIM, rows, LANES),
         )
 
@@ -156,8 +161,15 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_tck,
         leaf_shapes.append(l.reshape(shp))
         leaf_specs.append(spec)
 
+    if per_sample_x0:
+        x0_spec = pl.BlockSpec((S, tile_k), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)
+        x0_in = x0  # already (S, K_pad)
+    else:
+        x0_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        x0_in = x0.reshape(S, 1)
     in_specs = leaf_specs + [
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # x0 (S, 1)
+        x0_spec,
         pl.BlockSpec((T, C, tile_k), lambda i: (0, 0, i),
                      memory_space=pltpu.VMEM),  # U tile
         pl.BlockSpec(memory_space=pltpu.SMEM),  # dt (1, 1)
@@ -184,7 +196,7 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_tck,
             bytes_accessed=U_tck.size * 4 + K_pad * 8,
             transcendentals=2 * K_pad * T,
         ),
-    )(*leaf_shapes, x0.reshape(S, 1), U_tck,
+    )(*leaf_shapes, x0_in, U_tck,
       jnp.asarray(dt, jnp.float32).reshape(1, 1))
     return costs2d.reshape(-1), crash2d.reshape(-1)
 
@@ -203,8 +215,10 @@ def fused_rollout_costs(
     ``costs`` = (sum_t running + terminal) / T, matching
     ``trajectory_state_costs`` — the sampler likelihood-ratio term is added
     by the caller. ``U`` is the (K, T, C) pre-clamped control-sample tensor;
-    ``x0`` a single (S,) initial state. Raises :class:`PallasIncompatible`
-    for models the kernel cannot host (recurrent state, oversized params).
+    ``x0`` a single (S,) initial state, or (K, S) per-sample initial states
+    (the RMPPI candidate-eval pattern). Raises
+    :class:`PallasIncompatible` for models the kernel cannot host
+    (recurrent state, oversized params).
     """
     K, T, C = U.shape
     S = dynamics.STATE_DIM
@@ -226,9 +240,16 @@ def fused_rollout_costs(
     if K_pad != K:
         U_tck = jnp.pad(U_tck, ((0, 0), (0, 0), (0, K_pad - K)))
 
+    per_sample_x0 = x0.ndim == 2
+    if per_sample_x0:
+        x0 = jnp.transpose(x0, (1, 0))  # (S, K)
+        if K_pad != K:
+            x0 = jnp.pad(x0, ((0, 0), (0, K_pad - K)))
+
     costs, crash = _fused_call(
         leaves, treedef, type(dynamics).__name__, type(cost).__name__,
         x0, U_tck, dt, T, C, S, tile_k, interpret,
+        per_sample_x0=per_sample_x0,
     )
     return costs[:K], crash[:K]
 

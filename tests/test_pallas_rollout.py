@@ -176,3 +176,18 @@ def test_fused_rmppi_rollout_matches_xla():
     np.testing.assert_allclose(np.asarray(Ur_p), np.asarray(Ur_r),
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(crash_p), np.asarray(crash_r))
+
+
+def test_fused_rollout_per_sample_x0():
+    """Per-sample initial states (the RMPPI candidate-eval pattern)."""
+    dyn = DoubleIntegratorDynamics.create()
+    cost = DoubleIntegratorCircleCost()
+    K, T = 256, 20
+    U = jax.random.normal(jax.random.PRNGKey(3), (K, T, 2)) * 0.5
+    x0s = jax.random.normal(jax.random.PRNGKey(4), (K, 4))
+    dt = jnp.float32(0.02)
+    c_ref, _, crash_ref = rollout_combined(dyn, cost, x0s, U, dt)
+    c_p, crash_p = fused_rollout_costs(dyn, cost, x0s, U, dt, tile_k=128)
+    np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(crash_p), np.asarray(crash_ref))
