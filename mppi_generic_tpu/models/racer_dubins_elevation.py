@@ -85,6 +85,16 @@ class RacerDubinsElevationDynamics(RacerDubinsDynamics):
             + (jnp.abs(vel) > 3.0).astype(jnp.int32) * 2
         )
 
+    @staticmethod
+    def _regime_select(vel, table):
+        """table[regime(vel)] as a where-chain of scalar extracts — a batched
+        gather from a (3,) vector is not Pallas-lowerable, a select chain is
+        (and is also what the CUDA branches compile to)."""
+        av = jnp.abs(vel)
+        return jnp.where(
+            av <= 0.2, table[0], jnp.where(av <= 3.0, table[1], table[2])
+        )
+
     def state_deriv(self, x, u, t=0.0):
         vel, yaw, steer, brake_raw = x[0], x[1], x[4], x[5]
         pitch = x[8]
@@ -92,10 +102,9 @@ class RacerDubinsElevationDynamics(RacerDubinsDynamics):
         enable_brake = throttle_brake < 0
         linear_brake_slope = 0.2
 
-        idx = self._regime_index(vel)
-        c_t = self.c_t3[idx]
-        c_b = self.c_b3[idx]
-        c_v = self.c_v3[idx]
+        c_t = self._regime_select(vel, self.c_t3)
+        c_b = self._regime_select(vel, self.c_b3)
+        c_v = self._regime_select(vel, self.c_v3)
         brake_state = jnp.clip(brake_raw, 0.0, 0.25)
 
         throttle_hi = c_t * throttle_brake
@@ -276,9 +285,8 @@ class RacerDubinsElevationLSTMSteering(RacerDubinsElevationDynamics):
         h, c = rec
         steer_d_param = self._steer_deriv(x, u)
         feats = jnp.stack([x[0], x[4], u[1], steer_d_param])  # (4, ...)
-        feats_last = jnp.moveaxis(feats, 0, -1)
-        delta, h, c = self.lstm.forward(h, c, feats_last)
-        steer_d = steer_d_param + jnp.moveaxis(delta, -1, 0)[0]
+        delta, h, c = self.lstm.forward_axis0(h, c, feats)
+        steer_d = steer_d_param + delta[0]
 
         xdot = self.state_deriv(x, u, t)
         xdot = jnp.concatenate(

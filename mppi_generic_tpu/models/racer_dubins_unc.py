@@ -210,13 +210,13 @@ class RacerDubinsElevationSuspension(RacerDubinsElevationLSTMSteering):
         delta = steer / self.steer_angle_scale
         tan_d = jnp.tan(delta)
         cos2_d = jnp.cos(delta) ** 2
-        idx = self._regime_index(vel)
         brake_state = jnp.clip(brake_raw, 0.0, 0.25)
         L = self.wheel_base
         zero = jnp.zeros_like(vel)
+        low_regime = jnp.abs(vel) <= 0.2
 
-        a_vv = (-self.c_v3[idx] - self.K_vel_x
-                - jnp.where(idx == 0, self.c_b3[0] * brake_state, 0.0))
+        a_vv = (-self._regime_select(vel, self.c_v3) - self.K_vel_x
+                - jnp.where(low_regime, self.c_b3[0] * brake_state, 0.0))
         rows = [
             [a_vv, zero, -self.K_x * cos_y, -self.K_x * sin_y],
             [tan_d / L + zero,
@@ -234,14 +234,14 @@ class RacerDubinsElevationSuspension(RacerDubinsElevationLSTMSteering):
         vel, yaw, steer, roll = x[0], x[1], x[4], x[7]
         sin_y, cos_y = jnp.sin(yaw), jnp.cos(yaw)
         delta = steer / self.steer_angle_scale
-        idx = self._regime_index(vel)
         abs_v = jnp.abs(vel)
         side_force = (abs_v**2 * jnp.tan(delta) / self.wheel_base
                       + self.gravity * jnp.sin(roll))
         q11 = jnp.abs(self.Q_y_f * jnp.abs(side_force)
                       * jnp.maximum(abs_v - 2.0, 0.0))
         zero = jnp.zeros_like(vel)
-        q_vv = self.Q_x_acc * jnp.abs(vel_d) + self.Q_x_v[idx] * abs_v
+        q_vv = (self.Q_x_acc * jnp.abs(vel_d)
+                + self._regime_select(vel, self.Q_x_v) * abs_v)
         q_yy = abs_v * (self.Q_omega_steering * jnp.abs(delta) + self.Q_omega_v)
         rows = [
             [q_vv, zero, zero, zero],
@@ -260,9 +260,8 @@ class RacerDubinsElevationSuspension(RacerDubinsElevationLSTMSteering):
         xdot9 = RacerDubinsElevationDynamics.state_deriv(self, x9, u, t)
         steer_d_param = self._steer_deriv(x9, u)
         feats = jnp.stack([x[0], x[4], u[1], steer_d_param])
-        feats_last = jnp.moveaxis(feats, 0, -1)
-        delta_s, h, c = self.lstm.forward(h, c, feats_last)
-        steer_d = steer_d_param + jnp.moveaxis(delta_s, -1, 0)[0]
+        delta_s, h, c = self.lstm.forward_axis0(h, c, feats)
+        steer_d = steer_d_param + delta_s[0]
 
         (cgz_d, cgvz_d, rollrate_d, pitchrate_d,
          up_max, fwd_max, side_max) = self._suspension_derivs(x, u)
@@ -436,26 +435,21 @@ class RacerDubinsElevationLSTMUncertainty(RacerDubinsElevationSuspension):
         )
 
         # mean LSTM correction (forward gear only, lstm_unc.cu:262-281)
-        feats_m = jnp.moveaxis(
-            self._nn_features(x, u, vel_d, yaw_d, with_roll=False), 0, -1
-        )
-        mean_out, mh, mc = self.mean_lstm.forward(mh, mc, feats_m)
-        mean_out = jnp.moveaxis(mean_out, -1, 0)
+        feats_m = self._nn_features(x, u, vel_d, yaw_d, with_roll=False)
+        mean_out, mh, mc = self.mean_lstm.forward_axis0(mh, mc, feats_m)
         fwd_gear = self.gear_sign > 0
         vel_d = vel_d + jnp.where(fwd_gear, mean_out[0], 0.0)
         yaw_d = yaw_d + jnp.where(fwd_gear, mean_out[1], 0.0)
 
         # uncertainty LSTM -> Q (lstm_unc.cu:300-495)
-        feats_u = jnp.moveaxis(
-            self._nn_features(x, u, vel_d, yaw_d, with_roll=True), 0, -1
-        )
-        unc_out, uh, uc = self.unc_lstm.forward(uh, uc, feats_u)
+        feats_u = self._nn_features(x, u, vel_d, yaw_d, with_roll=True)
+        unc_out, uh, uc = self.unc_lstm.forward_axis0(uh, uc, feats_u)
         unc_out = jnp.abs(
-            jax.nn.sigmoid(jnp.moveaxis(unc_out, -1, 0))
+            jax.nn.sigmoid(unc_out)
             * self.unc_scale.reshape((-1,) + (1,) * (x.ndim - 1))
         )
-        idx = self._regime_index(x[0])
-        c_b = self.c_b3[idx] * jnp.where(idx == 0, x[0], 1.0)
+        c_b = self._regime_select(x[0], self.c_b3) * jnp.where(
+            jnp.abs(x[0]) <= 0.2, x[0], 1.0)
         delta = x[4] / self.steer_angle_scale
         q_vv = unc_out[0] + (c_b**2) * unc_out[4]
         q_yy = unc_out[1] + (

@@ -171,6 +171,35 @@ class LSTM(struct.PyTreeNode):
         nn_in = jnp.concatenate([h2, x], axis=-1)
         return self.output_nn.forward(nn_in), h2, c2
 
+    def step_axis0(self, h, c, x):
+        """Component-first twin of ``step``: h, c (H, *batch); x (I, *batch).
+        Batch dims flatten into the matmul minor axis, so inside Pallas
+        kernels the gate updates are (H, H) @ (H, tile) MXU matmuls."""
+        batch_shape = h.shape[1:]
+        hf = h.reshape(h.shape[0], -1)
+        cf = c.reshape(c.shape[0], -1)
+        xf = x.reshape(x.shape[0], -1)
+
+        def lin(Wm, Wi, b):
+            return (jnp.dot(Wm, hf, preferred_element_type=jnp.float32)
+                    + jnp.dot(Wi, xf, preferred_element_type=jnp.float32)
+                    + b[:, None])
+
+        g_i = jax.nn.sigmoid(lin(self.W_im, self.W_ii, self.b_i))
+        g_f = jax.nn.sigmoid(lin(self.W_fm, self.W_fi, self.b_f))
+        g_o = jax.nn.sigmoid(lin(self.W_om, self.W_oi, self.b_o))
+        g_c = jnp.tanh(lin(self.W_cm, self.W_ci, self.b_c))
+        c2 = g_i * g_c + g_f * cf
+        h2 = g_o * jnp.tanh(c2)
+        H = h.shape[0]
+        return h2.reshape((H,) + batch_shape), c2.reshape((H,) + batch_shape)
+
+    def forward_axis0(self, h, c, x):
+        """Component-first ``forward``: returns (output (O, *batch), h', c')."""
+        h2, c2 = self.step_axis0(h, c, x)
+        nn_in = jnp.concatenate([h2, x], axis=0)
+        return self.output_nn.forward_axis0(nn_in), h2, c2
+
 
 class LSTMLSTM(struct.PyTreeNode):
     """Init-LSTM warm-starts the prediction LSTM (lstm_lstm_helper.cuh:17-112)."""

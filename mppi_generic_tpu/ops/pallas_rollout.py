@@ -58,9 +58,20 @@ class PallasIncompatible(Exception):
     """The (dynamics, cost) pair cannot run in the fused Pallas kernel."""
 
 
-def _check_compatible(dynamics: Dynamics, leaves):
-    if dynamics.init_recurrent_state() is not None:
-        raise PallasIncompatible("recurrent dynamics state is not supported")
+def _check_compatible(dynamics: Dynamics, leaves, allow_recurrent=False):
+    rec = dynamics.init_recurrent_state()
+    if rec is not None:
+        if not allow_recurrent:
+            raise PallasIncompatible(
+                "recurrent dynamics state is not supported"
+            )
+        for leaf in jax.tree_util.tree_leaves(rec):
+            arr = jnp.asarray(leaf)
+            if arr.ndim != 1 or arr.shape[0] > 64:
+                raise PallasIncompatible(
+                    "recurrent leaves must be small 1-D vectors "
+                    f"(got shape {arr.shape})"
+                )
     for leaf in leaves:
         arr = jnp.asarray(leaf)
         if arr.size * arr.dtype.itemsize > _MAX_PARAM_BYTES:
@@ -107,13 +118,31 @@ def _read_leaf(ref, orig_ndim):
     return ref[...]
 
 
+def _broadcast_rec(rec, rows):
+    """Broadcast a recurrent-state pytree of (H,) leaves to (H, rows, LANES)
+    blocks via per-component scalar fills — Mosaic cannot lower the
+    lane-to-sublane reshape a plain broadcast would need."""
+    if rec is None:
+        return None
+
+    def bc(leaf):
+        H = leaf.shape[0]
+        return jnp.stack(
+            [jnp.full((rows, LANES), leaf[i]) for i in range(H)]
+        )
+
+    return jax.tree_util.tree_map(bc, rec)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("dynamics_static", "cost_static", "T", "C", "S",
-                     "tile_k", "interpret", "treedef", "per_sample_x0"),
+                     "tile_k", "interpret", "treedef", "per_sample_x0",
+                     "recurrent"),
 )
 def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_tck,
-                dt, T, C, S, tile_k, interpret, per_sample_x0=False):
+                dt, T, C, S, tile_k, interpret, per_sample_x0=False,
+                recurrent=False):
     del dynamics_static, cost_static  # only part of the jit cache key
     K_pad = U_tck.shape[-1]
     rows = tile_k // LANES
@@ -141,16 +170,25 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_tck,
             jnp.zeros((1, 1), jnp.float32),
             (dynamics.OUTPUT_DIM, rows, LANES),
         )
+        # recurrent (LSTM) state: each (H,) leaf becomes an (H, rows, LANES)
+        # block, built by scalar fills (no lane-transposing reshapes); the
+        # warm-start values ride in as ordinary parameter leaves.
+        rec0 = _broadcast_rec(dynamics.init_recurrent_state(), rows)
 
         def body(t, carry):
-            x, crash, acc, _ = carry
+            x, rec, crash, acc, _ = carry
             u = u_ref[pl.ds(t, 1)].reshape(C, rows, LANES)
-            x_next, y = dynamics.step(x, u, t.astype(jnp.float32), dt_k)
+            if recurrent:
+                x_next, y, rec = dynamics.step_recurrent(
+                    x, rec, u, t.astype(jnp.float32), dt_k
+                )
+            else:
+                x_next, y = dynamics.step(x, u, t.astype(jnp.float32), dt_k)
             c, crash = cost.running_cost(y, u, t, crash)
-            return (x_next, crash, acc + c, y)
+            return (x_next, rec, crash, acc + c, y)
 
-        _, crash, acc, y_last = jax.lax.fori_loop(
-            0, T, body, (x, crash0, acc0, y0)
+        _, _, crash, acc, y_last = jax.lax.fori_loop(
+            0, T, body, (x, rec0, crash0, acc0, y0)
         )
         costs_ref[...] = ((acc + cost.terminal_cost(y_last)) / T)[None]
         crash_ref[...] = crash[None]
@@ -224,7 +262,8 @@ def fused_rollout_costs(
     S = dynamics.STATE_DIM
     leaves, treedef = jax.tree_util.tree_flatten((dynamics, cost))
     leaves = [jnp.asarray(l) for l in leaves]
-    _check_compatible(dynamics, leaves)
+    recurrent = dynamics.init_recurrent_state() is not None
+    _check_compatible(dynamics, leaves, allow_recurrent=True)
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -249,7 +288,7 @@ def fused_rollout_costs(
     costs, crash = _fused_call(
         leaves, treedef, type(dynamics).__name__, type(cost).__name__,
         x0, U_tck, dt, T, C, S, tile_k, interpret,
-        per_sample_x0=per_sample_x0,
+        per_sample_x0=per_sample_x0, recurrent=recurrent,
     )
     return costs[:K], crash[:K]
 

@@ -90,14 +90,15 @@ def test_full_solve_parity_pallas_vs_combined():
     )
 
 
-def test_recurrent_dynamics_rejected():
-    """Recurrent models must fall back (the shared-mem-overflow analog)."""
+def test_oversized_recurrent_state_rejected():
+    """Small 1-D recurrent leaves (LSTM hidden/cell) are supported in the
+    kernel; anything bigger must fall back (the shared-mem-overflow analog)."""
 
-    class FakeRecurrent(DoubleIntegratorDynamics):
+    class FakeBigRecurrent(DoubleIntegratorDynamics):
         def init_recurrent_state(self):
-            return jnp.zeros((4,))
+            return jnp.zeros((4, 4))  # 2-D rec leaf: not hostable
 
-    dyn = FakeRecurrent.create()
+    dyn = FakeBigRecurrent.create()
     with pytest.raises(PallasIncompatible):
         fused_rollout_costs(
             dyn, DoubleIntegratorCircleCost(),
@@ -191,3 +192,23 @@ def test_fused_rollout_per_sample_x0():
     np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_ref),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(crash_p), np.asarray(crash_ref))
+
+
+def test_lstm_recurrent_model_on_pallas_path():
+    """Recurrent (LSTM-in-rollout) dynamics carry hidden/cell state through
+    the kernel's horizon loop (the reference keeps them in kernel shared
+    memory, lstm_helper.cuh:130-133)."""
+    from mppi_generic_tpu.costs import QuadraticCost
+    from mppi_generic_tpu.models import RacerDubinsElevationLSTMSteering
+
+    dyn = RacerDubinsElevationLSTMSteering.create()
+    cost = QuadraticCost.create(goal=jnp.zeros(13), output_dim=13)
+    K, T = 256, 20
+    x0 = jnp.zeros(9).at[0].set(3.0)
+    U = jnp.clip(jax.random.normal(jax.random.PRNGKey(1), (K, T, 2)) * 0.3,
+                 -1, 1)
+    dt = jnp.float32(0.02)
+    c_ref, _, _ = rollout_combined(dyn, cost, x0, U, dt)
+    c_p, _ = fused_rollout_costs(dyn, cost, x0, U, dt, tile_k=128)
+    np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_ref),
+                               rtol=2e-4, atol=1e-5)
