@@ -44,11 +44,25 @@ class QuadrotorQuadraticCost(Cost):
 
     def _attitude_cost(self, y):
         """Euler-angle cost of the quaternion difference q (-) q_goal
-        (QuatSubtract + Quat2EulerNWU, quadrotor_quadratic_cost.cu:24-45)."""
-        q = jnp.stack([y[6], y[7], y[8], y[9]], axis=-1)
-        q_g = self.s_goal[6:10]
-        q_diff = mu.quat_multiply(mu.quat_inverse(q_g), q)
-        r, p, yw = mu.quat_to_euler(q_diff)
+        (QuatSubtract + Quat2EulerNWU, quadrotor_quadratic_cost.cu:24-45).
+        Component-wise (axis-0 convention) so it traces in Pallas kernels:
+        no trailing-axis stacking, no literal constant arrays."""
+        qw, qx, qy, qz = y[6], y[7], y[8], y[9]
+        g = self.s_goal
+        # conj(q_goal) components (unit goal)
+        aw, ax, ay, az = g[6], -g[7], -g[8], -g[9]
+        # q_diff = conj(q_goal) (x) q
+        dw = aw * qw - ax * qx - ay * qy - az * qz
+        dx = aw * qx + ax * qw + ay * qz - az * qy
+        dy = aw * qy - ax * qz + ay * qw + az * qx
+        dz = aw * qz + ax * qy - ay * qx + az * qw
+        # quat -> euler; atan2/asin approximations (~1e-5 rad) because the
+        # exact primitives have no Mosaic lowering
+        r = mu.atan2_approx(2 * (dw * dx + dy * dz),
+                            1 - 2 * (dx * dx + dy * dy))
+        p = mu.asin_approx(2 * (dw * dy - dz * dx))
+        yw = mu.atan2_approx(2 * (dw * dz + dx * dy),
+                             1 - 2 * (dy * dy + dz * dz))
         return (
             self.roll_coeff * r**2
             + self.pitch_coeff * p**2

@@ -34,6 +34,36 @@ def sign(x):
     return jnp.where(x < 0, -1.0, 1.0)
 
 
+def atan_approx(z):
+    """Minimax odd-polynomial atan on |z| <= 1 (~1e-5 rad max error) —
+    built only from Pallas-lowerable primitives (atan/atan2 have no Mosaic
+    lowering)."""
+    s = z * z
+    return z * (0.9998660
+                + s * (-0.3302995
+                       + s * (0.180141
+                              + s * (-0.085133 + 0.0208351 * s))))
+
+
+def atan2_approx(y, x, eps=1e-30):
+    """atan2 from ``atan_approx`` with octant reduction; same quadrant
+    semantics as jnp.arctan2 for nonzero inputs."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    r = atan_approx(lo / jnp.maximum(hi, eps))
+    r = jnp.where(ay > ax, jnp.pi / 2 - r, r)
+    r = jnp.where(x < 0, jnp.pi - r, r)
+    return jnp.where(y < 0, -r, r)
+
+
+def asin_approx(x):
+    """arcsin via atan2_approx(x, sqrt(1-x^2)) (clipped domain)."""
+    x = jnp.clip(x, -1.0, 1.0)
+    return atan2_approx(x, jnp.sqrt(jnp.maximum(1.0 - x * x, 0.0)))
+
+
 def discount_pow(base, t):
     """``base ** t`` for a positive discount factor, as exp(t*log(base)).
 
