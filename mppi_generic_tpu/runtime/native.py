@@ -150,9 +150,16 @@ class NativeMailbox:
 # Pure-Python fallbacks (identical semantics)
 # ---------------------------------------------------------------------------
 class PyBuffer:
-    def __init__(self, dim, time_horizon=2.0):
+    """Pure-Python time-ordered buffer (Buffer<DYN_T> analog, buffer.hpp:
+    17-118). ``quat_slice`` marks a [w,x,y,z] quaternion segment of the
+    vector that interpolates by hemisphere-corrected normalized lerp
+    (the reference slerps quaternion entries; nlerp is equivalent for the
+    small inter-sample rotations of a high-rate sensor stream)."""
+
+    def __init__(self, dim, time_horizon=2.0, quat_slice=None):
         self.dim = dim
         self.horizon = time_horizon
+        self.quat_slice = quat_slice  # (start, stop) or None
         self._times = []
         self._vals = []
         self._mu = threading.Lock()
@@ -183,7 +190,17 @@ class PyBuffer:
             lo = hi - 1
             denom = self._times[hi] - self._times[lo]
             a = (time - self._times[lo]) / denom if denom > 1e-12 else 0.0
-            return ((1 - a) * self._vals[lo] + a * self._vals[hi]).astype(np.float32)
+            v_lo, v_hi = self._vals[lo], self._vals[hi]
+            out = ((1 - a) * v_lo + a * v_hi).astype(np.float32)
+            if self.quat_slice is not None:
+                s, e = self.quat_slice
+                q0, q1 = v_lo[s:e], v_hi[s:e]
+                if float(np.dot(q0, q1)) < 0:  # hemisphere correction
+                    q1 = -q1
+                q = (1 - a) * q0 + a * q1
+                n = float(np.linalg.norm(q))
+                out[s:e] = (q / n if n > 1e-12 else q0).astype(np.float32)
+            return out
 
     def smoothed(self, end_time, dt, steps):
         return np.stack(
@@ -216,7 +233,10 @@ class PyMailbox:
             return self._seq
 
 
-def make_buffer(dim, time_horizon=2.0):
+def make_buffer(dim, time_horizon=2.0, quat_slice=None):
+    if quat_slice is not None:
+        # quaternion-aware interpolation lives in the Python buffer
+        return PyBuffer(dim, time_horizon, quat_slice=quat_slice)
     try:
         return NativeBuffer(dim, time_horizon)
     except Exception:

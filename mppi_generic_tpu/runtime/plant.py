@@ -248,10 +248,12 @@ class BufferedPlant(BasePlant):
     (core/buffered_plant.hpp:11-84 + buffer.hpp)."""
 
     def __init__(self, *args, buffer_dim=None, buffer_tau=2.0, buffer_dt=0.02,
-                 buffer_steps=10, **kw):
+                 buffer_steps=10, quat_slice=None, **kw):
         super().__init__(*args, **kw)
         dim = buffer_dim or self.controller.dynamics.STATE_DIM
-        self.buffer = make_buffer(dim, buffer_tau)
+        # quat_slice: (start, stop) of a [w,x,y,z] quaternion segment that
+        # must interpolate by slerp/nlerp instead of lerp (buffer.hpp)
+        self.buffer = make_buffer(dim, buffer_tau, quat_slice=quat_slice)
         self.buffer_dt = buffer_dt
         self.buffer_steps = buffer_steps
 

@@ -231,3 +231,24 @@ def test_buffered_plant_warm_start_hook():
     # plain dynamics: hook is a no-op but must not crash
     plant.update_state(np.array([2.0, 0, 0, 1], np.float32), 1.0)
     assert plant.run_control_iteration()
+
+
+def test_buffer_quaternion_nlerp():
+    """Quaternion segments interpolate on the unit sphere with hemisphere
+    correction (buffer.hpp slerps quats; nlerp is its small-angle twin)."""
+    import numpy as np
+    from mppi_generic_tpu.runtime.native import PyBuffer
+
+    buf = PyBuffer(5, quat_slice=(1, 5))
+    q0 = np.array([1.0, 0.0, 0.0, 0.0])
+    th = 0.2
+    q1 = np.array([np.cos(th / 2), np.sin(th / 2), 0.0, 0.0])
+    buf.add(0.0, np.concatenate([[0.0], q0]).astype(np.float32))
+    buf.add(1.0, np.concatenate([[1.0], -q1]).astype(np.float32))  # flipped sign
+    mid = buf.interp(0.5)
+    # scalar part lerps; quaternion part is unit norm and on the short arc
+    assert abs(mid[0] - 0.5) < 1e-6
+    q = mid[1:5]
+    np.testing.assert_allclose(np.linalg.norm(q), 1.0, atol=1e-6)
+    expect = np.array([np.cos(th / 4), np.sin(th / 4), 0.0, 0.0])
+    np.testing.assert_allclose(np.abs(q), np.abs(expect), atol=1e-3)
