@@ -85,8 +85,11 @@ class ControllerBase(struct.PyTreeNode):
     # "combined" = fused rolloutKernel analog; "split" = dynamics scan then
     # time-parallel cost pass (the reference auto-tunes between these).
     kernel: str = struct.field(pytree_node=False, default="combined")
-    # sequential crash-status propagation in the split cost pass
-    sequential_crash: bool = struct.field(pytree_node=False, default=False)
+    # sequential crash-status propagation in the split cost pass. True by
+    # default so sticky-crash costs (e.g. AutoRally) keep identical
+    # semantics whichever kernel the auto-tuner picks; set False to get the
+    # fully time-parallel cost pass for crash-free costs.
+    sequential_crash: bool = struct.field(pytree_node=False, default=True)
     return_samples: bool = struct.field(pytree_node=False, default=False)
     # sample-axis sharding (jax.sharding.NamedSharding) for multi-chip solves
     sample_sharding: Optional[object] = struct.field(pytree_node=False, default=None)
@@ -133,13 +136,8 @@ class ControllerBase(struct.PyTreeNode):
         """Shift the warm-start sequence by ``stride`` and update history
         (controller.cuh:347-360)."""
         mean = ctrl_state.control_mean
-        # history = last two controls that will be consumed by the slide
-        idx0 = jnp.clip(stride - 2, 0, self.num_timesteps - 1)
-        idx1 = jnp.clip(stride - 1, 0, self.num_timesteps - 1)
-        new_hist = jnp.where(
-            stride >= 1,
-            jnp.stack([mean[idx0], mean[idx1]]),
-            ctrl_state.control_history,
+        new_hist = math_utils.update_control_history(
+            ctrl_state.control_history, mean, stride
         )
         new_mean, new_samp_state = self.sampler.shift(
             mean, stride, self.slide_scale, ctrl_state.sampler_state

@@ -11,8 +11,9 @@ Phase 1 — intermediate planner (num_primitive_iters, :89-162):
   (computeBestIndex — argmin, not a weighted average). If the best cost
   exceeds ``stopping_cost_threshold``, issue a stopping trajectory instead
   (computeStoppingTrajectory, :404-420: iterate getStoppingControl through
-  the dynamics) and mark the primitive baseline -inf so MPPI wins the final
-  comparison.
+  the dynamics) and mark the primitive baseline float::min (a tiny positive
+  value) so the stopping trajectory wins the final comparison unless the
+  MPPI refinement's baseline beats it (primitives_controller.cu:131-132).
 
 Phase 2 — MPPI refinement (:174-298): a standard colored-noise MPPI solve
 over a *separate* control sequence ``control_mppi`` (the reference keeps
@@ -40,7 +41,11 @@ from mppi_generic_tpu.ops.weights import FreeEnergyStats
 from mppi_generic_tpu.sampling.piecewise_linear import PiecewiseLinearDistribution
 from mppi_generic_tpu.utils import math_utils
 
-_FLOAT_MIN = jnp.float32(-3.4e38)  # std::numeric_limits<float>::min sentinel
+# std::numeric_limits<float>::min() — the smallest POSITIVE float (the
+# reference's sentinel, primitives_controller.cu:132). With hysteresis 0 the
+# final comparison mppi_baseline < sentinel is then (almost) always false,
+# so the stopping trajectory stays in force once issued.
+_FLOAT_MIN = jnp.float32(1.17549435e-38)
 
 
 class PrimitivesControllerState(ControllerState):
@@ -80,12 +85,8 @@ class PrimitivesController(ColoredMPPI):
         """Both sequences slide (primitives_controller.cu slideControlSequence)."""
         slid = super().slide_control_sequence(ctrl_state, stride)
         mppi = ctrl_state.control_mppi
-        idx0 = jnp.clip(stride - 2, 0, self.num_timesteps - 1)
-        idx1 = jnp.clip(stride - 1, 0, self.num_timesteps - 1)
-        new_hist = jnp.where(
-            stride >= 1,
-            jnp.stack([mppi[idx0], mppi[idx1]]),
-            ctrl_state.mppi_history,
+        new_hist = math_utils.update_control_history(
+            ctrl_state.mppi_history, mppi, stride
         )
         new_mppi = math_utils.slide_control_sequence(mppi, stride, self.slide_scale)
         return slid.replace(control_mppi=new_mppi, mppi_history=new_hist)
@@ -159,9 +160,10 @@ class PrimitivesController(ColoredMPPI):
         else:
             use_mppi = mppi_baseline < prim_baseline + self.hysteresis_cost_threshold
         control = jnp.where(use_mppi, mppi_mean, prim_mean)
-        in_nominal_band = best_idx < (
+        # float compare matching the sampler's carve-out mask
+        in_nominal_band = best_idx.astype(jnp.float32) < (
             self.primitive_sampler.frac_add_nominal * K
-        ).astype(jnp.int32)
+        )
         nominal_state_used = jnp.where(
             use_mppi, 0, jnp.where(in_nominal_band, 1, 3)
         ).astype(jnp.int32)
@@ -196,6 +198,7 @@ class PrimitivesController(ColoredMPPI):
             normalizer=eta,
             free_energy=free_energy,
             crash=crash,
+            sampled_controls=None,
             primitives_baseline=prim_baseline,
             nominal_state_used=nominal_state_used,
             control_mppi=mppi_mean,

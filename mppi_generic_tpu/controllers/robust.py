@@ -43,6 +43,7 @@ from flax import struct
 
 from mppi_generic_tpu.controllers.base import ControllerBase, SolveResult
 from mppi_generic_tpu.ops import weights as weight_ops
+from mppi_generic_tpu.utils import math_utils
 from mppi_generic_tpu.ops.weights import FreeEnergyStats
 
 
@@ -219,20 +220,12 @@ class RobustMPPI(ControllerBase):
 
         # save histories, slide the nominal sequence by its stride
         mean_n = ctrl_state.nominal_mean
-        idx0 = jnp.clip(nominal_stride - 2, 0, T - 1)
-        idx1 = jnp.clip(nominal_stride - 1, 0, T - 1)
-        nom_hist = jnp.where(
-            nominal_stride >= 1,
-            jnp.stack([mean_n[idx0], mean_n[idx1]]),
-            ctrl_state.nominal_control_history,
+        nom_hist = math_utils.update_control_history(
+            ctrl_state.nominal_control_history, mean_n, nominal_stride
         )
         mean_r = ctrl_state.control_mean
-        r_idx0 = jnp.clip(stride - 2, 0, T - 1)
-        r_idx1 = jnp.clip(stride - 1, 0, T - 1)
-        real_hist = jnp.where(
-            stride >= 1,
-            jnp.stack([mean_r[r_idx0], mean_r[r_idx1]]),
-            ctrl_state.control_history,
+        real_hist = math_utils.update_control_history(
+            ctrl_state.control_history, mean_r, stride
         )
         new_nominal_mean, samp_state = self.sampler.shift(
             mean_n, nominal_stride, self.slide_scale, ctrl_state.sampler_state
@@ -284,8 +277,8 @@ class RobustMPPI(ControllerBase):
                 )
                 c_nom, crash_n = self.cost.running_cost(y_nom, u_nom, t, crash_n)
                 c_real, crash_r = self.cost.running_cost(y_real, u_real, t, crash_r)
-                fb_cost = self.sampler.feedback_cost(
-                    u_fb[None, :], self.lam, self.alpha
+                fb_cost = self.sampler.feedback_cost_step(
+                    u_fb, t, self.lam, self.alpha
                 )
                 return (
                     x_nom2,
@@ -339,8 +332,12 @@ class RobustMPPI(ControllerBase):
                 optimization_stride=optimization_stride,
                 state=samp_state,
             )
-            U = self._clamp_controls(U)
+            # the rollouts clamp in-loop (enforceConstraints + write-back);
+            # pre-clamping here would apply the deadband twice. The
+            # once-clamped copy feeds the nominal likelihood term and the
+            # distribution updates (= the written-back nominal control).
             U = self._shard_samples(U)
+            U_c = self._clamp_controls(U)
             if self.kernel in ("pallas", "pallas_fused"):
                 from mppi_generic_tpu.ops import pallas_rollout
 
@@ -367,7 +364,7 @@ class RobustMPPI(ControllerBase):
             # the feedback-included (written-back) control (rmppi_kernels.cu:
             # 595-615 via readControlSample after the dyn kernel's write-back)
             lr_nom = self.sampler.likelihood_ratio_cost(
-                U, mean_nom, self.lam, self.alpha
+                U_c, mean_nom, self.lam, self.alpha
             )
             lr_real = self.sampler.likelihood_ratio_cost(
                 Ur, mean_nom, self.lam, self.alpha
@@ -389,14 +386,16 @@ class RobustMPPI(ControllerBase):
             eta_n = weight_ops.normalizer(w_n)
             eta_r = weight_ops.normalizer(w_r)
             mean_nom, samp_state = self.sampler.update_mean(
-                U, aux, w_n, eta_n, mean_nom, samp_state
+                U_c, aux, w_n, eta_n, mean_nom, samp_state
             )
             mean_real, _ = self.sampler.update_mean(
-                U, aux, w_r, eta_r, mean_real, ctrl_state.sampler_state
+                U_c, aux, w_r, eta_r, mean_real, ctrl_state.sampler_state
             )
-            diag = (j_real, j_nom, w_r, w_n, bl_r, bl_n, eta_r, eta_n, crash)
+            diag = (j_real, j_nom, w_r, w_n, bl_r, bl_n, eta_r, eta_n, crash,
+                    U_c, Ur)
 
-        j_real, j_nom, w_r, w_n, bl_r, bl_n, eta_r, eta_n, crash = diag
+        (j_real, j_nom, w_r, w_n, bl_r, bl_n, eta_r, eta_n, crash,
+         U_c, Ur) = diag
 
         # smooth both sequences with their own histories (:736-738)
         mean_real = self._smooth(mean_real, ctrl_state.control_history)
@@ -428,6 +427,7 @@ class RobustMPPI(ControllerBase):
             normalizer=eta_r,
             free_energy=stats(w_r, bl_r, eta_r, ctrl_state.previous_baseline_real),
             crash=crash,
+            sampled_controls=Ur if self.return_samples else None,
         )
         nominal = SolveResult(
             control_mean=mean_nom,
@@ -441,6 +441,7 @@ class RobustMPPI(ControllerBase):
                 w_n, bl_n, eta_n, ctrl_state.previous_baseline_nominal
             ),
             crash=crash,
+            sampled_controls=U_c if self.return_samples else None,
         )
         result = RobustSolveResult(real=real, nominal=nominal,
                                    best_index=ctrl_state.best_index)

@@ -32,8 +32,10 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from mppi_generic_tpu.controllers.base import ControllerBase, SolveResult
+from mppi_generic_tpu.controllers.base import SolveResult
+from mppi_generic_tpu.controllers.vanilla import VanillaMPPI
 from mppi_generic_tpu.ops import weights as weight_ops
+from mppi_generic_tpu.utils import math_utils
 from mppi_generic_tpu.ops.weights import FreeEnergyStats
 
 
@@ -62,7 +64,7 @@ class TubeSolveResult(struct.PyTreeNode):
     nominal_state_used: jnp.ndarray = None  # 0 if real adopted, 1 otherwise
 
 
-class TubeMPPI(ControllerBase):
+class TubeMPPI(VanillaMPPI):
     nominal_threshold: jnp.ndarray = struct.field(
         default_factory=lambda: jnp.float32(100.0)
     )
@@ -92,73 +94,15 @@ class TubeMPPI(ControllerBase):
         """One vanilla-MPPI iteration for one system (shared noise via key).
 
         The tube's "blockDim.z = 2" dual solve (tube_mppi_controller.cu:
-        190-192) becomes two same-key system solves; with the Pallas fused
-        sampling kernel, the same seed reproduces the same noise draws for
-        both systems, exactly the reference's shared noise tensor."""
-        from mppi_generic_tpu.ops import pallas_rollout
-
-        if self.kernel == "pallas_fused":
-            if self.sample_sharding is not None:
-                raise pallas_rollout.PallasIncompatible(
-                    "kernel='pallas_fused' is single-chip"
-                )
-            seed = jax.random.randint(
-                key, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
-            )
-            costs, crash, U = pallas_rollout.fused_sample_rollout_costs(
-                self.dynamics, self.cost, self.sampler, x0, mean, seed,
-                self.dt, self.lam, self.alpha, self.num_rollouts,
-                iteration=iteration, optimization_stride=optimization_stride,
-            )
-            baseline = weight_ops.baseline_cost(costs)
-            w = weight_ops.norm_exp_weights(costs, self.lam, baseline)
-            eta = weight_ops.normalizer(w)
-            new_mean, new_samp_state = self.sampler.update_mean(
-                U, None, w, eta, mean, samp_state
-            )
-            return new_mean, new_samp_state, (U, costs, w, baseline, eta, crash)
-
-        U, aux = self.sampler.sample(
-            key,
-            mean,
-            self.num_rollouts,
-            iteration=iteration,
-            optimization_stride=optimization_stride,
-            state=samp_state,
+        190-192) becomes two same-key system solves — VanillaMPPI's
+        ``_iteration`` verbatim, so every kernel path (combined / split /
+        pallas / pallas_fused) and weight transform applies identically to
+        both systems. With the fused sampling kernel the same seed
+        reproduces the same noise draws for both systems, exactly the
+        reference's shared noise tensor."""
+        return self._iteration(
+            x0, mean, samp_state, key, iteration, optimization_stride
         )
-        U = self._clamp_controls(U)
-        U = self._shard_samples(U)
-        lr = self.sampler.likelihood_ratio_cost(U, mean, self.lam, self.alpha)
-        from mppi_generic_tpu.ops import rollout as rollout_ops
-
-        T = self.num_timesteps
-        if self.kernel == "split":
-            Y = rollout_ops.rollout_outputs(self.dynamics, x0, U, self.dt)
-            costs, crash = rollout_ops.trajectory_state_costs(
-                self.cost, Y, U, sequential_crash=self.sequential_crash
-            )
-            costs = costs + lr / T
-        elif self.kernel == "pallas":
-            if self.sample_sharding is not None:
-                raise pallas_rollout.PallasIncompatible(
-                    "kernel='pallas' is single-chip"
-                )
-            state_costs, crash = pallas_rollout.fused_rollout_costs(
-                self.dynamics, self.cost, x0, U, self.dt
-            )
-            costs = state_costs + lr / T
-        else:
-            costs, Y, crash = rollout_ops.rollout_combined(
-                self.dynamics, self.cost, x0, U, self.dt
-            )
-            costs = costs + lr / T
-        baseline = weight_ops.baseline_cost(costs)
-        w = weight_ops.norm_exp_weights(costs, self.lam, baseline)
-        eta = weight_ops.normalizer(w)
-        new_mean, new_samp_state = self.sampler.update_mean(
-            U, aux, w, eta, mean, samp_state
-        )
-        return new_mean, new_samp_state, (U, costs, w, baseline, eta, crash)
 
     @partial(jax.jit, static_argnames=())
     def solve(self, state, ctrl_state: TubeControllerState, optimization_stride=0):
@@ -182,8 +126,8 @@ class TubeMPPI(ControllerBase):
                 ctrl_state.sampler_state,
             )
 
-        _, costs_r, w_r, bl_r, eta_r, crash_r = diag_r
-        _, costs_n, w_n, bl_n, eta_n, crash_n = diag_n
+        U_r, costs_r, w_r, bl_r, eta_r, crash_r = diag_r
+        U_n, costs_n, w_n, bl_n, eta_n, crash_n = diag_n
 
         # acceptance (tube_mppi_controller.cu:268-280)
         accept_real = bl_r < bl_n + self.nominal_threshold
@@ -227,6 +171,7 @@ class TubeMPPI(ControllerBase):
             normalizer=eta_r,
             free_energy=stats(w_r, bl_r, eta_r, ctrl_state.previous_baseline_real),
             crash=crash_r,
+            sampled_controls=U_r if self.return_samples else None,
         )
         nominal = SolveResult(
             control_mean=mean_nom,
@@ -238,6 +183,7 @@ class TubeMPPI(ControllerBase):
             normalizer=eta_n,
             free_energy=stats(w_n, bl_n, eta_n, ctrl_state.previous_baseline_nominal),
             crash=crash_n,
+            sampled_controls=U_n if self.return_samples else None,
         )
         result = TubeSolveResult(
             real=real,
@@ -269,13 +215,8 @@ class TubeMPPI(ControllerBase):
             self.dt,
         )
         mean_n = ctrl_state.nominal_mean
-        T = self.num_timesteps
-        idx0 = jnp.clip(stride - 2, 0, T - 1)
-        idx1 = jnp.clip(stride - 1, 0, T - 1)
-        new_hist = jnp.where(
-            stride >= 1,
-            jnp.stack([mean_n[idx0], mean_n[idx1]]),
-            ctrl_state.control_history,
+        new_hist = math_utils.update_control_history(
+            ctrl_state.control_history, mean_n, stride
         )
         new_nom, samp_state = self.sampler.shift(
             mean_n, stride, self.slide_scale, ctrl_state.sampler_state

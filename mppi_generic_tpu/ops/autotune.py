@@ -23,8 +23,10 @@ DEFAULT_CANDIDATES = ("combined", "split", "pallas", "pallas_fused")
 
 def _config_key(controller):
     return (
+        type(controller).__name__,
         type(controller.dynamics).__name__,
         type(controller.cost).__name__,
+        type(controller.sampler).__name__,
         int(controller.num_rollouts),
         int(controller.num_timesteps),
         controller.sample_sharding is not None,
@@ -37,12 +39,12 @@ def time_solve(controller, x0, ctrl_state, num_evaluations=10):
     warm-up/compile call). Returns seconds."""
     solve = jax.jit(lambda x, s: controller.solve(x, s))
     result, state = solve(x0, ctrl_state)
-    jax.block_until_ready(result.control_mean)
+    jax.block_until_ready(result)  # any result pytree (tube/robust too)
     times = []
     for _ in range(num_evaluations):
         t0 = time.perf_counter()
         result, state = solve(x0, ctrl_state)
-        jax.block_until_ready(result.control_mean)
+        jax.block_until_ready(result)
         times.append(time.perf_counter() - t0)
     times.sort()
     return times[len(times) // 2]

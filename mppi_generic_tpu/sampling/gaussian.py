@@ -125,6 +125,16 @@ class GaussianDistribution(SamplingDistribution):
         per_elem = coeff * mu * (mu - 2.0 * u) / (sigma * sigma)
         return 0.5 * lam * (1.0 - alpha) * jnp.sum(per_elem, axis=0)
 
+    def feedback_cost_step(self, u_fb, t, lam, alpha):
+        """Per-step feedback cost with the step's own sigma (the (T, C)
+        variant of feedback_cost; RMPPI accumulates this inside its rollout,
+        gaussian.cu:572-629)."""
+        sigma = self.std_dev[t] if self.time_specific_std_dev else self.std_dev
+        sigma = self._bcast_like(sigma, u_fb)
+        coeff = self._bcast_like(self.control_cost_coeff, u_fb)
+        per_elem = coeff * u_fb * u_fb / (sigma * sigma)
+        return 0.5 * lam * (1.0 - alpha) * jnp.sum(per_elem, axis=0)
+
     def feedback_cost(self, u_fb, lam, alpha):
         T = u_fb.shape[-2]
         sigma = self._sigma(T, 0)

@@ -204,6 +204,22 @@ def savitzky_golay_smooth(u_seq, history=None):
     return jnp.einsum("w,wtc->tc", SG_FILTER_5, windows)
 
 
+def update_control_history(history, u_seq, stride):
+    """2-step executed-control history update before a slide
+    (saveControlHistoryHelper, controller.cuh:524-544): stride >= 2 takes the
+    last two consumed controls [u[stride-2], u[stride-1]]; stride == 1 shifts
+    [history[1], u[0]]; stride == 0 leaves the history unchanged. ``stride``
+    may be traced."""
+    T = u_seq.shape[0]
+    idx0 = jnp.clip(stride - 2, 0, T - 1)
+    idx1 = jnp.clip(stride - 1, 0, T - 1)
+    two_plus = jnp.stack([u_seq[idx0], u_seq[idx1]])
+    one = jnp.stack([history[1], u_seq[0]])
+    return jnp.where(
+        stride >= 2, two_plus, jnp.where(stride == 1, one, history)
+    )
+
+
 def slide_control_sequence(u_seq, stride, slide_scale=None):
     """Shift the control sequence forward by ``stride`` steps.
 

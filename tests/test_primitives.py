@@ -64,7 +64,8 @@ def test_stopping_trajectory_issued_when_baseline_too_high():
     res, _ = jax.jit(ctrl.solve)(x0, cs)
     # DI stopping control == zero_control == 0; smoothing preserves constants
     np.testing.assert_allclose(np.asarray(res.control_mean), 0.0, atol=1e-5)
-    assert float(res.primitives_baseline) < -1e30
+    # sentinel = float::min (tiny positive), primitives_controller.cu:132
+    assert 0.0 <= float(res.primitives_baseline) < 1e-30
 
 
 def test_greedy_primitive_improves_cost():
