@@ -178,13 +178,18 @@ class RobustMPPI(ControllerBase):
                 U_all = jax.vmap(shift_controls)(cand_strides)
                 U_flat = U_all.reshape(n * S_per, T, -1)
                 x0_all = jnp.repeat(candidates, S_per, axis=0)
-                lr = self.sampler.likelihood_ratio_cost(
-                    U_flat, ctrl_state.nominal_mean, self.lam, self.alpha
-                )
+                # LR per candidate block: the Gaussian pure-noise carve-out
+                # mask is defined over the S_per sample axis, NOT the
+                # flattened (candidate * sample) axis
+                lr = jax.vmap(
+                    lambda Uc: self.sampler.likelihood_ratio_cost(
+                        Uc, ctrl_state.nominal_mean, self.lam, self.alpha
+                    )
+                )(U_all)  # (n, S_per)
                 costs, _ = pallas_rollout.fused_rollout_costs(
                     self.dynamics, self.cost, x0_all, U_flat, self.dt
                 )
-                cand_costs = (costs + lr / T).reshape(n, S_per)
+                cand_costs = costs.reshape(n, S_per) + lr / T
             else:
                 def eval_candidate(x0, cand_stride):
                     U_c = shift_controls(cand_stride)
@@ -364,10 +369,10 @@ class RobustMPPI(ControllerBase):
             # the feedback-included (written-back) control (rmppi_kernels.cu:
             # 595-615 via readControlSample after the dyn kernel's write-back)
             lr_nom = self.sampler.likelihood_ratio_cost(
-                U_c, mean_nom, self.lam, self.alpha
+                U_c, mean_nom, self.lam, self.alpha, iteration=it
             )
             lr_real = self.sampler.likelihood_ratio_cost(
-                Ur, mean_nom, self.lam, self.alpha
+                Ur, mean_nom, self.lam, self.alpha, iteration=it
             )
             j_real = j_real_state + lr_real / T
             j_nom = (

@@ -61,14 +61,18 @@ class VanillaMPPI(ControllerBase):
             return weight_ops.cem_weights(costs, self.cem_elite_fraction)
         raise ValueError(f"unknown weight transform {self.weight_transform}")
 
-    def _rollout_costs(self, x0, U, mean, sampler=None):
+    def _rollout_costs(self, x0, U, mean, sampler=None, iteration=0):
         """Returns (costs (K,), Y (K,T,O), crash (K,)) including the
         likelihood-ratio term, normalized by T. ``sampler`` overrides the
         distribution whose likelihood term is charged (the Primitives
-        controller scores its piecewise phase with its own sampler)."""
+        controller scores its piecewise phase with its own sampler);
+        ``iteration`` selects the decayed sigma the samples were drawn
+        with."""
         T = self.num_timesteps
         sampler = self.sampler if sampler is None else sampler
-        lr = sampler.likelihood_ratio_cost(U, mean, self.lam, self.alpha)
+        lr = sampler.likelihood_ratio_cost(
+            U, mean, self.lam, self.alpha, iteration=iteration
+        )
         if self.kernel == "split":
             Y = rollout_ops.rollout_outputs(self.dynamics, x0, U, self.dt)
             state_costs, crash = rollout_ops.trajectory_state_costs(
@@ -129,7 +133,7 @@ class VanillaMPPI(ControllerBase):
         )
         U = self._clamp_controls(U)
         U = self._shard_samples(U)
-        costs, Y, crash = self._rollout_costs(x0, U, mean)
+        costs, Y, crash = self._rollout_costs(x0, U, mean, iteration=iteration)
         baseline = weight_ops.baseline_cost(costs)
         w = self._transform_weights(costs, baseline)
         eta = weight_ops.normalizer(w)

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from mppi_generic_tpu.feedback.base import FeedbackController
 from mppi_generic_tpu.models.base import Dynamics
 
 
@@ -187,7 +188,7 @@ def ilqr_tracking(
     return DDPFeedbackState(gains=gains, x_traj=xs, u_traj=us, total_cost=cost)
 
 
-class DDPFeedback(struct.PyTreeNode):
+class DDPFeedback(FeedbackController):
     """DDPFeedback analog (feedback_controllers/DDP/ddp.cuh:106-161):
     iLQR tracking of the nominal trajectory, gains applied as
     u_fb = K[t](x - x_goal)."""
@@ -249,13 +250,3 @@ class DDPFeedback(struct.PyTreeNode):
 
     def k(self, x, x_goal, t, fb_state: DDPFeedbackState):
         return fb_state.gains[t] @ (x - x_goal)
-
-    def interpolate_feedback(self, x, fb_state, rel_time, dt, goal_traj):
-        T = goal_traj.shape[0]
-        idx_f = jnp.clip(rel_time / dt, 0.0, T - 1.0)
-        lo = jnp.clip(jnp.floor(idx_f).astype(jnp.int32), 0, T - 1)
-        hi = jnp.clip(lo + 1, 0, T - 1)
-        a = idx_f - lo.astype(jnp.float32)
-        u_lo = self.k(x, goal_traj[lo], lo, fb_state)
-        u_hi = self.k(x, goal_traj[hi], hi, fb_state)
-        return (1 - a) * u_lo + a * u_hi

@@ -76,15 +76,6 @@ class RacerDubinsElevationDynamics(RacerDubinsDynamics):
         return cls(elevation_map=elevation_map, **base, **params)
 
     # --- parametric acceleration (racer_dubins_elevation.cu:33-67) ----------
-    def _regime_index(self, vel):
-        linear_brake_slope = 0.2
-        return (
-            ((jnp.abs(vel) > linear_brake_slope) & (jnp.abs(vel) <= 3.0)).astype(
-                jnp.int32
-            )
-            + (jnp.abs(vel) > 3.0).astype(jnp.int32) * 2
-        )
-
     @staticmethod
     def _regime_select(vel, table):
         """table[regime(vel)] as a where-chain of scalar extracts — a batched

@@ -108,9 +108,10 @@ class RacerSuspensionDynamics(Dynamics):
         if self.elevation_map is None:
             return jnp.zeros_like(px)
         # broadcast-safe bilinear height query (flat normal like the
-        # reference's disabled lookup)
+        # reference's disabled lookup); coordinates stack on the trailing
+        # axis so world_to_map's (3,) origin broadcast works in every regime
         return self.elevation_map.query_at_world_pose(
-            jnp.stack([px, py, jnp.zeros_like(px)])
+            jnp.stack([px, py, jnp.zeros_like(px)], axis=-1)
         )
 
     # ------------------------------------------------------------------
@@ -212,11 +213,11 @@ class RacerSuspensionDynamics(Dynamics):
             ty = sz * nbx - sx * nbz
             tz = sx * nby - sy * nbx
 
-            # contact-point velocity in body frame
+            # contact-point velocity in body frame (only the lateral
+            # component feeds the force model; the longitudinal force is the
+            # clamped propulsion split, racer_suspension.cu:199)
             cvx, cvy, cvz = Rt_mul(pdx, pdy, h_dot_i)
-            v_w_t = tx * cvx + ty * cvy + tz * cvz
             v_w_s = sx * cvx + sy * cvy + sz * cvz
-            del v_w_t
 
             f_n = f_k
             mu_s = _stribeck_friction(v_w_s, self.mu, self.v_slip)
@@ -293,12 +294,12 @@ class RacerSuspensionDynamics(Dynamics):
         """Output layout per OutputIndex (racer_suspension.cuh:36-64).
 
         The wheel positions/forces require the force computation; ``step``
-        overrides fill them — this zero-control fallback only fills the
-        kinematic entries (used by generic helpers)."""
-        return self._output(x, jnp.zeros_like(x[:2]))
+        assembles them from its own derivation pass — this zero-control
+        fallback re-derives (used only by generic helpers)."""
+        xdot, aux = self._derive(x, jnp.zeros_like(x[:2]))
+        return self._assemble_output(x, xdot, aux)
 
-    def _output(self, x, u):
-        xdot, aux = self._derive(x, u)
+    def _assemble_output(self, x, xdot, aux):
         px, py, pz = x[0], x[1], x[2]
         qw, qx, qy, qz = x[3], x[4], x[5], x[6]
         vx, vy, vz = x[7], x[8], x[9]
@@ -326,11 +327,12 @@ class RacerSuspensionDynamics(Dynamics):
         )
 
     def step(self, x, u, t, dt):
-        """One step with the full output vector (wheel positions/forces come
-        from the same force pass as the derivative)."""
-        xdot = self.state_deriv(x, u, t)
+        """One step with the full output vector — ONE force pass per step:
+        the derivative and the output entries come from the same derivation
+        at the pre-step state (racer_suspension.cu:31-45)."""
+        xdot, aux = self._derive(x, u)
         x_next = self.update_state(x, xdot, dt)
-        return x_next, self._output(x_next, u)
+        return x_next, self._assemble_output(x, xdot, aux)
 
     def get_zero_state(self):
         """Rest at static equilibrium with identity attitude: the spring

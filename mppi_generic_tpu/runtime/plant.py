@@ -192,11 +192,16 @@ class BasePlant:
                 int(round(dt_wall / float(self.controller.dt))),
                 self.optimization_stride,
             )
+        ctrl = self.controller
+        # A stall longer than the horizon clamps to T-1: the whole warm-start
+        # is stale, so slide it out entirely but keep the frozen-head mask
+        # (optimization_stride) within bounds — passing stride >= T to the
+        # solve would pin every timestep of every sample to the stale mean.
+        stride = min(stride, ctrl.num_timesteps - 1)
         self.last_optimization_stride = stride
 
-        ctrl = self.controller
         cs = self.controller_state
-        if 0 < stride < ctrl.num_timesteps:
+        if stride > 0:
             if hasattr(ctrl, "update_importance_sampling"):
                 cs, _ = ctrl.update_importance_sampling(
                     jnp.asarray(state), cs, stride

@@ -49,7 +49,8 @@ class SamplingDistribution(struct.PyTreeNode):
         """
         raise NotImplementedError
 
-    def likelihood_ratio_cost(self, U, mean, lam, alpha, num_rollouts=None):
+    def likelihood_ratio_cost(self, U, mean, lam, alpha, num_rollouts=None,
+                              iteration=0):
         """Per-sample likelihood-ratio control cost, summed over (t, channel).
 
         Returns (K,) — the rollout adds this to the running cost before the

@@ -107,9 +107,13 @@ class GaussianDistribution(SamplingDistribution):
         mean_mask = (k_idx == 0) | (t_idx < optimization_stride)
         return jnp.where(mean_mask, mean[None], U)
 
-    def likelihood_ratio_cost(self, U, mean, lam, alpha, num_rollouts=None):
+    def likelihood_ratio_cost(self, U, mean, lam, alpha, num_rollouts=None,
+                              iteration=0):
         K, T, C = U.shape
-        sigma = self._sigma(T, 0)[None]  # decay is already baked into samples
+        # the samples at optimization iteration i were drawn with the
+        # decayed sigma — the LR term must divide by the same value
+        # (the reference decays std_dev_ in place, gaussian.cu:423)
+        sigma = self._sigma(T, iteration)[None]
         mu = jnp.broadcast_to(mean[None], U.shape)
         mu = jnp.where(self._pure_noise_mask(K)[:, None, None], 0.0, mu)
         coeff = self.control_cost_coeff[None, None, :]

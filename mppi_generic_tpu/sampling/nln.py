@@ -27,7 +27,7 @@ class NLNDistribution(GaussianDistribution):
         kn, kl = jax.random.split(key)
         normal = jax.random.normal(kn, (num_rollouts, T, C), dtype=mean.dtype)
         # LogNormal(mu=0, sigma=std_dev_c): exp(sigma_c * N(0,1))
-        sigma = self.std_dev if not self.time_specific_std_dev else self.std_dev
+        sigma = self.std_dev
         log_normal = jnp.exp(
             sigma * jax.random.normal(kl, (num_rollouts, T, C), dtype=mean.dtype)
         )
