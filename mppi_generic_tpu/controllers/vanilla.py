@@ -48,9 +48,15 @@ class VanillaMPPI(ControllerBase):
     cem_elite_fraction: jnp.ndarray = struct.field(
         default_factory=lambda: jnp.float32(0.1)
     )
+    # pluggable shaping-function pytree (shaping/__init__.py) — when set it
+    # overrides the string dispatch above (the reference's decoupled
+    # shaping_functions/ layer plugged into a controller)
+    shaping_function: object = None
 
     # ------------------------------------------------------------------
     def _transform_weights(self, costs, baseline):
+        if self.shaping_function is not None:
+            return self.shaping_function.compute_weights(costs, baseline)
         if self.weight_transform == "exp":
             return weight_ops.norm_exp_weights(costs, self.lam, baseline)
         if self.weight_transform == "tsallis":

@@ -57,24 +57,34 @@ class ARStandardCost(Cost):
     costmap: Optional[MapTexture2D] = None
 
     def _track_value(self, x, y):
+        if self.costmap is None:
+            # no costmap loaded: on-track everywhere (the reference requires
+            # costmapToTexture before use; a zero map is the benign default)
+            return jnp.zeros_like(x)
         pt = jnp.stack([x, y, jnp.zeros_like(x)], axis=-1)
         val = self.costmap.query_at_world_pose(pt)
         if val.ndim > jnp.ndim(x):  # multichannel costmap: channel 0
             val = val[..., 0]
         return val
 
-    def _track_cost(self, y, crash):
+    def _track_query(self, y, crash):
+        """Front/back costmap samples + boundary crash flag — shared by the
+        standard and robust track costs so the query geometry can't drift."""
         cos_y, sin_y = jnp.cos(y[2]), jnp.sin(y[2])
         front = self._track_value(y[0] + FRONT_D * cos_y, y[1] + FRONT_D * sin_y)
         back = self._track_value(y[0] + BACK_D * cos_y, y[1] + BACK_D * sin_y)
         track = 0.5 * (jnp.abs(front) + jnp.abs(back))
-        track = jnp.where(
-            jnp.abs(track) < self.track_slop, 0.0, self.track_coeff * track
-        )
         crash = jnp.where(
             (front >= self.boundary_threshold) | (back >= self.boundary_threshold),
             jnp.ones_like(crash),
             crash,
+        )
+        return track, crash
+
+    def _track_cost(self, y, crash):
+        track, crash = self._track_query(y, crash)
+        track = jnp.where(
+            jnp.abs(track) < self.track_slop, 0.0, self.track_coeff * track
         )
         return track, crash
 
@@ -117,16 +127,7 @@ class ARRobustCost(ARStandardCost):
     a smooth quadratic barrier toward the boundary before crashing."""
 
     def _track_cost(self, y, crash):
-        cos_y, sin_y = jnp.cos(y[2]), jnp.sin(y[2])
-        front = self._track_value(y[0] + FRONT_D * cos_y, y[1] + FRONT_D * sin_y)
-        back = self._track_value(y[0] + BACK_D * cos_y, y[1] + BACK_D * sin_y)
-        track = 0.5 * (jnp.abs(front) + jnp.abs(back))
+        track, crash = self._track_query(y, crash)
         # quadratic barrier normalized by the boundary threshold
         d = track / jnp.maximum(self.boundary_threshold, 1e-6)
-        cost = self.track_coeff * 0.5 * d * d
-        crash = jnp.where(
-            (front >= self.boundary_threshold) | (back >= self.boundary_threshold),
-            jnp.ones_like(crash),
-            crash,
-        )
-        return cost, crash
+        return self.track_coeff * 0.5 * d * d, crash

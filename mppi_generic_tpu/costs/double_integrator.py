@@ -57,27 +57,11 @@ class DoubleIntegratorCircleCost(Cost):
         return jnp.zeros_like(y[0])
 
 
-class DoubleIntegratorRobustCost(Cost):
+class DoubleIntegratorRobustCost(DoubleIntegratorCircleCost):
     """Smooth-barrier robust variant (double_integrator_robust_cost.cu):
-    quadratic penalty on normalized distance from the track-center radius,
-    scaled into a crash-cost barrier, plus the same velocity/momentum terms.
-    """
-
-    CONTROL_DIM: int = struct.field(pytree_node=False, default=2)
-    OUTPUT_DIM: int = struct.field(pytree_node=False, default=4)
-
-    velocity_cost: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(1.0))
-    crash_cost: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(1000.0))
-    velocity_desired: jnp.ndarray = struct.field(default_factory=lambda: jnp.float32(2.0))
-    inner_path_radius2: jnp.ndarray = struct.field(
-        default_factory=lambda: jnp.float32(1.875**2)
-    )
-    outer_path_radius2: jnp.ndarray = struct.field(
-        default_factory=lambda: jnp.float32(2.125**2)
-    )
-    angular_momentum_desired: jnp.ndarray = struct.field(
-        default_factory=lambda: jnp.float32(4.0)
-    )
+    same fields and velocity/momentum terms as the circle cost, with the
+    hard annulus crash replaced by a quadratic barrier on the normalized
+    distance from the track-center radius."""
 
     def state_cost(self, y, t, crash):
         radial2 = y[0] * y[0] + y[1] * y[1]
@@ -99,6 +83,3 @@ class DoubleIntegratorRobustCost(Cost):
             ang_mom - self.angular_momentum_desired
         )
         return cost, crash
-
-    def terminal_cost(self, y):
-        return jnp.zeros_like(y[0])

@@ -99,6 +99,9 @@ class QuadrotorMapCost(QuadrotorQuadraticCost):
 
     def state_cost(self, y, t, crash):
         base, crash = super().state_cost(y, t, crash)
+        if self.costmap is None:
+            # no costmap loaded: the quadratic terms only (benign default)
+            return base, crash
         pt = jnp.stack([y[0], y[1], jnp.zeros_like(y[0])], axis=-1)
         map_val = self.costmap.query_at_world_pose(pt)
         if map_val.ndim > jnp.ndim(y[0]):

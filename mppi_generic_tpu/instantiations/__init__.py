@@ -53,13 +53,16 @@ def _controller(dynamics, cost, std_dev, *, num_rollouts, num_timesteps,
     return ctrl, feedback
 
 
-def autorally_mppi(num_rollouts=1920, num_timesteps=150, nn=None, **kw):
+def autorally_mppi(num_rollouts=1920, num_timesteps=150, nn=None,
+                   costmap=None, **kw):
     """AutoRally NN-dynamics racing setup
     (instantiations/autorally_mppi/autorally_mppi.cuh:10-18: 1920 rollouts,
-    150 timesteps, NeuralNetModel<7,2,3> + ARStandardCost + DDP feedback)."""
+    150 timesteps, NeuralNetModel<7,2,3> + ARStandardCost + DDP feedback).
+    ``costmap``: a MapTexture2D track map (costmapToTexture analog); without
+    one the track term is zero (on-track everywhere)."""
     dyn = AutorallyNNDynamics.create(nn=nn)
     return _controller(
-        dyn, ARStandardCost(), [0.3, 0.5],
+        dyn, ARStandardCost(costmap=costmap), [0.3, 0.5],
         num_rollouts=num_rollouts, num_timesteps=num_timesteps, **kw,
     )
 

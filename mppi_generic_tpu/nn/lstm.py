@@ -225,6 +225,13 @@ class LSTMLSTM(struct.PyTreeNode):
         """Run the init-LSTM over the last init_len buffer rows
         (buffer: (T_buf, I_init)) and return the prediction LSTM's (h0, c0)
         (lstm_lstm_helper.cu:50-73)."""
+        if self.init_len is not None and buffer.shape[0] < self.init_len:
+            raise ValueError(
+                f"warm-start buffer has {buffer.shape[0]} rows but the init "
+                f"network expects {self.init_len} (resample the sensor "
+                "buffer to a fixed-dt window first, buffer.hpp "
+                "getSmoothedBuffer)"
+            )
         window = buffer[-self.init_len :]
         h, c = self.init_model.init_hidden_cell()
 

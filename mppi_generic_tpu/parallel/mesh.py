@@ -26,6 +26,11 @@ def make_sample_mesh(num_devices: Optional[int] = None, devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()
     if num_devices is not None:
+        if num_devices > len(devices):
+            raise ValueError(
+                f"requested a {num_devices}-device mesh but only "
+                f"{len(devices)} devices are available"
+            )
         devices = devices[:num_devices]
     return jax.make_mesh(
         (len(devices),),
@@ -48,17 +53,19 @@ def distributed_init(coordinator_address=None, num_processes=None,
     spans hosts (SURVEY §2.12 — the reference has no distributed backend;
     this is the TPU-native scaling path). No-op if already initialized or
     running single-process with no coordinator configured."""
-    try:
-        if coordinator_address is None and num_processes is None:
+    if coordinator_address is None and num_processes is None:
+        try:
             jax.distributed.initialize()  # env-driven (TPU pod autodetect)
-        else:
-            jax.distributed.initialize(
-                coordinator_address=coordinator_address,
-                num_processes=num_processes,
-                process_id=process_id,
-            )
-    except (RuntimeError, ValueError):
-        pass  # already initialized or single-process environment
+        except (RuntimeError, ValueError):
+            pass  # already initialized or single-process environment
+    else:
+        # explicit multi-host config: a failure here means the pod is NOT
+        # what the caller asked for — never silently fall back to one host
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
 
 
 def shard_controller(controller, mesh: Mesh):

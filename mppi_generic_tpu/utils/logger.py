@@ -30,8 +30,8 @@ _RESET = "\033[0m"
 
 
 class _ColorFormatter(logging.Formatter):
-    def __init__(self, use_color: bool):
-        super().__init__("%(name)s %(levelname)s: %(message)s")
+    def __init__(self, use_color: bool, display_name: str):
+        super().__init__(f"{display_name} %(levelname)s: %(message)s")
         self.use_color = use_color
 
     def format(self, record):
@@ -48,12 +48,15 @@ class MPPILogger:
 
     def __init__(self, name: str = "mppi", level: LogLevel = LogLevel.INFO,
                  stream=None, use_color: bool = True):
-        self._logger = logging.getLogger(name)
+        # unique underlying logger per instance so each injected logger owns
+        # its level/sink (shared names would alias logging.Logger state);
+        # the display name stays ``name``
+        self._logger = logging.getLogger(f"{name}.{id(self)}")
         self._logger.propagate = False
-        if not self._logger.handlers:
-            handler = logging.StreamHandler(stream or sys.stderr)
-            handler.setFormatter(_ColorFormatter(use_color))
-            self._logger.addHandler(handler)
+        self._logger.handlers.clear()
+        handler = logging.StreamHandler(stream or sys.stderr)
+        handler.setFormatter(_ColorFormatter(use_color, name))
+        self._logger.addHandler(handler)
         self.set_log_level(level)
 
     def set_log_level(self, level: LogLevel):

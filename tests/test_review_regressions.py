@@ -122,3 +122,53 @@ def test_autotune_works_for_tube():
         candidates=("combined", "split"),
     )
     assert tuned.kernel in ("combined", "split")
+
+
+def test_autorally_factory_usable_without_costmap():
+    """The shipped autorally preset must solve out of the box (track term
+    zero without a map) and accept an injected costmap."""
+    import mppi_generic_tpu.instantiations as inst
+    from mppi_generic_tpu.maps.texture import MapTexture2D
+
+    ctrl, fb = inst.autorally_mppi(num_rollouts=64, num_timesteps=12)
+    cs = ctrl.init_state(jax.random.PRNGKey(0))
+    x0 = jnp.zeros(7).at[4].set(3.0)
+    res, _ = jax.jit(ctrl.solve)(x0, cs)
+    assert bool(jnp.all(jnp.isfinite(res.control_mean)))
+
+    tex = MapTexture2D.create(np.ones((8, 8), np.float32),
+                              origin=(-4, -4, 0), resolution=1.0)
+    ctrl2, _ = inst.autorally_mppi(num_rollouts=64, num_timesteps=12,
+                                   costmap=tex)
+    res2, _ = jax.jit(ctrl2.solve)(x0, cs)
+    # on an all-ones (off-track) map, costs must be strictly higher
+    assert float(res2.baseline) > float(res.baseline)
+
+
+def test_logger_instances_isolated():
+    import io
+    from mppi_generic_tpu.utils.logger import LogLevel, MPPILogger
+
+    a = MPPILogger("mppi", level=LogLevel.DEBUG)
+    buf = io.StringIO()
+    b = MPPILogger("mppi", level=LogLevel.ERROR, stream=buf, use_color=False)
+    assert a.level == LogLevel.DEBUG  # not clobbered by b's constructor
+    b.error("boom")
+    assert "boom" in buf.getvalue()  # b's sink honored
+
+
+def test_shaping_function_pluggable_into_controller():
+    from mppi_generic_tpu.shaping import CEMShapingFunction
+
+    ctrl = VanillaMPPI(
+        dynamics=DoubleIntegratorDynamics.create(),
+        cost=DoubleIntegratorCircleCost(),
+        sampler=GaussianDistribution.create(std_dev=[1.0, 1.0]),
+        num_timesteps=16, num_rollouts=64,
+        shaping_function=CEMShapingFunction(elite_fraction=jnp.float32(0.25)),
+    )
+    cs = ctrl.init_state(jax.random.PRNGKey(0))
+    res, _ = jax.jit(ctrl.solve)(jnp.array([2.0, 0.0, 0.0, 1.0]), cs)
+    w = np.asarray(res.weights)
+    assert set(np.unique(w)) <= {0.0, 1.0}
+    assert int(w.sum()) == 16  # 25% of 64 elites
