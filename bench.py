@@ -133,5 +133,136 @@ def main():
     )
 
 
+def _steady_state_ms(ctrl, x0, S=200, key=None):
+    """Closed-loop steady-state ms/solve for any controller type."""
+    cs = ctrl.init_state(key if key is not None else _rng_key())
+
+    def body(carry, _):
+        x, cs = carry
+        cs = ctrl.slide_control_sequence(cs, 1)
+        res, cs = ctrl.solve(x, cs)
+        main_res = getattr(res, "real", res)
+        x, _ = ctrl.dynamics.step(x, main_res.control_mean[0], 0.0, ctrl.dt)
+        return (x, cs), main_res.baseline
+
+    loop = jax.jit(lambda x, cs: jax.lax.scan(body, (x, cs), None, length=S))
+    out = loop(x0, cs)
+    jax.block_until_ready(out[1])
+    t0 = time.perf_counter()
+    out = loop(x0, cs)
+    jax.block_until_ready(out[1])
+    return (time.perf_counter() - t0) / S * 1e3
+
+
+def suite():
+    """The five BASELINE.json benchmark configs, one JSON line each."""
+    import numpy as _np
+
+    from mppi_generic_tpu.controllers import RobustMPPI, VanillaMPPI
+    from mppi_generic_tpu.costs import (
+        ARStandardCost,
+        CartpoleQuadraticCost,
+        DoubleIntegratorCircleCost,
+    )
+    from mppi_generic_tpu.feedback import DDPFeedback
+    from mppi_generic_tpu.maps.texture import MapTexture2D
+    from mppi_generic_tpu.models import (
+        AutorallyNNDynamics,
+        BicycleSlipDynamics,
+        CartpoleDynamics,
+        DoubleIntegratorDynamics,
+    )
+    from mppi_generic_tpu.sampling import (
+        ColoredNoiseDistribution,
+        GaussianDistribution,
+    )
+
+    on_tpu = jax.default_backend() == "tpu"
+    fast = "pallas_fused" if on_tpu else "combined"
+    results = []
+
+    def report(name, ctrl, x0, K, note=""):
+        ms = _steady_state_ms(ctrl, x0)
+        entry = {
+            "config": name,
+            "steady_state_solve_ms": ms,
+            "solves_per_sec": 1e3 / ms,
+            "rollouts_per_sec": K / (ms / 1e3),
+            "meets_50hz_budget": ms < 20.0,
+            "kernel": ctrl.kernel,
+        }
+        if note:
+            entry["note"] = note
+        results.append(entry)
+        print(json.dumps(entry))
+
+    # 1. double integrator, H=100, K=1024
+    report("double_integrator_example_K1024",
+           build_controller(K=1024, T=100, kernel=fast),
+           jnp.array([2.0, 0.0, 0.0, 1.0]), 1024)
+
+    # 2. cartpole swing-up, K=8192
+    ctrl = VanillaMPPI(
+        dynamics=CartpoleDynamics.create(control_ranges=[[-5.0, 5.0]]),
+        cost=CartpoleQuadraticCost(coeffs=jnp.array([100.0, 10.0, 200.0, 20.0])),
+        sampler=GaussianDistribution.create(std_dev=[5.0]),
+        dt=jnp.float32(0.02), lam=jnp.float32(1.0), alpha=jnp.float32(0.0),
+        num_timesteps=100, num_rollouts=8192, num_iters=1, kernel=fast,
+    )
+    report("cartpole_example_K8192", ctrl, jnp.zeros(4), 8192)
+
+    # 3. bicycle slip + colored noise + track-map texture cost
+    tex = MapTexture2D.create(
+        _np.abs(_np.random.default_rng(0).normal(size=(128, 128))).astype("f"),
+        origin=(-64, -64, 0), resolution=1.0,
+    )
+    ctrl = VanillaMPPI(
+        dynamics=BicycleSlipDynamics.create(),
+        cost=ARStandardCost(costmap=tex),
+        sampler=ColoredNoiseDistribution.create(
+            std_dev=[0.3, 0.5], exponents=[1.0, 1.0]
+        ),
+        dt=jnp.float32(0.02), lam=jnp.float32(1.0), alpha=jnp.float32(0.0),
+        num_timesteps=100, num_rollouts=1920, num_iters=1,
+        kernel="combined",  # map gathers are XLA-path (see docs/design.md)
+    )
+    report("bicycle_slip_colored_trackmap", ctrl,
+           jnp.zeros(ctrl.dynamics.STATE_DIM), 1920)
+
+    # 4. autorally NN dynamics at the 50 Hz real-time budget
+    ctrl = VanillaMPPI(
+        dynamics=AutorallyNNDynamics.create(key=jax.random.PRNGKey(0)),
+        cost=ARStandardCost(costmap=tex),
+        sampler=GaussianDistribution.create(std_dev=[0.3, 0.5]),
+        dt=jnp.float32(0.02), lam=jnp.float32(1.0), alpha=jnp.float32(0.0),
+        num_timesteps=150, num_rollouts=1920, num_iters=1, kernel="combined",
+    )
+    report("autorally_nn_K1920_T150", ctrl,
+           jnp.zeros(7).at[4].set(3.0), 1920)
+
+    # 5. RMPPI with DDP feedback on the DI CoRL scenario
+    dyn = DoubleIntegratorDynamics.create()
+    ctrl = RobustMPPI(
+        dynamics=dyn, cost=DoubleIntegratorCircleCost(),
+        sampler=GaussianDistribution.create(std_dev=[1.0, 1.0]),
+        dt=jnp.float32(0.02), lam=jnp.float32(2.0), alpha=jnp.float32(0.0),
+        num_timesteps=50, num_rollouts=2560,
+        num_candidates=9, samples_per_condition=256,
+        value_function_threshold=jnp.float32(20.0),
+        feedback=DDPFeedback.create(dyn, 0.02),
+        kernel="pallas" if on_tpu else "combined",
+    )
+    report("rmppi_ddp_di_corl2020_K2560", ctrl,
+           jnp.array([2.0, 0.0, 0.0, 1.0]), 2560,
+           note="single-chip; multi-host sharding exercised by "
+                "scripts/scaling_bench.py + dryrun_multichip")
+    return results
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--suite" in sys.argv:
+        suite()
+    else:
+        main()
