@@ -95,7 +95,10 @@ class ARStandardCost(Cost):
         return self.speed_coeff * err * err
 
     def _stabilizing_cost(self, y, crash):
-        slip = -jnp.arctan(y[5] / jnp.maximum(jnp.abs(y[4]), 1e-3))
+        # atan approximation (~1e-5 rad): exact atan has no Mosaic lowering
+        slip = -math_utils.atan_full_approx(
+            y[5] / jnp.maximum(jnp.abs(y[4]), 1e-3)
+        )
         moving = jnp.abs(y[4]) > 0.001
         cost = jnp.where(moving, self.slip_coeff * slip * slip, 0.0)
         cost = cost + jnp.where(

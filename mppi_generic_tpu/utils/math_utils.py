@@ -58,6 +58,16 @@ def atan2_approx(y, x, eps=1e-30):
     return jnp.where(y < 0, -r, r)
 
 
+def atan_full_approx(x):
+    """Full-range atan via |x|>1 inversion + ``atan_approx`` (~1e-5 rad)."""
+    ax = jnp.abs(x)
+    inv = ax > 1.0
+    z = jnp.where(inv, 1.0 / jnp.maximum(ax, 1e-30), ax)
+    r = atan_approx(z)
+    r = jnp.where(inv, jnp.pi / 2 - r, r)
+    return jnp.where(x < 0, -r, r)
+
+
 def asin_approx(x):
     """arcsin via atan2_approx(x, sqrt(1-x^2)) (clipped domain)."""
     x = jnp.clip(x, -1.0, 1.0)
