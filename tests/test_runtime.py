@@ -252,3 +252,33 @@ def test_buffer_quaternion_nlerp():
     np.testing.assert_allclose(np.linalg.norm(q), 1.0, atol=1e-6)
     expect = np.array([np.cos(th / 4), np.sin(th / 4), 0.0, 0.0])
     np.testing.assert_allclose(np.abs(q), np.abs(expect), atol=1e-3)
+
+
+def test_plant_stride_clamped_on_long_stall():
+    """A state gap longer than the horizon must clamp the stride to T-1 and
+    still slide, not freeze the solve to the stale mean (base_plant stride
+    logic, base_plant.hpp:488-507)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mppi_generic_tpu.controllers import VanillaMPPI
+    from mppi_generic_tpu.costs import DoubleIntegratorCircleCost
+    from mppi_generic_tpu.models import DoubleIntegratorDynamics
+    from mppi_generic_tpu.runtime.plant import BasePlant
+    from mppi_generic_tpu.sampling import GaussianDistribution
+
+    ctrl = VanillaMPPI(
+        dynamics=DoubleIntegratorDynamics.create(),
+        cost=DoubleIntegratorCircleCost(),
+        sampler=GaussianDistribution.create(std_dev=[1.0, 1.0]),
+        num_timesteps=16, num_rollouts=64,
+    )
+    plant = BasePlant(ctrl, ctrl.init_state(jax.random.PRNGKey(0)), hz=10)
+    plant.update_state(np.array([2.0, 0.0, 0.0, 1.0], np.float32), 0.0)
+    assert plant.run_control_iteration(timeout=1.0)
+    # stall: next state arrives 10 s later (500 steps of dt=0.02 >> T=16)
+    plant.update_state(np.array([2.0, 0.1, 0.0, 1.0], np.float32), 10.0)
+    assert plant.run_control_iteration(timeout=1.0)
+    assert plant.last_optimization_stride == 15  # clamped to T-1
+    res = plant.latest_result
+    assert np.all(np.isfinite(np.asarray(res.control_mean)))
