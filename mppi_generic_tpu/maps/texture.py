@@ -91,9 +91,11 @@ class MapTexture2D(struct.PyTreeNode):
     # --- queries -----------------------------------------------------------
     # XLA's TPU gather serializes (~5-20 ns/point); for maps up to this many
     # texels per side the separable one-hot MXU formulation below is 10-45x
-    # faster at identical (float32) accuracy. Larger maps fall back to the
-    # gather (the (N, H) interpolation-weight intermediate scales with H).
-    _MATMUL_GATHER_MAX_SIDE = 256
+    # faster at identical (float32) accuracy. The (chunk, H) interpolation-
+    # weight intermediates are kept under a fixed byte budget by chunking
+    # the query batch; genuinely huge maps fall back to the gather.
+    _MATMUL_GATHER_MAX_SIDE = 1024
+    _MATMUL_CHUNK_BYTES = 64 * 1024 * 1024
 
     def _query_tex_matmul(self, u, v):
         """Bilinear lookup as two separable interpolation-weight products:
@@ -107,26 +109,42 @@ class MapTexture2D(struct.PyTreeNode):
         x0, x1, fx = _bilinear_axis(u, W)
         y0, y1, fy = _bilinear_axis(v, H)
         batch = u.shape
-        x0f = x0.reshape(-1)
-        y0f = y0.reshape(-1)
-        fxf = fx.reshape(-1)[:, None]
-        fyf = fy.reshape(-1)[:, None]
-        rw = (jax.nn.one_hot(y0f, H) * (1 - fyf)
-              + jax.nn.one_hot(y1.reshape(-1), H) * fyf)      # (N, H)
-        cw = (jax.nn.one_hot(x0f, W) * (1 - fxf)
-              + jax.nn.one_hot(x1.reshape(-1), W) * fxf)      # (N, W)
         d = self.data
-        if d.ndim == 3:
-            ch = d.shape[2]
-            rows = jnp.dot(rw, d.reshape(H, W * ch),
-                           precision="float32",
+        ch = d.shape[2] if d.ndim == 3 else 0
+        d2 = d.reshape(H, -1)  # (H, W) or (H, W*ch)
+
+        def block(y0b, y1b, fyb, x0b, x1b, fxb):
+            fyb = fyb[:, None]
+            fxb = fxb[:, None]
+            rw = (jax.nn.one_hot(y0b, H) * (1 - fyb)
+                  + jax.nn.one_hot(y1b, H) * fyb)              # (n, H)
+            cw = (jax.nn.one_hot(x0b, W) * (1 - fxb)
+                  + jax.nn.one_hot(x1b, W) * fxb)              # (n, W)
+            rows = jnp.dot(rw, d2, precision="float32",
                            preferred_element_type=jnp.float32)
-            rows = rows.reshape(-1, W, ch)
-            out = jnp.sum(rows * cw[..., None], axis=1)
+            if ch:
+                rows = rows.reshape(-1, W, ch)
+                return jnp.sum(rows * cw[..., None], axis=1)   # (n, ch)
+            return jnp.sum(rows * cw, axis=-1)                  # (n,)
+
+        args = tuple(a.reshape(-1) for a in
+                     (y0, y1, fy, x0, x1, fx))
+        N = args[0].shape[0]
+        chunk = max(128, self._MATMUL_CHUNK_BYTES // (4 * max(H, W)))
+        if N <= chunk:
+            out = block(*args)
+        else:
+            # bound peak memory: sequential lax.map over padded chunks
+            n_chunks = -(-N // chunk)
+            padded = tuple(
+                jnp.pad(a, (0, n_chunks * chunk - N)).reshape(n_chunks, chunk)
+                for a in args
+            )
+            out = jax.lax.map(lambda t: block(*t), padded)
+            out = out.reshape((n_chunks * chunk,) + out.shape[2:])[:N]
+        if ch:
             return out.reshape(batch + (ch,))
-        rows = jnp.dot(rw, d, precision="float32",
-                       preferred_element_type=jnp.float32)     # (N, W)
-        return jnp.sum(rows * cw, axis=-1).reshape(batch)
+        return out.reshape(batch)
 
     def query_tex(self, u, v):
         """Bilinear lookup at normalized (u, v); u indexes width (x),
