@@ -33,19 +33,26 @@ def main():
     ap.add_argument("--rollouts", type=int, default=2048)
     args = ap.parse_args()
 
+    # exact reference setup (cartpole_example.cu:9-48): control range +-5,
+    # coeffs {x: 50, xdot: 10, theta: 200, thetadot: 1}, goal [20, 0, pi, 0]
+    # (swing up AND drive the cart to x = 20), lambda 0.25, sigma 5, zero
+    # control-cost coefficient
     ctrl = VanillaMPPI(
         dynamics=CartpoleDynamics.create(control_ranges=[[-5.0, 5.0]]),
         cost=CartpoleQuadraticCost(
-            coeffs=jnp.array([100.0, 10.0, 200.0, 20.0])
+            coeffs=jnp.array([50.0, 10.0, 200.0, 1.0]),
+            desired_state=jnp.array([20.0, 0.0, jnp.pi, 0.0]),
         ),
-        sampler=GaussianDistribution.create(std_dev=[5.0]),
+        sampler=GaussianDistribution.create(
+            std_dev=[5.0], control_cost_coeff=[0.0]
+        ),
         dt=jnp.float32(0.02),
-        lam=jnp.float32(1.0),
+        lam=jnp.float32(0.25),
         alpha=jnp.float32(0.0),
         num_timesteps=100,
         num_rollouts=args.rollouts,
         num_iters=1,
-        kernel="pallas" if jax.default_backend() == "tpu" else "combined",
+        kernel="pallas_fused" if jax.default_backend() == "tpu" else "combined",
     )
     key = (jax.random.key(0, impl="rbg") if jax.default_backend() == "tpu"
            else jax.random.PRNGKey(0))

@@ -69,6 +69,42 @@ def main():
     assert bool(jnp.all(crash == cr_r))
     print("2. fused sample+rollout self-consistency: OK")
 
+    # 2b. hardware-PRNG statistical quality: the N(0,1) draws behind the
+    # fused sampling must have correct moments, independent tiles, and no
+    # temporal autocorrelation (the reference validates its samplers
+    # statistically the same way, colored_noise_tests.cu)
+    K2, T2 = 4096, 64
+    zero_mean = jnp.zeros((T2, 2))
+    unit = GaussianDistribution.create(std_dev=[1.0, 1.0])
+    # unclamped dynamics: the in-kernel constraint clamp would truncate the
+    # tails and bias the moment estimates
+    dyn_free = DoubleIntegratorDynamics.create()
+    _, _, U3 = fused_sample_rollout_costs(
+        dyn_free, cost, unit, x0, zero_mean, jnp.int32(99), dt, 1.0, 0.0, K2,
+    )
+    eps = np.asarray(U3[1:])  # sample 0 is the (zero) mean
+    flat = eps.reshape(-1)
+    assert abs(flat.mean()) < 0.01, flat.mean()
+    assert abs(flat.std() - 1.0) < 0.01, flat.std()
+    skew = float((flat**3).mean())
+    kurt = float((flat**4).mean())
+    assert abs(skew) < 0.02, skew
+    assert abs(kurt - 3.0) < 0.1, kurt
+    # independence across sample tiles (distinct per-tile seeds)
+    a, b = eps[:2047].reshape(-1), eps[2048:4095].reshape(-1)
+    r_tiles = float(np.corrcoef(a, b)[0, 1])
+    assert abs(r_tiles) < 0.01, r_tiles
+    # temporal whiteness along the horizon
+    r_time = float(np.corrcoef(eps[:, :-1, 0].ravel(),
+                               eps[:, 1:, 0].ravel())[0, 1])
+    assert abs(r_time) < 0.01, r_time
+    # channel independence
+    r_ch = float(np.corrcoef(eps[..., 0].ravel(), eps[..., 1].ravel())[0, 1])
+    assert abs(r_ch) < 0.01, r_ch
+    print("2b. hardware-PRNG normal statistics "
+          f"(skew {skew:+.4f}, kurt {kurt:.3f}, tile r {r_tiles:+.4f}, "
+          f"time r {r_time:+.4f}): OK")
+
     # 3. full-solve parity pallas vs combined (same key)
     def ctrl(kernel):
         return VanillaMPPI(
