@@ -1,6 +1,7 @@
-"""Double-integrator circle tracking — parity with the reference
-``examples/double_integrator_example.cu``: vanilla MPPI holds the point mass
-on the r=2 annulus at the desired speed, printing tracking stats.
+"""Double-integrator waypoint regulation — parity with the reference
+``examples/double_integrator_example.cu``: colored-noise (1/f) sampling,
+quadratic cost to the goal (-4, -4, 0, 0) with coeffs (5, 5, 0.5, 0.5),
+T=65, K=128, dt=0.015, lambda=1, alpha=1, start (-9, -9, 0.1, 0.1).
 """
 
 import os
@@ -18,9 +19,9 @@ import jax
 import jax.numpy as jnp
 
 from mppi_generic_tpu.controllers import VanillaMPPI
-from mppi_generic_tpu.costs import DoubleIntegratorCircleCost
+from mppi_generic_tpu.costs import QuadraticCost
 from mppi_generic_tpu.models import DoubleIntegratorDynamics
-from mppi_generic_tpu.sampling import GaussianDistribution
+from mppi_generic_tpu.sampling import ColoredNoiseDistribution
 
 
 def main():
@@ -28,24 +29,26 @@ def main():
     ap.add_argument("--steps", type=int, default=1000)
     args = ap.parse_args()
 
+    goal = jnp.array([-4.0, -4.0, 0.0, 0.0])
     ctrl = VanillaMPPI(
         dynamics=DoubleIntegratorDynamics.create(),
-        cost=DoubleIntegratorCircleCost(),
-        sampler=GaussianDistribution.create(
-            std_dev=[1.0, 1.0], control_cost_coeff=[0.01, 0.01]
+        cost=QuadraticCost.create(
+            goal=goal, coeffs=jnp.array([5.0, 5.0, 0.5, 0.5]), output_dim=4
         ),
-        dt=jnp.float32(0.02),
+        sampler=ColoredNoiseDistribution.create(
+            std_dev=[0.5, 0.5], exponents=[1.0, 1.0]
+        ),
+        dt=jnp.float32(0.015),
         lam=jnp.float32(1.0),
-        alpha=jnp.float32(0.0),
-        num_timesteps=100,
-        num_rollouts=2048,
+        alpha=jnp.float32(1.0),
+        num_timesteps=65,
+        num_rollouts=128,
         num_iters=1,
-        kernel="pallas" if jax.default_backend() == "tpu" else "combined",
     )
     key = (jax.random.key(0, impl="rbg") if jax.default_backend() == "tpu"
            else jax.random.PRNGKey(0))
     cs = ctrl.init_state(key)
-    x0 = jnp.array([2.0, 0.0, 0.0, 1.0])
+    x0 = jnp.array([-9.0, -9.0, 0.1, 0.1])
 
     def body(carry, _):
         x, cs = carry
@@ -62,14 +65,10 @@ def main():
     jax.block_until_ready(xf)
     total = time.perf_counter() - t0
 
-    radii = jnp.sqrt(xs[:, 0] ** 2 + xs[:, 1] ** 2)
-    speeds = jnp.sqrt(xs[:, 2] ** 2 + xs[:, 3] ** 2)
+    err = math.sqrt(float((xf[0] - goal[0]) ** 2 + (xf[1] - goal[1]) ** 2))
     print(f"backend: {jax.default_backend()}  ({total:.2f}s incl. compile)")
-    print(f"final radius: {math.sqrt(float(xf[0])**2 + float(xf[1])**2):.3f}"
-          f"  (target 2.0)")
-    print(f"mean radius (2nd half): {float(jnp.mean(radii[args.steps//2:])):.3f}")
-    print(f"mean speed  (2nd half): {float(jnp.mean(speeds[args.steps//2:])):.3f}"
-          f"  (target 2.0)")
+    print(f"final state: {[round(float(v), 3) for v in xf]}")
+    print(f"distance to goal (-4, -4): {err:.3f}")
     print(f"final baseline: {float(baselines[-1]):.3f}")
 
 
