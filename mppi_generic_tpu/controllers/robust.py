@@ -91,6 +91,10 @@ class RobustSolveResult(struct.PyTreeNode):
 
 
 class RobustMPPI(ControllerBase):
+    # solve treats these kernels identically (the augmented rollout has its
+    # own fused kernel); the auto-tuner times the shared program once
+    _equivalent_kernels = {"pallas_fused": "pallas"}
+
     feedback: Optional[object] = None  # DDPFeedback (required for RMPPI)
     value_function_threshold: jnp.ndarray = struct.field(
         default_factory=lambda: jnp.float32(1e8)

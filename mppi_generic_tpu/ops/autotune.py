@@ -14,14 +14,18 @@ from __future__ import annotations
 import time
 
 import jax
+import jax.numpy as jnp
 
-from mppi_generic_tpu.ops.pallas_rollout import PallasIncompatible
+from mppi_generic_tpu.ops.pallas_rollout import (
+    PallasIncompatible,
+    _check_compatible,
+)
 
 _CACHE: dict = {}
 DEFAULT_CANDIDATES = ("combined", "split", "pallas", "pallas_fused")
 
 
-def _config_key(controller):
+def _config_key(controller, candidates):
     return (
         type(controller).__name__,
         type(controller.dynamics).__name__,
@@ -31,7 +35,35 @@ def _config_key(controller):
         int(controller.num_timesteps),
         controller.sample_sharding is not None,
         jax.default_backend(),
+        tuple(candidates),
     )
+
+
+def _kernel_supported(controller, name) -> bool:
+    """Cheap static compatibility check (the same gates the kernels apply),
+    so a cached choice is never handed to a controller whose *parameters*
+    (not type) are incompatible — e.g. an oversized NN checkpoint."""
+    if not name.startswith("pallas"):
+        return True
+    if controller.sample_sharding is not None:
+        return False
+    try:
+        leaves = [
+            jnp.asarray(l) for l in jax.tree_util.tree_leaves(
+                (controller.dynamics, controller.cost)
+            )
+        ]
+        _check_compatible(controller.dynamics, leaves, allow_recurrent=True)
+    except PallasIncompatible:
+        return False
+    if name == "pallas_fused":
+        from mppi_generic_tpu.sampling.gaussian import GaussianDistribution
+
+        if type(controller.sampler) is not GaussianDistribution:
+            return False
+        if jax.default_backend() != "tpu":
+            return False
+    return True
 
 
 def time_solve(controller, x0, ctrl_state, num_evaluations=10):
@@ -63,18 +95,27 @@ def choose_appropriate_kernel(
     oversized model, mirroring the reference's shared-memory fallback) is
     skipped. Timings are cached per configuration.
     """
-    key = _config_key(controller)
-    if key in _CACHE:
+    key = _config_key(controller, candidates)
+    if key in _CACHE and _kernel_supported(controller, _CACHE[key]):
         return controller.replace(kernel=_CACHE[key])
 
     if ctrl_state is None:
         ctrl_state = controller.init_state(jax.random.PRNGKey(0))
 
+    # controllers whose solve treats some kernels identically (e.g. RMPPI's
+    # pallas/pallas_fused) declare aliases so the tuner times each compiled
+    # program once
+    aliases = getattr(controller, "_equivalent_kernels", {})
+    seen = set()
     best, best_t = None, None
     for name in candidates:
-        if name.startswith("pallas") and controller.sample_sharding is not None:
+        canonical = aliases.get(name, name)
+        if canonical in seen:
             continue
-        cand = controller.replace(kernel=name)
+        seen.add(canonical)
+        if not _kernel_supported(controller, canonical):
+            continue
+        cand = controller.replace(kernel=canonical)
         try:
             t = time_solve(cand, x0, ctrl_state, num_evaluations)
         except PallasIncompatible:

@@ -12,12 +12,13 @@ written back — in particular the (K, T, O) output trajectory is never
 materialized (the XLA combined path relies on dead-code elimination for
 this; here it is structural).
 
-Coverage boundary: analytic and FNN dynamics/costs lower into the kernels
-(NN matmuls ride the MXU via ``FNN.forward_axis0``); models that gather
-from map textures or carry recurrent (LSTM) state use the XLA rollout
-paths instead — XLA's native TPU gather/scan handles them, and the kernel
-auto-tuner falls back automatically, mirroring the reference's
-shared-memory-overflow fallback.
+Coverage boundary: analytic, FNN, and small-LSTM dynamics/costs lower into
+the kernels (NN matmuls ride the MXU via the ``forward_axis0`` twins;
+(H,)-shaped recurrent leaves carry through the horizon loop). Models with
+oversized parameters raise :class:`PallasIncompatible`; map-texture models
+lower too (MXU bilinear) but XLA's batched formulation usually times
+faster — the kernel auto-tuner arbitrates empirically either way,
+mirroring the reference's shared-memory-overflow fallback.
 
 Genericity: like the reference kernel — which is templated over
 Dynamics/Cost and calls them through device pointers — this kernel is
@@ -99,6 +100,37 @@ def default_tile_k(K: int, T: int, C: int) -> int:
 
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+def _constraint_rows(dynamics):
+    """(4, C) [lo, hi, deadband, zero_control] SMEM rows with infinities
+    finite-clamped — shared by every kernel that clamps in-loop."""
+    return jnp.stack([
+        jnp.nan_to_num(dynamics.control_ranges[:, 0], neginf=-1e30),
+        jnp.nan_to_num(dynamics.control_ranges[:, 1], posinf=1e30),
+        dynamics.control_deadband,
+        dynamics.zero_control,
+    ]).astype(jnp.float32)
+
+
+def _prepare_leaves(leaves):
+    """(kernel-shaped arrays, BlockSpecs) for the flattened param leaves."""
+    shapes, specs = [], []
+    for l in leaves:
+        shp, spec = _leaf_spec(l)
+        shapes.append(l.reshape(shp))
+        specs.append(spec)
+    return shapes, specs
+
+
+def _clamp_channel(u_c, cons_ref, ch):
+    """enforceConstraints for one channel from SMEM scalars
+    (dynamics.cuh:250-264: deadband snap/shrink, then clamp)."""
+    lo_c, hi_c = cons_ref[0, ch], cons_ref[1, ch]
+    db_c, zc_c = cons_ref[2, ch], cons_ref[3, ch]
+    shrunk = u_c - db_c * jnp.where(u_c < 0, -1.0, 1.0)
+    u_c = jnp.where(jnp.abs(u_c) < db_c, zc_c, shrunk)
+    return jnp.clip(u_c, lo_c, hi_c)
 
 
 def _leaf_spec(arr):
@@ -193,11 +225,7 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_tck,
         costs_ref[...] = ((acc + cost.terminal_cost(y_last)) / T)[None]
         crash_ref[...] = crash[None]
 
-    leaf_shapes, leaf_specs = [], []
-    for l in leaves:
-        shp, spec = _leaf_spec(l)
-        leaf_shapes.append(l.reshape(shp))
-        leaf_specs.append(spec)
+    leaf_shapes, leaf_specs = _prepare_leaves(leaves)
 
     if per_sample_x0:
         x0_spec = pl.BlockSpec((S, tile_k), lambda i: (0, i),
@@ -254,9 +282,10 @@ def fused_rollout_costs(
     ``trajectory_state_costs`` — the sampler likelihood-ratio term is added
     by the caller. ``U`` is the (K, T, C) pre-clamped control-sample tensor;
     ``x0`` a single (S,) initial state, or (K, S) per-sample initial states
-    (the RMPPI candidate-eval pattern). Raises
-    :class:`PallasIncompatible` for models the kernel cannot host
-    (recurrent state, oversized params).
+    (the RMPPI candidate-eval pattern). Recurrent models with small 1-D
+    hidden/cell leaves are hosted in-kernel; oversized or higher-rank
+    parameter/recurrent leaves raise :class:`PallasIncompatible` and fall
+    back to the XLA paths.
     """
     K, T, C = U.shape
     S = dynamics.STATE_DIM
@@ -376,14 +405,7 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
                 noise_c = s_c * eps[ch]
                 u_c = jnp.where(pure, noise_c, m_c + noise_c)
                 u_c = jnp.where(pin_mean, m_c, u_c)
-                # enforceConstraints per channel (dynamics.cuh:250-264):
-                # deadband snap / shrink, then clamp — scalar params from
-                # SMEM (cons rows: [lo, hi, deadband, zero_control])
-                lo_c, hi_c = cons_ref[0, ch], cons_ref[1, ch]
-                db_c, zc_c = cons_ref[2, ch], cons_ref[3, ch]
-                shrunk = u_c - db_c * jnp.where(u_c < 0, -1.0, 1.0)
-                u_c = jnp.where(jnp.abs(u_c) < db_c, zc_c, shrunk)
-                u_cs.append(jnp.clip(u_c, lo_c, hi_c))
+                u_cs.append(_clamp_channel(u_c, cons_ref, ch))
             u = jnp.stack(u_cs)
             u_out_ref[pl.ds(t, 1)] = u.reshape(1, C, tile_k)
 
@@ -427,11 +449,7 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
         costs_ref[...] = ((acc + cost.terminal_cost(y_last)) / T)[None]
         crash_ref[...] = crash[None]
 
-    leaf_shapes, leaf_specs = [], []
-    for l in leaves:
-        shp, spec = _leaf_spec(l)
-        leaf_shapes.append(l.reshape(shp))
-        leaf_specs.append(spec)
+    leaf_shapes, leaf_specs = _prepare_leaves(leaves)
 
     scalars = jnp.stack([
         jnp.asarray(dt, jnp.float32),
@@ -524,15 +542,9 @@ def _fused_rmppi_call(leaves, treedef, dynamics_static, cost_static,
                 jnp.zeros_like(zero, jnp.int32), zero, zero, zero, y0, y0)
 
         def clamp(u):
-            out = []
-            for ch in range(C):
-                lo_c, hi_c = cons_ref[0, ch], cons_ref[1, ch]
-                db_c, zc_c = cons_ref[2, ch], cons_ref[3, ch]
-                u_c = u[ch]
-                shrunk = u_c - db_c * jnp.where(u_c < 0, -1.0, 1.0)
-                u_c = jnp.where(jnp.abs(u_c) < db_c, zc_c, shrunk)
-                out.append(jnp.clip(u_c, lo_c, hi_c))
-            return jnp.stack(out)
+            return jnp.stack(
+                [_clamp_channel(u[ch], cons_ref, ch) for ch in range(C)]
+            )
 
         def body(t, carry):
             (x_nom, x_real, crash_n, crash_r, s_nom, j_real, s_fb,
@@ -578,11 +590,7 @@ def _fused_rmppi_call(leaves, treedef, dynamics_static, cost_static,
         sfb_ref[...] = ((s_fb + term_r) / T)[None]
         crash_ref[...] = crash_r[None]
 
-    leaf_shapes, leaf_specs = [], []
-    for l in leaves:
-        shp, spec = _leaf_spec(l)
-        leaf_shapes.append(l.reshape(shp))
-        leaf_specs.append(spec)
+    leaf_shapes, leaf_specs = _prepare_leaves(leaves)
 
     scalars = jnp.stack([
         jnp.asarray(dt, jnp.float32), jnp.asarray(lam, jnp.float32),
@@ -671,16 +679,13 @@ def fused_rmppi_rollout(
         interpret = jax.default_backend() != "tpu"
     if tile_k is None:
         tile_k = default_tile_k(K, T, C)
+    if tile_k % LANES:
+        raise ValueError(f"tile_k must be a multiple of {LANES}")
     K_pad = _round_up(K, tile_k)
     U_tck = jnp.transpose(U, (1, 2, 0))
     if K_pad != K:
         U_tck = jnp.pad(U_tck, ((0, 0), (0, 0), (0, K_pad - K)))
-    constraints = jnp.stack([
-        jnp.nan_to_num(dynamics.control_ranges[:, 0], neginf=-1e30),
-        jnp.nan_to_num(dynamics.control_ranges[:, 1], posinf=1e30),
-        dynamics.control_deadband,
-        dynamics.zero_control,
-    ]).astype(jnp.float32)
+    constraints = _constraint_rows(dynamics)
 
     return _fused_rmppi_call(
         leaves, treedef, type(dynamics).__name__, type(cost).__name__,
@@ -734,22 +739,18 @@ def fused_sample_rollout_costs(
     leaves = [jnp.asarray(l) for l in leaves]
     _check_compatible(dynamics, leaves)
 
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+    # the hardware-PRNG path is compiled-TPU-only (guarded above); the
+    # interpret parameter is accepted for signature symmetry
+    interpret = False
     if tile_k is None:
         tile_k = default_tile_k(K, T, C)
+    if tile_k % LANES:
+        raise ValueError(f"tile_k must be a multiple of {LANES}")
     K_pad = _round_up(K, tile_k)
 
     sigma = sampler._sigma(T, iteration)
     pure_threshold = (1.0 - sampler.pure_noise_percentage) * K
-    # [lo, hi, deadband, zero_control] rows; finite-clamp infinities so the
-    # SMEM scalars stay well-behaved
-    constraints = jnp.stack([
-        jnp.nan_to_num(dynamics.control_ranges[:, 0], neginf=-1e30),
-        jnp.nan_to_num(dynamics.control_ranges[:, 1], posinf=1e30),
-        dynamics.control_deadband,
-        dynamics.zero_control,
-    ]).astype(jnp.float32)
+    constraints = _constraint_rows(dynamics)
 
     return _fused_sample_call(
         leaves, treedef, type(dynamics).__name__, type(cost).__name__,
