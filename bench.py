@@ -240,6 +240,24 @@ def suite():
     report("autorally_nn_K1920_T150", ctrl,
            jnp.zeros(7).at[4].set(3.0), 1920)
 
+    # 4b. racer LSTM-steering dynamics with an elevation map (the
+    # lstm_lstm_steering real-vehicle configuration)
+    from mppi_generic_tpu.models import RacerDubinsElevationLSTMSteering
+
+    elev = MapTexture2D.create(
+        (0.1 * _np.random.default_rng(1).normal(size=(128, 128))).astype("f"),
+        origin=(-64, -64, 0), resolution=1.0,
+    )
+    ctrl = VanillaMPPI(
+        dynamics=RacerDubinsElevationLSTMSteering.create(elevation_map=elev),
+        cost=ARStandardCost(costmap=tex),
+        sampler=GaussianDistribution.create(std_dev=[0.3, 0.5]),
+        dt=jnp.float32(0.02), lam=jnp.float32(1.0), alpha=jnp.float32(0.0),
+        num_timesteps=100, num_rollouts=1920, num_iters=1, kernel="combined",
+    )
+    report("racer_lstm_steering_elevation_K1920", ctrl,
+           jnp.zeros(9).at[0].set(3.0), 1920)
+
     # 5. RMPPI with DDP feedback on the DI CoRL scenario
     dyn = DoubleIntegratorDynamics.create()
     ctrl = RobustMPPI(
