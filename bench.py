@@ -15,6 +15,7 @@ single-dispatch p50 is also reported for reference.
 """
 
 import json
+import sys
 import time
 
 import jax
@@ -99,11 +100,19 @@ def main():
         f = closed_loop_fn(ctrl, S)
         try:
             ts = time_fn(f, (x0, cs))
-        except Exception:
-            continue  # kernel variant unavailable on this backend
+        except Exception as e:
+            # pallas variants may be unavailable on this backend; report
+            # rather than silently dropping
+            print(f"# kernel {kernel} skipped: {type(e).__name__}",
+                  file=sys.stderr)
+            continue
         med = float(np.median(ts))
         if best is None or med < best[1]:
             best = (kernel, med, ctrl, cs)
+    if best is None:
+        raise RuntimeError(
+            "every kernel variant failed to run — check the backend"
+        )
     kernel, total, ctrl, cs = best
 
     per_solve = total / S
@@ -134,11 +143,16 @@ def main():
 
 
 def _steady_state_ms(ctrl, x0, S=200, key=None):
-    """Closed-loop steady-state ms/solve for any controller type."""
+    """Closed-loop steady-state ms/solve for any controller type —
+    including RMPPI's mandatory per-step stage 1 (candidate eval + DDP gain
+    synthesis), exactly the plant loop."""
     cs = ctrl.init_state(key if key is not None else _rng_key())
+    has_is = hasattr(ctrl, "update_importance_sampling")
 
     def body(carry, _):
         x, cs = carry
+        if has_is:
+            cs, _ = ctrl.update_importance_sampling(x, cs, 1)
         cs = ctrl.slide_control_sequence(cs, 1)
         res, cs = ctrl.solve(x, cs)
         main_res = getattr(res, "real", res)
@@ -155,8 +169,8 @@ def _steady_state_ms(ctrl, x0, S=200, key=None):
 
 
 def suite():
-    """The five BASELINE.json benchmark configs, one JSON line each."""
-    import numpy as _np
+    """The BASELINE.json benchmark configs, one JSON line each."""
+    _np = np
 
     from mppi_generic_tpu.controllers import RobustMPPI, VanillaMPPI
     from mppi_generic_tpu.costs import (
@@ -216,9 +230,12 @@ def suite():
         _np.abs(_np.random.default_rng(0).normal(size=(128, 128))).astype("f"),
         origin=(-64, -64, 0), resolution=1.0,
     )
+    # bicycle-slip output layout: [x, y, yaw, steer, brake, vx, vy, wz,
+    # roll, pitch] -> AR cost indices (x, y, yaw, roll, vx, vy)
     ctrl = VanillaMPPI(
         dynamics=BicycleSlipDynamics.create(),
-        cost=ARStandardCost(costmap=tex),
+        cost=ARStandardCost(costmap=tex,
+                            output_indices=(0, 1, 2, 8, 5, 6)),
         sampler=ColoredNoiseDistribution.create(
             std_dev=[0.3, 0.5], exponents=[1.0, 1.0]
         ),
@@ -248,9 +265,12 @@ def suite():
         (0.1 * _np.random.default_rng(1).normal(size=(128, 128))).astype("f"),
         origin=(-64, -64, 0), resolution=1.0,
     )
+    # racer elevation output layout: [vel_bx, vel_by, x, y, z, yaw, roll,
+    # pitch, ...] -> AR cost indices
     ctrl = VanillaMPPI(
         dynamics=RacerDubinsElevationLSTMSteering.create(elevation_map=elev),
-        cost=ARStandardCost(costmap=tex),
+        cost=ARStandardCost(costmap=tex,
+                            output_indices=(2, 3, 5, 6, 0, 1)),
         sampler=GaussianDistribution.create(std_dev=[0.3, 0.5]),
         dt=jnp.float32(0.02), lam=jnp.float32(1.0), alpha=jnp.float32(0.0),
         num_timesteps=100, num_rollouts=1920, num_iters=1, kernel="combined",

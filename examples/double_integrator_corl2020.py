@@ -15,7 +15,6 @@ sys.path.insert(
 )
 
 import argparse
-import os
 
 import jax
 import jax.numpy as jnp
@@ -68,6 +67,11 @@ def run_vanilla(steps, key, noise_scale, tag):
         res, cs = ctrl.solve(x, cs)
         fb_state = fb.compute_feedback(x, res.state_trajectory[:T],
                                        res.control_mean)
+        # NOTE: at t=0 the re-rollout starts at x, so this feedback term is
+        # zero — exactly like the reference example (CORL2020.cu:114-116,
+        # getFeedbackControl(x, nominal_trajectory.col(0), 0) with
+        # state_.col(0) == x); the gains matter at estimator-rate
+        # interpolation between solves, not here
         u = res.control_mean[0] + fb.k(x, res.state_trajectory[0], 0, fb_state)
         u = ctrl._clamp_controls(u)
         x, _ = dyn.step(x, u, 0.0, DT)
@@ -96,7 +100,10 @@ def run_tube(steps, key, noise_scale):
         x, cs = carry
         cs = ctrl.slide_control_sequence(cs, 1)
         res, cs = ctrl.solve(x, cs)
-        u = res.real.control_mean[0] + fb.k(
+        # Tube-MPPI publishes the NOMINAL feedforward; the ancillary
+        # feedback tracks the nominal trajectory (tube docstring +
+        # tube_mppi_controller.cu:286)
+        u = res.nominal.control_mean[0] + fb.k(
             x, res.nominal.state_trajectory[0], 0, cs.feedback_state
         )
         u = ctrl._clamp_controls(u)

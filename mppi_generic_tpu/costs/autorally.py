@@ -54,7 +54,19 @@ class ARStandardCost(Cost):
         default_factory=lambda: jnp.float32(0.65)
     )
     l1_speed_cost: bool = struct.field(pytree_node=False, default=False)
+    # output-vector indices of (pos_x, pos_y, yaw, roll, vel_x, vel_y) — the
+    # analog of the reference templating Cost on the paired dynamics'
+    # OutputIndex enum (cost.cuh DYN_PARAMS_T); override to pair this cost
+    # with dynamics whose output layout differs from AutoRally's
+    output_indices: tuple = struct.field(
+        pytree_node=False, default=(0, 1, 2, 3, 4, 5)
+    )
     costmap: Optional[MapTexture2D] = None
+
+    def _o(self, y, name):
+        ix, iy, iyaw, iroll, ivx, ivy = self.output_indices
+        return y[{"x": ix, "y": iy, "yaw": iyaw, "roll": iroll,
+                  "vx": ivx, "vy": ivy}[name]]
 
     def _track_value(self, x, y):
         if self.costmap is None:
@@ -70,9 +82,11 @@ class ARStandardCost(Cost):
     def _track_query(self, y, crash):
         """Front/back costmap samples + boundary crash flag — shared by the
         standard and robust track costs so the query geometry can't drift."""
-        cos_y, sin_y = jnp.cos(y[2]), jnp.sin(y[2])
-        front = self._track_value(y[0] + FRONT_D * cos_y, y[1] + FRONT_D * sin_y)
-        back = self._track_value(y[0] + BACK_D * cos_y, y[1] + BACK_D * sin_y)
+        yaw = self._o(y, "yaw")
+        px, py = self._o(y, "x"), self._o(y, "y")
+        cos_y, sin_y = jnp.cos(yaw), jnp.sin(yaw)
+        front = self._track_value(px + FRONT_D * cos_y, py + FRONT_D * sin_y)
+        back = self._track_value(px + BACK_D * cos_y, py + BACK_D * sin_y)
         track = 0.5 * (jnp.abs(front) + jnp.abs(back))
         crash = jnp.where(
             (front >= self.boundary_threshold) | (back >= self.boundary_threshold),
@@ -89,22 +103,22 @@ class ARStandardCost(Cost):
         return track, crash
 
     def _speed_cost(self, y):
-        err = y[4] - self.desired_speed
+        err = self._o(y, "vx") - self.desired_speed
         if self.l1_speed_cost:
             return self.speed_coeff * jnp.abs(err)
         return self.speed_coeff * err * err
 
     def _stabilizing_cost(self, y, crash):
+        vx, vy = self._o(y, "vx"), self._o(y, "vy")
         # atan approximation (~1e-5 rad): exact atan has no Mosaic lowering
-        slip = -math_utils.atan_full_approx(
-            y[5] / jnp.maximum(jnp.abs(y[4]), 1e-3)
-        )
-        moving = jnp.abs(y[4]) > 0.001
+        slip = -math_utils.atan_full_approx(vy / jnp.maximum(jnp.abs(vx), 1e-3))
+        moving = jnp.abs(vx) > 0.001
         cost = jnp.where(moving, self.slip_coeff * slip * slip, 0.0)
         cost = cost + jnp.where(
             moving & (jnp.abs(slip) > self.max_slip_ang), self.crash_coeff, 0.0
         )
-        crash = jnp.where(jnp.abs(y[3]) > jnp.pi / 2, jnp.ones_like(crash), crash)
+        crash = jnp.where(jnp.abs(self._o(y, "roll")) > jnp.pi / 2,
+                          jnp.ones_like(crash), crash)
         return cost, crash
 
     def state_cost(self, y, t, crash):

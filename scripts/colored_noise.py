@@ -1,6 +1,11 @@
 """NumPy ground truth for the colored-noise sampler — parity with the
-reference ``scripts/colored_noise.py`` (itself the felixpatzelt/colorednoise
-algorithm). The statistical tests validate
+reference ``scripts/colored_noise.py`` (an older felixpatzelt/colorednoise
+snapshot). NOTE: like the reference's script AND its CUDA kernel
+(configureFrequencyNoise, colored_noise.cu:12-37), this omits the newer
+felixpatzelt sqrt(2) magnitude correction on the DC/Nyquist real components
+— the reference is the parity target, so the omission is reproduced
+deliberately (it under-disperses ~5-7% at high beta / short horizons
+relative to the updated upstream algorithm). The statistical tests validate
 ``mppi_generic_tpu.sampling.colored`` against this implementation.
 """
 
