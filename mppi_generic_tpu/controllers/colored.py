@@ -15,7 +15,6 @@ a vanilla-style loop over a ColoredNoiseDistribution sampler with two extras:
 from __future__ import annotations
 
 import jax.numpy as jnp
-from flax import struct
 
 from mppi_generic_tpu.controllers.vanilla import VanillaMPPI
 

@@ -23,7 +23,6 @@ the reference's device k() (DDP/ddp.cu:11-45).
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

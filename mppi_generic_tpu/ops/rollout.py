@@ -29,7 +29,7 @@ in-kernel then writing the clamped sample back, mppi_common.cu:108-119, since
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

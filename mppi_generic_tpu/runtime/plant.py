@@ -24,13 +24,11 @@ from __future__ import annotations
 
 import threading
 import time as time_mod
-from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np
 
 from mppi_generic_tpu.runtime.native import make_buffer, make_mailbox
-from mppi_generic_tpu.utils import math_utils
 
 
 class PlantStats:
