@@ -130,6 +130,9 @@ def run_robust(steps, key, noise_scale):
     cs = ctrl.init_state(jax.random.PRNGKey(42))
     x0 = jnp.array([2.0, 0.0, 0.0, 1.0])
 
+    lip = cost.lipschitz_constant_cost()
+    vft = ctrl.value_function_threshold
+
     def body(carry, k):
         x, cs = carry
         # stage 1 re-anchors the nominal via candidate eval and recomputes
@@ -142,15 +145,29 @@ def run_robust(steps, key, noise_scale):
             x, cs.nominal_traj[0], 0, cs.feedback_state
         )
         u = ctrl._clamp_controls(u)
+        # the reference's published free-energy bounds (CORL2020.cu:673-681)
+        fe_n = res.nominal.free_energy
+        nominal_bound = vft + 2.0 * fe_n.free_energy_modified_variance
+        real_bound = fe_n.free_energy_mean + lip * jnp.linalg.norm(
+            x - cs.nominal_traj[0]
+        )
+        growth_bound = (
+            (vft - fe_n.free_energy_mean)
+            + lip * 8.0 * 20.0 * ctrl.compute_df(res)
+            + 2.0 * fe_n.free_energy_modified_variance
+        )
         x, _ = dyn.step(x, u, 0.0, DT)
         x = dyn.compute_state_disturbance(k, DT, x)
         return (x, cs), (x, cs.nominal_traj,
-                         res.real.free_energy.free_energy_mean)
+                         res.real.free_energy.free_energy_mean,
+                         jnp.stack([nominal_bound, real_bound, growth_bound]))
 
     keys = jax.random.split(key, steps)
     loop = jax.jit(lambda c: jax.lax.scan(body, c, keys))
-    (_, _), (xs, noms, fes) = loop((x0, cs))
-    return np.asarray(xs), np.asarray(noms), np.asarray(fes), "robust"
+    (_, _), (xs, noms, fes, bounds) = loop((x0, cs))
+    np_bounds = np.asarray(bounds)
+    return (np.asarray(xs), np.asarray(noms),
+            np.asarray(fes), "robust", np_bounds)
 
 
 def main():
@@ -170,11 +187,15 @@ def main():
         run_robust(args.steps, key, args.large_noise),
     ]
     print(f"{'variant':<14} {'tube failures':>13} {'mean |FE|':>10}")
-    for xs, noms, fes, tag in runs:
+    for run in runs:
+        xs, noms, fes, tag = run[:4]
         fails = int(np.sum(tube_failure(xs)))
         np.save(os.path.join(args.out, f"{tag}_state_trajectory.npy"), xs)
         np.save(os.path.join(args.out, f"{tag}_nominal_trajectory.npy"), noms)
         np.save(os.path.join(args.out, f"{tag}_free_energy.npy"), fes)
+        if len(run) > 4:  # robust: free-energy bound telemetry
+            np.save(os.path.join(args.out, f"{tag}_free_energy_bounds.npy"),
+                    run[4])
         print(f"{tag:<14} {fails:>13} {np.mean(np.abs(fes)):>10.3f}")
     print(f"traces saved to {args.out}/")
 

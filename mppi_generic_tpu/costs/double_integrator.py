@@ -63,6 +63,11 @@ class DoubleIntegratorRobustCost(DoubleIntegratorCircleCost):
     hard annulus crash replaced by a quadratic barrier on the normalized
     distance from the track-center radius."""
 
+    def lipschitz_constant_cost(self):
+        """getLipshitzConstantCost (double_integrator_robust_cost.cuh:18-21):
+        the RMPPI free-energy growth bounds scale with this."""
+        return self.crash_cost
+
     def state_cost(self, y, t, crash):
         radial2 = y[0] * y[0] + y[1] * y[1]
         speed = jnp.sqrt(y[2] * y[2] + y[3] * y[3])
