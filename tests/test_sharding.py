@@ -66,3 +66,61 @@ def test_indivisible_rollouts_raises():
     mesh = make_sample_mesh()
     with pytest.raises(ValueError):
         shard_controller(ctrl, mesh)
+
+
+def test_tube_sharded_solve():
+    """Tube-MPPI's dual-system solve under sample-axis sharding — the
+    collectives ride through both system solves."""
+    from mppi_generic_tpu.controllers import TubeMPPI
+    from mppi_generic_tpu.feedback import DDPFeedback
+    from mppi_generic_tpu.parallel import make_sample_mesh, shard_controller
+
+    dyn = DoubleIntegratorDynamics.create()
+    ctrl = TubeMPPI(
+        dynamics=dyn,
+        cost=DoubleIntegratorCircleCost(),
+        sampler=GaussianDistribution.create(std_dev=[1.0, 1.0]),
+        num_timesteps=16,
+        num_rollouts=64,
+        nominal_threshold=jnp.float32(20.0),
+        feedback=DDPFeedback.create(dyn, 0.02),
+    )
+    mesh = make_sample_mesh(num_devices=8)
+    sharded = shard_controller(ctrl, mesh)
+    cs = sharded.init_state(jax.random.PRNGKey(0))
+    x0 = jnp.array([2.0, 0.0, 0.0, 1.0])
+    res_s, _ = jax.jit(sharded.solve)(x0, cs)
+    res_u, _ = jax.jit(ctrl.solve)(x0, cs)
+    np.testing.assert_allclose(
+        np.asarray(res_s.real.control_mean), np.asarray(res_u.real.control_mean),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_robust_sharded_solve():
+    """RMPPI under sample-axis sharding: both the candidate eval and the
+    augmented rollout shard."""
+    from mppi_generic_tpu.controllers import RobustMPPI
+    from mppi_generic_tpu.feedback import DDPFeedback
+    from mppi_generic_tpu.parallel import make_sample_mesh, shard_controller
+
+    dyn = DoubleIntegratorDynamics.create()
+    ctrl = RobustMPPI(
+        dynamics=dyn,
+        cost=DoubleIntegratorCircleCost(),
+        sampler=GaussianDistribution.create(std_dev=[1.0, 1.0]),
+        num_timesteps=16,
+        num_rollouts=64,
+        num_candidates=9,
+        samples_per_condition=32,
+        value_function_threshold=jnp.float32(20.0),
+        feedback=DDPFeedback.create(dyn, 0.02),
+    )
+    mesh = make_sample_mesh(num_devices=8)
+    sharded = shard_controller(ctrl, mesh)
+    cs = sharded.init_state(jax.random.PRNGKey(0))
+    x0 = jnp.array([2.0, 0.0, 0.0, 1.0])
+    cs, _ = jax.jit(sharded.update_importance_sampling)(x0, cs, 1)
+    res_s, _ = jax.jit(sharded.solve)(x0, cs)
+    assert np.all(np.isfinite(np.asarray(res_s.real.control_mean)))
+    assert np.all(np.isfinite(np.asarray(res_s.nominal.control_mean)))
