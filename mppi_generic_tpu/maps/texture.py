@@ -231,7 +231,35 @@ class MapTexture3D(struct.PyTreeNode):
         pz = map_pose[..., 2] / self.resolution[2] / self.depth
         return px, py, pz
 
+    # depth layers become channels of the MXU bilinear (maps up to 256/side,
+    # modest depth); bigger volumes use the gather path
+    _MATMUL_GATHER_MAX_SIDE = 256
+    _MATMUL_GATHER_MAX_DEPTH = 32
+
+    def _query_tex_matmul(self, u, v, w):
+        """Trilinear as (MXU bilinear over all depth layers) + one-hot depth
+        lerp: the (H, W, D) view runs through the 2D multichannel matmul
+        formulation, then depth interpolation is a weighted reduction."""
+        import jax
+
+        z0, z1, fz = _bilinear_axis(jnp.asarray(w), self.depth)
+        as2d = MapTexture2D(
+            data=jnp.transpose(self.data, (1, 2, 0)),  # (H, W, D)
+            origin=self.origin, rotation=self.rotation,
+            resolution=self.resolution,
+        )
+        layers = as2d.query_tex(u, v)  # (..., D) bilinear per depth layer
+        D = self.depth
+        fzb = fz[..., None]
+        dw = (jax.nn.one_hot(z0, D) * (1 - fzb)
+              + jax.nn.one_hot(z1, D) * fzb)  # (..., D)
+        return jnp.sum(layers * dw, axis=-1)
+
     def query_tex(self, u, v, w):
+        if (self.height <= self._MATMUL_GATHER_MAX_SIDE
+                and self.width <= self._MATMUL_GATHER_MAX_SIDE
+                and self.depth <= self._MATMUL_GATHER_MAX_DEPTH):
+            return self._query_tex_matmul(u, v, w)
         x0, x1, fx = _bilinear_axis(u, self.width)
         y0, y1, fy = _bilinear_axis(v, self.height)
         z0, z1, fz = _bilinear_axis(w, self.depth)
