@@ -383,11 +383,13 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
         )
 
         def draw_bits():
+            # one fused draw for both uniforms (halves PRNG invocations)
             b = pltpu.bitcast(
-                pltpu.prng_random_bits((C, rows, LANES)), jnp.uint32
+                pltpu.prng_random_bits((2 * C, rows, LANES)), jnp.uint32
             )
             # uint32 -> f32 is not lowerable; >>8 fits int32, bitcast first
-            return pltpu.bitcast(b >> 8, jnp.int32).astype(jnp.float32)
+            f = pltpu.bitcast(b >> 8, jnp.int32).astype(jnp.float32)
+            return f[:C], f[C:]
 
         def do_step(t, eps, carry):
             """One timestep given its N(0,1) draws: carve-outs, per-channel
@@ -428,8 +430,9 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
             # dual-output Box-Muller: one (u1, u2) draw yields BOTH the cos
             # and sin normals — two timesteps per PRNG/log/sqrt evaluation
             def body2(i2, carry):
-                u1 = (draw_bits() + 0.5) * INV_2_24  # (0, 1)
-                u2 = draw_bits() * INV_2_24          # [0, 1)
+                f1, f2 = draw_bits()
+                u1 = (f1 + 0.5) * INV_2_24  # (0, 1)
+                u2 = f2 * INV_2_24          # [0, 1)
                 r = jnp.sqrt(-2.0 * jnp.log(u1))
                 theta = TWO_PI * u2
                 carry = do_step(2 * i2, r * jnp.cos(theta), carry)
@@ -440,8 +443,9 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
             )
         else:
             def body(t, carry):
-                u1 = (draw_bits() + 0.5) * INV_2_24
-                u2 = draw_bits() * INV_2_24
+                f1, f2 = draw_bits()
+                u1 = (f1 + 0.5) * INV_2_24
+                u2 = f2 * INV_2_24
                 eps = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(TWO_PI * u2)
                 return do_step(t, eps, carry)
 
