@@ -70,7 +70,7 @@ def test_ddp_with_boxqp_respects_bounds():
     fb_box = DDPFeedback.create(dyn, 0.02, use_boxqp=True)
     st_box = fb_box.compute_feedback(x0, goal, ctrls)
     assert bool(jnp.all(jnp.isfinite(st_box.gains)))
-    assert bool(jnp.all((st_box.u_traj >= -0.5 - 1e5) &
+    assert bool(jnp.all((st_box.u_traj >= -0.5 - 1e-5) &
                         (st_box.u_traj <= 0.5 + 1e-5)))
 
     dyn_loose = DoubleIntegratorDynamics.create()

@@ -1,7 +1,6 @@
 """Controller warm-start snapshot tests (runtime/checkpoint.py)."""
 
 import os
-import tempfile
 
 import jax
 import jax.numpy as jnp
@@ -24,11 +23,11 @@ def _ctrl():
     )
 
 
-def test_snapshot_roundtrip_reproduces_solve():
+def test_snapshot_roundtrip_reproduces_solve(tmp_path):
     ctrl = _ctrl()
     cs = ctrl.init_state(jax.random.PRNGKey(3))
     cs = cs.replace(control_mean=jnp.ones((16, 2)) * 0.3)
-    path = os.path.join(tempfile.mkdtemp(), "state.npz")
+    path = os.path.join(tmp_path, "state.npz")
     save_state(path, cs)
     restored = load_state(path, ctrl.init_state(jax.random.PRNGKey(0)))
 
@@ -40,10 +39,10 @@ def test_snapshot_roundtrip_reproduces_solve():
     )
 
 
-def test_snapshot_leaf_mismatch_raises():
+def test_snapshot_leaf_mismatch_raises(tmp_path):
     ctrl = _ctrl()
     cs = ctrl.init_state(jax.random.PRNGKey(0))
-    path = os.path.join(tempfile.mkdtemp(), "state.npz")
+    path = os.path.join(tmp_path, "state.npz")
     save_state(path, cs)
     try:
         load_state(path, (cs.control_mean,))  # wrong structure

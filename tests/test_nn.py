@@ -5,7 +5,7 @@ exported from, scripts/autorally/lstm_converter.py)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import torch
+torch = __import__("pytest").importorskip("torch")
 
 from mppi_generic_tpu.nn import FNN, LSTM, LSTMLSTM
 

@@ -60,7 +60,7 @@ def test_robust_deadband_applied_once():
     ctrl = RobustMPPI(
         dynamics=dyn, cost=DoubleIntegratorCircleCost(),
         sampler=GaussianDistribution.create(std_dev=[1.0, 1.0]),
-        num_timesteps=16, num_rollouts=64,
+        num_timesteps=16, num_rollouts=256,
         feedback=DDPFeedback.create(dyn, 0.02), return_samples=True,
     )
     cs = ctrl.init_state(jax.random.PRNGKey(0))
@@ -73,7 +73,11 @@ def test_robust_deadband_applied_once():
     U = res.nominal.sampled_controls
     assert U is not None
     assert bool(jnp.all(jnp.isfinite(U)))
-    assert float(jnp.max(jnp.abs(U))) <= 3.0 + 1e-5
+    m = float(jnp.max(jnp.abs(U)))
+    assert m <= 3.0 + 1e-5
+    # once-clamped samples reach the full range; a double shrink would cap
+    # them at 2.8 (8192 draws of N(0,1): P(none beyond 3.1 pre-shrink) ~ 0)
+    assert m > 2.9, m
 
 
 def test_feedback_cost_step_time_specific_sigma():
@@ -87,7 +91,8 @@ def test_feedback_cost_step_time_specific_sigma():
 
 
 def test_tube_respects_weight_transform():
-    """TubeMPPI reuses VanillaMPPI's iteration — Tsallis weighting applies."""
+    """TubeMPPI reuses VanillaMPPI's iteration — non-default weight
+    transforms (here CEM elite weighting) apply to both systems."""
     dyn = DoubleIntegratorDynamics.create()
     common = dict(
         dynamics=dyn, cost=DoubleIntegratorCircleCost(),
@@ -98,13 +103,13 @@ def test_tube_respects_weight_transform():
     cs = TubeMPPI(**common).init_state(jax.random.PRNGKey(0))
     x0 = jnp.array([2.0, 0.0, 0.0, 1.0])
     r_exp, _ = jax.jit(TubeMPPI(**common).solve)(x0, cs)
-    r_ts, _ = jax.jit(
+    r_cem, _ = jax.jit(
         TubeMPPI(**common, weight_transform="cem").solve
     )(x0, cs)
     # CEM elite weights are 0/1 — different from exp weights
-    assert not np.allclose(np.asarray(r_ts.real.weights),
+    assert not np.allclose(np.asarray(r_cem.real.weights),
                            np.asarray(r_exp.real.weights))
-    assert set(np.unique(np.asarray(r_ts.real.weights))) <= {0.0, 1.0}
+    assert set(np.unique(np.asarray(r_cem.real.weights))) <= {0.0, 1.0}
 
 
 def test_autotune_works_for_tube():

@@ -196,6 +196,11 @@ def test_threaded_control_loop():
     alive = {"v": True}
     x = np.array([2.0, 0.0, 0.0, 1.0], np.float32)
 
+    # warm the jit cache through the plant's own path so the first in-loop
+    # solve is not a multi-second compile (keeps the test order-independent)
+    plant.update_state(x, -1.0)
+    assert plant.run_control_iteration(timeout=5.0)
+
     def estimator():
         t = 0.0
         for _ in range(40):
@@ -258,15 +263,6 @@ def test_plant_stride_clamped_on_long_stall():
     """A state gap longer than the horizon must clamp the stride to T-1 and
     still slide, not freeze the solve to the stale mean (base_plant stride
     logic, base_plant.hpp:488-507)."""
-    import jax
-    import jax.numpy as jnp
-
-    from mppi_generic_tpu.controllers import VanillaMPPI
-    from mppi_generic_tpu.costs import DoubleIntegratorCircleCost
-    from mppi_generic_tpu.models import DoubleIntegratorDynamics
-    from mppi_generic_tpu.runtime.plant import BasePlant
-    from mppi_generic_tpu.sampling import GaussianDistribution
-
     ctrl = VanillaMPPI(
         dynamics=DoubleIntegratorDynamics.create(),
         cost=DoubleIntegratorCircleCost(),

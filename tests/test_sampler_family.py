@@ -164,9 +164,22 @@ def test_smooth_mppi_in_controller():
     res, cs2 = ctrl.solve(jnp.array([2.0, 0.0, 0.0, 1.0]), cs)
     assert np.isfinite(float(res.baseline))
     assert cs2.sampler_state.shape == (T, 2)
-    # smoothness: mean-abs control increment should be small vs gaussian
     cs3 = ctrl.slide_control_sequence(cs2, 1)
     assert cs3.sampler_state.shape == (T, 2)
+
+    # smoothness: derivative-space sampling must yield smaller mean-abs
+    # control increments than direct Gaussian sampling at the same sigma
+    key = jax.random.PRNGKey(7)
+    mean = jnp.zeros((T, 2))
+    U_s, _ = ctrl.sampler.sample(key, mean, 128, state=ctrl.sampler.init_state())
+    from mppi_generic_tpu.sampling import GaussianDistribution
+
+    U_g, _ = GaussianDistribution.create(std_dev=[2.0, 2.0]).sample(
+        key, mean, 128
+    )
+    inc_s = float(jnp.mean(jnp.abs(jnp.diff(U_s[1:], axis=1))))
+    inc_g = float(jnp.mean(jnp.abs(jnp.diff(U_g[1:], axis=1))))
+    assert inc_s < 0.5 * inc_g, (inc_s, inc_g)
 
 
 def test_piecewise_linear_carveouts():

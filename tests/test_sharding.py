@@ -73,7 +73,6 @@ def test_tube_sharded_solve():
     collectives ride through both system solves."""
     from mppi_generic_tpu.controllers import TubeMPPI
     from mppi_generic_tpu.feedback import DDPFeedback
-    from mppi_generic_tpu.parallel import make_sample_mesh, shard_controller
 
     dyn = DoubleIntegratorDynamics.create()
     ctrl = TubeMPPI(
@@ -102,7 +101,6 @@ def test_robust_sharded_solve():
     augmented rollout shard."""
     from mppi_generic_tpu.controllers import RobustMPPI
     from mppi_generic_tpu.feedback import DDPFeedback
-    from mppi_generic_tpu.parallel import make_sample_mesh, shard_controller
 
     dyn = DoubleIntegratorDynamics.create()
     ctrl = RobustMPPI(

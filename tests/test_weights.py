@@ -62,6 +62,9 @@ def test_risk_measures():
     assert float(risk.risk_measure(costs, "mean")) == 5.5
     assert float(risk.risk_measure(costs, "min")) == 1.0
     assert float(risk.risk_measure(costs, "max")) == 10.0
-    # CVaR_0.9 of 1..10 = mean of costs >= 9.1-quantile
+    # CVaR_0.9 of 1..10: VaR_0.9 = 9.1-quantile, so only cost 10 exceeds it
+    # -> tail mean exactly 10 (a plain-quantile bug would return ~9.1)
     cv = float(risk.cvar(costs, 0.9))
-    assert cv >= 9.0
+    np.testing.assert_allclose(cv, 10.0, rtol=1e-6)
+    # a lower alpha includes more of the tail
+    np.testing.assert_allclose(float(risk.cvar(costs, 0.5)), 8.0, rtol=1e-6)
