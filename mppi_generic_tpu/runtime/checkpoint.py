@@ -30,7 +30,12 @@ def save_state(path: str, ctrl_state) -> None:
 
 def load_state(path: str, template):
     """Restore a snapshot into the structure of ``template`` (a controller
-    state with the same pytree shape, e.g. ``controller.init_state()``)."""
+    state with the same pytree shape, e.g. ``controller.init_state()``).
+    Validates the pytree structure and every leaf shape against the
+    template so a mismatched snapshot fails here, not inside a jitted
+    solve."""
+    if not str(path).endswith(".npz"):
+        path = str(path) + ".npz"  # np.savez appends it on save
     data = np.load(path, allow_pickle=False)
     leaves_t, treedef = jax.tree_util.tree_flatten(template)
     n = len([k for k in data.files if k.startswith("leaf_")])
@@ -38,10 +43,24 @@ def load_state(path: str, template):
         raise ValueError(
             f"snapshot has {n} leaves, template has {len(leaves_t)}"
         )
+    saved_treedef = str(data["treedef_repr"])
+    if saved_treedef != str(treedef):
+        raise ValueError(
+            "snapshot pytree structure does not match the template:\n"
+            f"  saved:    {saved_treedef}\n  template: {treedef}"
+        )
     leaves = []
     for i, t in enumerate(leaves_t):
         arr = data[f"leaf_{i}"]
         t_arr = jnp.asarray(t)
+        expect = (jax.random.key_data(t_arr).shape
+                  if jnp.issubdtype(t_arr.dtype, jax.dtypes.prng_key)
+                  else t_arr.shape)
+        if arr.shape != expect:
+            raise ValueError(
+                f"snapshot leaf {i} has shape {arr.shape}, template "
+                f"expects {expect}"
+            )
         if hasattr(t_arr, "dtype") and jnp.issubdtype(t_arr.dtype, jax.dtypes.prng_key):
             # PRNG keys round-trip through their uint32 key data
             leaves.append(jax.random.wrap_key_data(

@@ -22,6 +22,7 @@ _BUILD_DIR = os.path.join(_REPO_ROOT, "native", "build")
 _SO = os.path.join(_BUILD_DIR, "libmppi_runtime.so")
 
 _lib = None
+_lib_failed = False
 _lib_lock = threading.Lock()
 
 
@@ -33,16 +34,27 @@ def _compile():
 
 
 def load_library():
-    """Load (compiling if needed) the native library; None on failure."""
-    global _lib
+    """Load (compiling if needed) the native library; None on failure
+    (cached — the compile is attempted once per process, and the fallback
+    is announced so a silently degraded data plane is visible)."""
+    global _lib, _lib_failed
     with _lib_lock:
         if _lib is not None:
             return _lib
+        if _lib_failed:
+            return None
         try:
             if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
                 _compile()
             lib = ctypes.CDLL(_SO)
-        except Exception:
+        except Exception as e:
+            _lib_failed = True
+            import warnings
+
+            warnings.warn(
+                f"native runtime unavailable ({type(e).__name__}: {e}); "
+                "using the pure-Python data plane", RuntimeWarning
+            )
             return None
         f32p = ctypes.POINTER(ctypes.c_float)
         lib.rt_buffer_new.restype = ctypes.c_void_p
@@ -134,6 +146,7 @@ class NativeMailbox:
 
     def put(self, time, vec):
         vec = np.ascontiguousarray(vec, np.float32)
+        assert vec.shape == (self.dim,), (vec.shape, self.dim)
         self._lib.rt_mailbox_put(self._h, float(time), _as_f32p(vec))
 
     def get(self):
@@ -217,8 +230,10 @@ class PyMailbox:
         self._seq = 0
 
     def put(self, time, vec):
+        vec = np.asarray(vec, np.float32)
+        assert vec.shape == (self.dim,), (vec.shape, self.dim)
         with self._mu:
-            self._state = np.asarray(vec, np.float32).copy()
+            self._state = vec.copy()
             self._time = float(time)
             self._seq += 1
             self._mu.notify_all()

@@ -25,6 +25,7 @@ from __future__ import annotations
 import threading
 import time as time_mod
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -32,19 +33,22 @@ from mppi_generic_tpu.runtime.native import make_buffer, make_mailbox
 
 
 class PlantStats:
-    """Wall-clock accounting (base_plant.hpp:102-117)."""
+    """Wall-clock accounting (base_plant.hpp:102-117). Feedback timing is
+    not tracked separately: the DDP solve runs inside the jitted controller
+    program here, so it is part of avg_optimize_ms."""
 
     def __init__(self):
         self.num_iterations = 0
         self.avg_loop_ms = 0.0
         self.avg_optimize_ms = 0.0
-        self.avg_feedback_ms = 0.0
         self.avg_sleep_ms = 0.0
+        self._counts = {}
 
     def update(self, field, value_ms):
-        n = self.num_iterations
+        n = self._counts.get(field, 0)
         old = getattr(self, field)
         setattr(self, field, (old * n + value_ms) / (n + 1))
+        self._counts[field] = n + 1
 
 
 class BasePlant:
@@ -69,6 +73,7 @@ class BasePlant:
         self._solution_lock = threading.Lock()
         self.latest_result = None
         self.stats = PlantStats()
+        self._publish_fn = None  # jitted publish path, built lazily
 
         # queued parameter hot-swaps (setDynamicsParams etc.,
         # base_plant.hpp:351-426)
@@ -97,37 +102,57 @@ class BasePlant:
     def update_state(self, state, time):
         """Store the newest state and publish an interpolated control if the
         time lies within the current trajectory (base_plant.hpp:288-320)."""
-        self._mailbox.put(time, np.asarray(state, np.float32))
+        state = np.asarray(state, np.float32)
+        if state.shape != (self.controller.dynamics.STATE_DIM,):
+            raise ValueError(
+                f"state shape {state.shape} != "
+                f"({self.controller.dynamics.STATE_DIM},)"
+            )
+        self._mailbox.put(time, state)
         with self._solution_lock:
             result = self.latest_result
             sol_time = self._last_used_state_time
+            ctrl_state = self.controller_state  # paired with result
         if result is None or sol_time < 0:
             return
         rel = time - sol_time
         horizon = float(self.controller.dt) * self.controller.num_timesteps
         if 0 < rel < horizon:
-            u = self.get_published_control(jnp.asarray(state), result, rel)
+            u = self.get_published_control(
+                jnp.asarray(state), result, rel, ctrl_state
+            )
             self.pub_control(np.asarray(u))
             if self.debug_mode:
-                T = result.state_trajectory.shape[0]
+                pub = getattr(result, "nominal", result)
+                T = pub.state_trajectory.shape[0]
                 idx = min(int(rel / float(self.controller.dt)), T - 1)
-                self.pub_nominal_state(np.asarray(result.state_trajectory[idx]))
+                self.pub_nominal_state(np.asarray(pub.state_trajectory[idx]))
 
-    def get_published_control(self, state, result, rel_time):
+    def get_published_control(self, state, result, rel_time, ctrl_state=None):
         """Feed-forward interpolation; controllers with feedback add
-        K(t)(x - x_nom) (getCurrentControl, controller.cuh:329-345)."""
+        K(t)(x - x_nom) (getCurrentControl, controller.cuh:329-345).
+        Tube/Robust publish the NOMINAL sequence with nominal-tracking
+        feedback; ``ctrl_state`` must be the state paired with ``result``
+        (snapshot both under the solution lock)."""
         ctrl = self.controller
-        u = ctrl.get_current_control(result, rel_time)
+        if ctrl_state is None:
+            ctrl_state = self.controller_state
+        pub = getattr(result, "nominal", result)
         fb = getattr(ctrl, "feedback", None)
-        fb_state = getattr(self.controller_state, "feedback_state", None)
-        if fb is not None and fb_state is not None:
-            nominal = getattr(result, "nominal", result)
-            goal_traj = nominal.state_trajectory[:-1]
-            u = u + fb.interpolate_feedback(
-                state, fb_state, rel_time, float(ctrl.dt), goal_traj
-            )
-            u = ctrl._clamp_controls(u)
-        return u
+        fb_state = getattr(ctrl_state, "feedback_state", None)
+        if self._publish_fn is None:
+            def _publish(state, pub, rel_time, fb_state):
+                u = ctrl.get_current_control(pub, rel_time)
+                if fb is not None and fb_state is not None:
+                    goal_traj = pub.state_trajectory[:-1]
+                    u = u + fb.interpolate_feedback(
+                        state, fb_state, rel_time, float(ctrl.dt), goal_traj
+                    )
+                    u = ctrl._clamp_controls(u)
+                return u
+
+            self._publish_fn = jax.jit(_publish)
+        return self._publish_fn(state, pub, jnp.float32(rel_time), fb_state)
 
     # --- parameter hot-swap ----------------------------------------------------
     def set_dynamics_params(self, dynamics):
@@ -154,6 +179,8 @@ class BasePlant:
             if self._new_sampler is not None:
                 c = c.replace(sampler=self._new_sampler)
                 self._new_sampler = None
+            if c is not self.controller:
+                self._publish_fn = None  # controller changed: re-jit publish
             self.controller = c
 
     # --- solver-side loop -------------------------------------------------------
@@ -168,10 +195,10 @@ class BasePlant:
         seq = self._mailbox.wait(self._last_seq, timeout)
         if seq == self._last_seq:
             return False
-        self._last_seq, state_time, state = (
-            seq,
-            *self._mailbox.get()[1:],
-        )
+        # take the seq from get() itself: a put can land between wait and
+        # get, and pairing the stale seq with the newer state would make the
+        # next iteration re-consume it (spurious stride-1 slide)
+        self._last_seq, state_time, state = self._mailbox.get()
 
         self._update_parameters()
 

@@ -196,10 +196,11 @@ def test_threaded_control_loop():
     alive = {"v": True}
     x = np.array([2.0, 0.0, 0.0, 1.0], np.float32)
 
-    # warm the jit cache through the plant's own path so the first in-loop
-    # solve is not a multi-second compile (keeps the test order-independent)
+    # warm the jit cache through the plant's own paths (solve + publish) so
+    # no in-loop call hits a multi-second compile (order-independence)
     plant.update_state(x, -1.0)
     assert plant.run_control_iteration(timeout=5.0)
+    plant.update_state(x, -0.9)  # inside the horizon: compiles the publish
 
     def estimator():
         t = 0.0
