@@ -426,7 +426,23 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
             return (x_next, crash, acc + c + lr_t, y)
 
         init = (x, crash0, acc0, y0)
-        if T % 2 == 0:
+        if T % 4 == 0:
+            # 4 timesteps per loop iteration (two Box-Muller pairs):
+            # amortizes the fori_loop carry/branch overhead a bit further
+            def body4(i4, carry):
+                for h in range(2):
+                    f1, f2 = draw_bits()
+                    u1 = (f1 + 0.5) * INV_2_24
+                    u2 = f2 * INV_2_24
+                    r = jnp.sqrt(-2.0 * jnp.log(u1))
+                    theta = TWO_PI * u2
+                    carry = do_step(4 * i4 + 2 * h, r * jnp.cos(theta), carry)
+                    carry = do_step(4 * i4 + 2 * h + 1, r * jnp.sin(theta),
+                                    carry)
+                return carry
+
+            _, crash, acc, y_last = jax.lax.fori_loop(0, T // 4, body4, init)
+        elif T % 2 == 0:
             # dual-output Box-Muller: one (u1, u2) draw yields BOTH the cos
             # and sin normals — two timesteps per PRNG/log/sqrt evaluation
             def body2(i2, carry):
