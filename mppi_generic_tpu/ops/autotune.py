@@ -58,8 +58,10 @@ def _kernel_supported(controller, name) -> bool:
         return False
     if name == "pallas_fused":
         from mppi_generic_tpu.sampling.gaussian import GaussianDistribution
+        from mppi_generic_tpu.sampling.nln import NLNDistribution
 
-        if type(controller.sampler) is not GaussianDistribution:
+        if type(controller.sampler) not in (GaussianDistribution,
+                                            NLNDistribution):
             return False
         if jax.default_backend() != "tpu":
             return False

@@ -337,12 +337,13 @@ def fused_rollout_costs(
 @functools.partial(
     jax.jit,
     static_argnames=("dynamics_static", "cost_static", "T", "C", "S", "K",
-                     "K_pad", "tile_k", "interpret", "treedef"),
+                     "K_pad", "tile_k", "interpret", "treedef",
+                     "noise_kind"),
 )
 def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
-                       x0, mean, sigma, coeff, constraints, seed, dt, lam,
-                       alpha, stride, pure_threshold, T, C, S, K, K_pad,
-                       tile_k, interpret):
+                       x0, mean, sigma, ln_sigma, coeff, constraints, seed,
+                       dt, lam, alpha, stride, pure_threshold, T, C, S, K,
+                       K_pad, tile_k, interpret, noise_kind="gaussian"):
     del dynamics_static, cost_static
     rows = tile_k // LANES
     grid = K_pad // tile_k
@@ -352,9 +353,9 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
 
     def kernel(*refs):
         leaf_refs = refs[: len(leaves)]
-        (x0_ref, mean_ref, sigma_ref, coeff_ref, cons_ref, seed_ref,
-         scal_ref) = refs[len(leaves): len(leaves) + 7]
-        costs_ref, crash_ref, u_out_ref = refs[len(leaves) + 7:]
+        (x0_ref, mean_ref, sigma_ref, lns_ref, coeff_ref, cons_ref,
+         seed_ref, scal_ref) = refs[len(leaves): len(leaves) + 8]
+        costs_ref, crash_ref, u_out_ref = refs[len(leaves) + 8:]
 
         vals = [_read_leaf(r, nd) for r, nd in zip(leaf_refs, leaf_ndims)]
         dynamics, cost = jax.tree_util.tree_unflatten(treedef, vals)
@@ -426,7 +427,25 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
             return (x_next, crash, acc + c + lr_t, y)
 
         init = (x, crash0, acc0, y0)
-        if T % 4 == 0:
+        if noise_kind == "nln":
+            # log-MPPI: eps = z1 * exp(ln_sigma * z2) — one Box-Muller pair
+            # yields both independent normals per timestep (nln.cu:12-24)
+            def body_nln(t, carry):
+                f1, f2 = draw_bits()
+                u1 = (f1 + 0.5) * INV_2_24
+                u2 = f2 * INV_2_24
+                r = jnp.sqrt(-2.0 * jnp.log(u1))
+                theta = TWO_PI * u2
+                z1 = r * jnp.cos(theta)
+                z2 = r * jnp.sin(theta)
+                eps = jnp.stack([
+                    z1[ch] * jnp.exp(lns_ref[t, ch] * z2[ch])
+                    for ch in range(C)
+                ])
+                return do_step(t, eps, carry)
+
+            _, crash, acc, y_last = jax.lax.fori_loop(0, T, body_nln, init)
+        elif T % 4 == 0:
             # 4 timesteps per loop iteration (two Box-Muller pairs):
             # amortizes the fori_loop carry/branch overhead a bit further
             def body4(i4, carry):
@@ -481,6 +500,7 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
         pl.BlockSpec(memory_space=pltpu.VMEM),  # x0 (S, 1)
         pl.BlockSpec(memory_space=pltpu.SMEM),  # mean (T, C) scalars
         pl.BlockSpec(memory_space=pltpu.SMEM),  # sigma (T, C) scalars
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # lognormal sigma (T, C)
         pl.BlockSpec(memory_space=pltpu.SMEM),  # coeff (1, C) scalars
         pl.BlockSpec(memory_space=pltpu.SMEM),  # constraints (4, C) scalars
         pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1, 1) int32
@@ -511,7 +531,7 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
             bytes_accessed=T * C * K_pad * 4 + K_pad * 8,
             transcendentals=6 * K_pad * T * C,
         ),
-    )(*leaf_shapes, x0.reshape(S, 1), mean, sigma,
+    )(*leaf_shapes, x0.reshape(S, 1), mean, sigma, ln_sigma,
       coeff.reshape(1, C), constraints, seed.reshape(1, 1), scalars)
     costs = costs3d.reshape(-1)[:K]
     crash = crash3d.reshape(-1)[:K]
@@ -737,14 +757,20 @@ def fused_sample_rollout_costs(
     mppi_common.cu:126-145) and ``U`` is the clamped sample tensor for the
     weighted mean update.
 
-    Only exact :class:`GaussianDistribution` samplers qualify (subclasses
-    override the noise process); others raise :class:`PallasIncompatible`.
+    Gaussian and NLN (log-MPPI) samplers qualify — their noise processes
+    generate in-kernel; other distributions (colored/FFT, smooth derivative
+    space, piecewise) raise :class:`PallasIncompatible`.
     """
     from mppi_generic_tpu.sampling.gaussian import GaussianDistribution
+    from mppi_generic_tpu.sampling.nln import NLNDistribution
 
-    if type(sampler) is not GaussianDistribution:
+    if type(sampler) is NLNDistribution:
+        noise_kind = "nln"
+    elif type(sampler) is GaussianDistribution:
+        noise_kind = "gaussian"
+    else:
         raise PallasIncompatible(
-            f"fused sampling requires a plain GaussianDistribution, "
+            f"fused sampling requires a Gaussian or NLN distribution, "
             f"got {type(sampler).__name__}"
         )
     if jax.default_backend() != "tpu":
@@ -769,14 +795,22 @@ def fused_sample_rollout_costs(
     K_pad = _round_up(K, tile_k)
 
     sigma = sampler._sigma(T, iteration)
+    # NLN's lognormal scale is the RAW per-channel std_dev (nln.py); a (T,C)
+    # table either way so the kernel indexes uniformly
+    ln_sigma = jnp.broadcast_to(
+        jnp.asarray(sampler.std_dev, jnp.float32).reshape(-1, C)
+        if jnp.asarray(sampler.std_dev).ndim == 2
+        else jnp.asarray(sampler.std_dev, jnp.float32)[None, :],
+        (T, C),
+    )
     pure_threshold = (1.0 - sampler.pure_noise_percentage) * K
     constraints = _constraint_rows(dynamics)
 
     return _fused_sample_call(
         leaves, treedef, type(dynamics).__name__, type(cost).__name__,
-        x0, mean, sigma, sampler.control_cost_coeff, constraints,
+        x0, mean, sigma, ln_sigma, sampler.control_cost_coeff, constraints,
         jnp.asarray(seed, jnp.int32), dt, lam, alpha,
         jnp.asarray(optimization_stride, jnp.int32),
         jnp.asarray(pure_threshold, jnp.float32),
-        T, C, S, K, K_pad, tile_k, interpret,
+        T, C, S, K, K_pad, tile_k, interpret, noise_kind=noise_kind,
     )

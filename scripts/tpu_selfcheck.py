@@ -27,7 +27,7 @@ from mppi_generic_tpu.ops.pallas_rollout import (
     fused_rollout_costs,
     fused_sample_rollout_costs,
 )
-from mppi_generic_tpu.sampling import GaussianDistribution
+from mppi_generic_tpu.sampling import GaussianDistribution, NLNDistribution
 
 
 def main():
@@ -104,6 +104,40 @@ def main():
     print("2b. hardware-PRNG normal statistics "
           f"(skew {skew:+.4f}, kurt {kurt:.3f}, tile r {r_tiles:+.4f}, "
           f"time r {r_time:+.4f}): OK")
+
+    # 2c. fused NLN (log-MPPI) sampling: carve-outs, moment battery, cost
+    # self-consistency. For u = z1 * exp(s * z2) with z1, z2 ~ N(0,1) iid:
+    # E[u]=0, Var[u]=exp(2 s^2), kurtosis = 3 exp(4 s^2).
+    s_ln = 0.4
+    nln = NLNDistribution.create(std_dev=[s_ln, s_ln],
+                                 control_cost_coeff=[0.01, 0.02],
+                                 pure_noise_percentage=0.1)
+    costs_n, crash_n, U4 = fused_sample_rollout_costs(
+        dyn_free, cost, nln, x0, mean, jnp.int32(77), dt, 1.0, 0.0, K2,
+        optimization_stride=3,
+    )
+    np.testing.assert_allclose(np.asarray(U4[0]), np.asarray(mean[:T]),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(U4[5, :3]), np.asarray(mean[:3]),
+                               atol=1e-6)
+    eps_n = (np.asarray(U4[1 : int(0.9 * K2), 10:]) - np.asarray(mean)[10:])
+    eps_n = eps_n / s_ln  # undo the carve-out's sigma multiply (= std_dev)
+    flat_n = eps_n.reshape(-1)
+    var_want = float(np.exp(2 * s_ln**2))
+    kurt_want = 3.0 * float(np.exp(4 * s_ln**2))
+    kurt_n = float((flat_n**4).mean()) / float((flat_n**2).mean()) ** 2
+    assert abs(flat_n.mean()) < 0.02, flat_n.mean()
+    assert abs(flat_n.var() / var_want - 1.0) < 0.03, (flat_n.var(), var_want)
+    assert abs(kurt_n / kurt_want - 1.0) < 0.25, (kurt_n, kurt_want)
+    c_n, _, cr_n = rollout_combined(dyn_free, cost, x0, U4, dt)
+    lr_n = nln.likelihood_ratio_cost(U4, mean[:T], 1.0, 0.0)
+    np.testing.assert_allclose(np.asarray(costs_n),
+                               np.asarray(c_n + lr_n / T),
+                               rtol=1e-3, atol=1e-3)
+    assert bool(jnp.all(crash_n == cr_n))
+    print("2c. fused NLN sampling "
+          f"(var {flat_n.var():.3f}/{var_want:.3f}, "
+          f"kurt {kurt_n:.2f}/{kurt_want:.2f}): OK")
 
     # 3. full-solve parity pallas vs combined (same key)
     def ctrl(kernel):

@@ -12,7 +12,11 @@ from mppi_generic_tpu.costs import DoubleIntegratorCircleCost
 from mppi_generic_tpu.models import DoubleIntegratorDynamics
 from mppi_generic_tpu.ops import PallasIncompatible, choose_appropriate_kernel
 from mppi_generic_tpu.ops.pallas_rollout import fused_sample_rollout_costs
-from mppi_generic_tpu.sampling import ColoredNoiseDistribution, GaussianDistribution
+from mppi_generic_tpu.sampling import (
+    ColoredNoiseDistribution,
+    GaussianDistribution,
+    NLNDistribution,
+)
 
 
 def test_fused_sampling_refuses_on_cpu():
@@ -31,6 +35,19 @@ def test_fused_sampling_refuses_non_gaussian():
         std_dev=[1.0, 1.0], exponents=[1.0, 1.0]
     )
     with pytest.raises(PallasIncompatible):
+        fused_sample_rollout_costs(
+            dyn, DoubleIntegratorCircleCost(), samp, jnp.zeros(4),
+            jnp.zeros((8, 2)), jnp.int32(0), 0.02, 1.0, 0.0, 128,
+        )
+
+
+def test_fused_sampling_accepts_nln_type():
+    """NLN passes the distribution-type gate (its noise generates in-kernel);
+    on the CPU test backend the refusal must cite the PRNG backend, not the
+    sampler type."""
+    dyn = DoubleIntegratorDynamics.create()
+    samp = NLNDistribution.create(std_dev=[0.5, 0.5])
+    with pytest.raises(PallasIncompatible, match="hardware PRNG"):
         fused_sample_rollout_costs(
             dyn, DoubleIntegratorCircleCost(), samp, jnp.zeros(4),
             jnp.zeros((8, 2)), jnp.int32(0), 0.02, 1.0, 0.0, 128,
