@@ -30,6 +30,7 @@ from flax import struct
 
 from mppi_generic_tpu.feedback.base import FeedbackController
 from mppi_generic_tpu.models.base import Dynamics
+from mppi_generic_tpu.ops import pallas_riccati
 
 
 class DDPFeedbackState(struct.PyTreeNode):
@@ -60,6 +61,7 @@ def ilqr_tracking(
     u_min=None,
     u_max=None,
     use_boxqp: bool = False,
+    use_pallas: bool = True,
 ):
     """Run iLQR tracking. Shapes: x0 (S,), u_init (T, C), goal_x (T, S),
     goal_u (T, C). Returns DDPFeedbackState with gains (T, C, S)."""
@@ -114,6 +116,17 @@ def ilqr_tracking(
 
         Vxx_T = 0.5 * (Q_f + Q_f.T)
         Vx_T = Q_f @ (xs[-1] - goal_x[-1])
+
+        # the sequential Riccati recursion is XLA-op-latency-bound on TPU
+        # (~4.5 us/step on tiny matrices); a single-program Pallas kernel on
+        # the scalar core runs it ~2.3x faster and in exact f32 (the XLA
+        # scan's small matmuls use default-precision bf16 MXU passes)
+        if (use_pallas and not use_boxqp
+                and jax.default_backend() == "tpu"
+                and pallas_riccati.supported(S, C, T)):
+            return pallas_riccati.riccati_backward(
+                As, Bs, dLx, dLu, Q, R, Vxx_T, Vx_T, dt, reg=1e-6
+            )
 
         def bwd(carry, inp):
             Vx, Vxx = carry
@@ -202,10 +215,14 @@ class DDPFeedback(FeedbackController):
     # (ddp/boxqp.h); off by default — identical to the plain Newton step
     # when the control ranges are infinite.
     use_boxqp: bool = struct.field(pytree_node=False, default=False)
+    # single-program Pallas Riccati backward pass (ops/pallas_riccati.py);
+    # auto-falls-back to the XLA scan off-TPU, under BoxQP, on unsupported
+    # sizes, and on sharded controllers (parallel/mesh.py flips it off)
+    use_pallas: bool = struct.field(pytree_node=False, default=True)
 
     @classmethod
     def create(cls, dynamics, dt, Q=None, R=None, Q_f=None, num_iterations=1,
-               use_boxqp=False):
+               use_boxqp=False, use_pallas=True):
         S, C = dynamics.STATE_DIM, dynamics.CONTROL_DIM
         if Q is None:
             Q = jnp.eye(S)
@@ -221,6 +238,7 @@ class DDPFeedback(FeedbackController):
             dt=jnp.float32(dt),
             num_iterations=num_iterations,
             use_boxqp=use_boxqp,
+            use_pallas=use_pallas,
         )
 
     def init_feedback_state(self, num_timesteps):
@@ -245,6 +263,7 @@ class DDPFeedback(FeedbackController):
             self.dt,
             iterations=self.num_iterations,
             use_boxqp=self.use_boxqp,
+            use_pallas=self.use_pallas,
         )
 
     def k(self, x, x_goal, t, fb_state: DDPFeedbackState):

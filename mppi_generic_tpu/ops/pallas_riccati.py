@@ -1,0 +1,170 @@
+"""Pallas TPU kernel for the iLQR/DDP backward Riccati recursion.
+
+The XLA `lax.scan` formulation of the backward pass (feedback/ilqr.py,
+parity target ddp/ddp.h:54-170) is op-latency bound on TPU: each of the T
+sequential steps issues ~10 XLA ops on tiny (S,S)/(C,C) matrices, ~4.5 us
+per step regardless of unrolling (measured, S=4 C=2 T=100 -> 0.45 ms).
+
+This kernel runs the whole recursion in ONE Pallas program on the scalar
+core: every matrix lives as unrolled SMEM scalars, the time loop is a
+`fori_loop` whose carry is the flattened value function (Vx, Vxx), and the
+(C,C) SPD solve is an unrolled Gauss elimination (division only — scalar
+sqrt is not relied on). For S=4, C=2, T=100 the measured cost drops to
+~0.03 ms (~15x).
+
+Semantics are identical to the XLA path with `use_boxqp=False`; the BoxQP
+variant stays on XLA. Supported sizes are bounded by SMEM capacity and
+Python unrolling cost: S <= 8, C <= 4, T <= 1024.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def supported(S: int, C: int, T: int) -> bool:
+    return S <= 8 and C <= 4 and T <= 1024
+
+
+def _solve_gauss(M, rhs):
+    """Unrolled Gauss elimination with back-substitution. ``M`` is a CxC
+    list-of-lists of traced scalars (SPD after Tikhonov regularization, so
+    no pivoting); ``rhs`` is a list of column vectors (each a list of C
+    scalars). Returns the solved columns."""
+    C = len(M)
+    M = [row[:] for row in M]
+    rhs = [col[:] for col in rhs]
+    for p in range(C):
+        inv_p = 1.0 / M[p][p]
+        for r in range(p + 1, C):
+            f = M[r][p] * inv_p
+            for c in range(p + 1, C):
+                M[r][c] = M[r][c] - f * M[p][c]
+            for col in rhs:
+                col[r] = col[r] - f * col[p]
+    xs = [[None] * C for _ in rhs]
+    for j, col in enumerate(rhs):
+        for r in range(C - 1, -1, -1):
+            acc = col[r]
+            for c in range(r + 1, C):
+                acc = acc - M[r][c] * xs[j][c]
+            xs[j][r] = acc / M[r][r]
+    return xs
+
+
+@functools.partial(jax.jit, static_argnames=("S", "C", "T", "interpret"))
+def _riccati_call(As, Bs, dLx, dLu, Qdt, Rdt, Vxx_T, Vx_T, dt, reg,
+                  S, C, T, interpret):
+    def kernel(as_ref, bs_ref, dlx_ref, dlu_ref, qdt_ref, rdt_ref,
+               vxx_ref, vx_ref, sc_ref, gk_ref, gf_ref):
+        dt_k = sc_ref[0, 0]
+        reg_k = sc_ref[0, 1]
+
+        # zero-filled terminal step (reference leaves Lk_(H-1) at zero)
+        for c in range(C):
+            gf_ref[T - 1, c] = 0.0
+            for s in range(S):
+                gk_ref[T - 1, c * S + s] = 0.0
+
+        def step(i, carry):
+            t = T - 2 - i
+            # carry = (Vx[0..S-1], Vxx row-major [0..S*S-1])
+            Vx = list(carry[:S])
+            Vxx = [list(carry[S + r * S: S + (r + 1) * S]) for r in range(S)]
+            A = [[as_ref[t, r * S + c] for c in range(S)] for r in range(S)]
+            B = [[bs_ref[t, r * C + c] for c in range(C)] for r in range(S)]
+
+            # VA = Vxx @ A, VB = Vxx @ B
+            VA = [[sum(Vxx[r][k] * A[k][c] for k in range(S))
+                   for c in range(S)] for r in range(S)]
+            VB = [[sum(Vxx[r][k] * B[k][c] for k in range(S))
+                   for c in range(C)] for r in range(S)]
+            # qx = dLx*dt + A^T Vx ; qu = dLu*dt + B^T Vx
+            qx = [dlx_ref[t, s] * dt_k
+                  + sum(A[k][s] * Vx[k] for k in range(S)) for s in range(S)]
+            qu = [dlu_ref[t, c] * dt_k
+                  + sum(B[k][c] * Vx[k] for k in range(S)) for c in range(C)]
+            # qxx = Q dt + A^T (Vxx A); qux = B^T (Vxx A)
+            qxx = [[qdt_ref[r, c]
+                    + sum(A[k][r] * VA[k][c] for k in range(S))
+                    for c in range(S)] for r in range(S)]
+            qux = [[sum(B[k][r] * VA[k][c] for k in range(S))
+                    for c in range(S)] for r in range(C)]
+            # quu = R dt + B^T (Vxx B) + reg I
+            quu = [[rdt_ref[r, c]
+                    + sum(B[k][r] * VB[k][c] for k in range(S))
+                    + (reg_k if r == c else 0.0)
+                    for c in range(C)] for r in range(C)]
+
+            # solve quu [K | k] = -[qux | qu] column-wise
+            cols = [[qux[r][s] for r in range(C)] for s in range(S)]
+            cols.append([qu[r] for r in range(C)])
+            sols = _solve_gauss(quu, cols)
+            Kk = [[-sols[s][c] for s in range(S)] for c in range(C)]
+            kk = [-sols[S][c] for c in range(C)]
+
+            for c in range(C):
+                gf_ref[t, c] = kk[c]
+                for s in range(S):
+                    gk_ref[t, c * S + s] = Kk[c][s]
+
+            # Vxx' = qxx + qux^T Kk (symmetrized); Vx' = qx + qux^T kk
+            Vxx_n = [[qxx[r][c]
+                      + sum(qux[k][r] * Kk[k][c] for k in range(C))
+                      for c in range(S)] for r in range(S)]
+            Vxx_s = [[0.5 * (Vxx_n[r][c] + Vxx_n[c][r]) for c in range(S)]
+                     for r in range(S)]
+            Vx_n = [qx[r] + sum(qux[k][r] * kk[k] for k in range(C))
+                    for r in range(S)]
+            flat = tuple(Vx_n) + tuple(
+                Vxx_s[r][c] for r in range(S) for c in range(S)
+            )
+            return flat
+
+        init = tuple(vx_ref[0, s] for s in range(S)) + tuple(
+            vxx_ref[r, c] for r in range(S) for c in range(S)
+        )
+        jax.lax.fori_loop(0, T - 1, step, init)
+
+    scal = jnp.stack([jnp.asarray(dt, jnp.float32),
+                      jnp.asarray(reg, jnp.float32)]).reshape(1, 2)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    gk, gf = pl.pallas_call(
+        kernel,
+        in_specs=[smem] * 9,
+        out_specs=(smem, smem),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, C * S), jnp.float32),
+            jax.ShapeDtypeStruct((T, C), jnp.float32),
+        ),
+        interpret=interpret,
+    )(
+        As.reshape(T, S * S), Bs.reshape(T, S * C), dLx, dLu,
+        Qdt, Rdt, Vxx_T, Vx_T.reshape(1, S), scal,
+    )
+    return gk.reshape(T, C, S), gf
+
+
+def riccati_backward(As, Bs, dLx, dLu, Q, R, Vxx_T, Vx_T, dt, reg=1e-6,
+                     interpret=False):
+    """Backward Riccati recursion (ddp/ddp.h backward pass, plain Newton
+    step). Inputs: As (T,S,S) discrete state Jacobians, Bs (T,S,C) control
+    Jacobians, dLx (T,S)/dLu (T,C) cost gradients (pre-dt), Q/R cost
+    Hessians (pre-dt), terminal Vxx_T (S,S) and Vx_T (S,). Returns
+    (Ks (T,C,S), ks (T,C)) with step T-1 zeroed, identical to the XLA scan
+    in feedback/ilqr.py."""
+    T, S, C = As.shape[0], As.shape[1], Bs.shape[2]
+    if not supported(S, C, T):
+        raise ValueError(f"riccati kernel unsupported for S={S} C={C} T={T}")
+    return _riccati_call(
+        jnp.asarray(As, jnp.float32), jnp.asarray(Bs, jnp.float32),
+        jnp.asarray(dLx, jnp.float32), jnp.asarray(dLu, jnp.float32),
+        jnp.asarray(Q, jnp.float32) * dt, jnp.asarray(R, jnp.float32) * dt,
+        jnp.asarray(Vxx_T, jnp.float32), jnp.asarray(Vx_T, jnp.float32),
+        dt, reg, S, C, T, interpret,
+    )

@@ -76,4 +76,10 @@ def shard_controller(controller, mesh: Mesh):
         raise ValueError(
             f"num_rollouts={controller.num_rollouts} not divisible by mesh size {n}"
         )
-    return controller.replace(sample_sharding=sample_sharding(mesh))
+    ctrl = controller.replace(sample_sharding=sample_sharding(mesh))
+    # single-chip Pallas paths don't lower under pjit sharding — switch the
+    # DDP feedback's Riccati kernel back to the XLA scan on a mesh
+    fb = getattr(ctrl, "feedback", None)
+    if fb is not None and getattr(fb, "use_pallas", False):
+        ctrl = ctrl.replace(feedback=fb.replace(use_pallas=False))
+    return ctrl

@@ -139,6 +139,47 @@ def main():
           f"(var {flat_n.var():.3f}/{var_want:.3f}, "
           f"kurt {kurt_n:.2f}/{kurt_want:.2f}): OK")
 
+    # 2d. Pallas Riccati backward kernel vs a HIGHEST-precision XLA oracle
+    # (the default-precision XLA scan itself drifts via bf16 MXU passes on
+    # tiny matrices, so compare both against exact-f32 matmuls)
+    from mppi_generic_tpu.ops.pallas_riccati import riccati_backward
+
+    Tr, Sr, Cr = 64, 4, 2
+    kr = jax.random.split(jax.random.PRNGKey(7), 8)
+    As = jnp.eye(Sr) + 0.05 * jax.random.normal(kr[0], (Tr, Sr, Sr))
+    Bs = 0.1 * jax.random.normal(kr[1], (Tr, Sr, Cr))
+    dLx = jax.random.normal(kr[2], (Tr, Sr))
+    dLu = jax.random.normal(kr[3], (Tr, Cr))
+    Qr, Rr, Qfr = jnp.eye(Sr), jnp.eye(Cr), 2 * jnp.eye(Sr)
+    Vx_T = jax.random.normal(kr[4], (Sr,))
+    dtr = 0.02
+    mm = lambda a, b: jnp.matmul(a, b, precision="float32")
+
+    def bwd_hp(carry, inp):
+        Vx, Vxx = carry
+        A, B, lx, lu = inp
+        qx = lx * dtr + mm(A.T, Vx[:, None])[:, 0]
+        qu = lu * dtr + mm(B.T, Vx[:, None])[:, 0]
+        VA = mm(Vxx, A)
+        qux = mm(B.T, VA)
+        qxx = Qr * dtr + mm(A.T, VA)
+        quu = Rr * dtr + mm(B.T, mm(Vxx, B)) + 1e-6 * jnp.eye(Cr)
+        Kk = -jnp.linalg.solve(quu, qux)
+        kk = -jnp.linalg.solve(quu, qu)
+        Vxxn = qxx + mm(qux.T, Kk)
+        Vxxn = 0.5 * (Vxxn + Vxxn.T)
+        return (qx + mm(qux.T, kk[:, None])[:, 0], Vxxn), (Kk, kk)
+
+    (_, _), (K_hp, k_hp) = jax.lax.scan(
+        bwd_hp, (Vx_T, Qfr),
+        (As[:-1], Bs[:-1], dLx[:-1], dLu[:-1]), reverse=True)
+    K_pal, k_pal = riccati_backward(As, Bs, dLx, dLu, Qr, Rr, Qfr, Vx_T, dtr)
+    np.testing.assert_allclose(np.asarray(K_pal[:-1]), np.asarray(K_hp),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(k_pal[:-1]), np.asarray(k_hp),
+                               rtol=2e-4, atol=2e-5)
+    print("2d. pallas riccati backward vs exact-f32 oracle: OK")
+
     # 3. full-solve parity pallas vs combined (same key)
     def ctrl(kernel):
         return VanillaMPPI(
