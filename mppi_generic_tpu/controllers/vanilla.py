@@ -115,12 +115,12 @@ class VanillaMPPI(ControllerBase):
             seed = jax.random.randint(
                 key, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
             )
-            costs, crash, U = pallas_rollout.fused_sample_rollout_costs(
+            costs, crash, U, aux = pallas_rollout.fused_sample_rollout_costs(
                 self.dynamics, self.cost, self.sampler, x0, mean, seed,
                 self.dt, self.lam, self.alpha, self.num_rollouts,
                 iteration=iteration, optimization_stride=optimization_stride,
+                sampler_state=samp_state,
             )
-            aux = None
             baseline = weight_ops.baseline_cost(costs)
             w = self._transform_weights(costs, baseline)
             eta = weight_ops.normalizer(w)

@@ -59,9 +59,11 @@ def _kernel_supported(controller, name) -> bool:
     if name == "pallas_fused":
         from mppi_generic_tpu.sampling.gaussian import GaussianDistribution
         from mppi_generic_tpu.sampling.nln import NLNDistribution
+        from mppi_generic_tpu.sampling.smooth import SmoothMPPIDistribution
 
         if type(controller.sampler) not in (GaussianDistribution,
-                                            NLNDistribution):
+                                            NLNDistribution,
+                                            SmoothMPPIDistribution):
             return False
         if jax.default_backend() != "tpu":
             return False

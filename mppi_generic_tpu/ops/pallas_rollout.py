@@ -341,9 +341,10 @@ def fused_rollout_costs(
                      "noise_kind"),
 )
 def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
-                       x0, mean, sigma, ln_sigma, coeff, constraints, seed,
-                       dt, lam, alpha, stride, pure_threshold, T, C, S, K,
-                       K_pad, tile_k, interpret, noise_kind="gaussian"):
+                       x0, mean, sigma, aux_tab, coeff, constraints, seed,
+                       dt, lam, alpha, stride, pure_threshold, dt_smooth,
+                       T, C, S, K, K_pad, tile_k, interpret,
+                       noise_kind="gaussian"):
     del dynamics_static, cost_static
     rows = tile_k // LANES
     grid = K_pad // tile_k
@@ -353,9 +354,12 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
 
     def kernel(*refs):
         leaf_refs = refs[: len(leaves)]
-        (x0_ref, mean_ref, sigma_ref, lns_ref, coeff_ref, cons_ref,
+        (x0_ref, mean_ref, sigma_ref, aux_ref, coeff_ref, cons_ref,
          seed_ref, scal_ref) = refs[len(leaves): len(leaves) + 8]
-        costs_ref, crash_ref, u_out_ref = refs[len(leaves) + 8:]
+        if noise_kind == "smooth":
+            costs_ref, crash_ref, u_out_ref, w_out_ref = refs[len(leaves) + 8:]
+        else:
+            costs_ref, crash_ref, u_out_ref = refs[len(leaves) + 8:]
 
         vals = [_read_leaf(r, nd) for r, nd in zip(leaf_refs, leaf_ndims)]
         dynamics, cost = jax.tree_util.tree_unflatten(treedef, vals)
@@ -365,6 +369,7 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
         alpha_k = scal_ref[0, 2]
         stride_k = scal_ref[0, 3].astype(jnp.int32)
         pure_thresh = scal_ref[0, 4]
+        dts_k = scal_ref[0, 5]  # smooth-MPPI derivative-integration step
 
         i = pl.program_id(0)
         pltpu.prng_seed(seed_k + i)  # independent stream per sample tile
@@ -401,16 +406,29 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
             # broadcasts (lane-transposing reshapes are not lowerable)
             pin_mean = is_zero | (t < stride_k)
             u_cs = []
+            w_cs = []
             lr_t = jnp.zeros((rows, LANES), jnp.float32)
             for ch in range(C):
                 m_c = mean_ref[t, ch]
                 s_c = sigma_ref[t, ch]
                 noise_c = s_c * eps[ch]
-                u_c = jnp.where(pure, noise_c, m_c + noise_c)
-                u_c = jnp.where(pin_mean, m_c, u_c)
+                if noise_kind == "smooth":
+                    # derivative-space carve-outs around the deriv mean,
+                    # then u = mean + W*dt_smooth (integrateNoise,
+                    # smooth-MPPI.cu:16-32)
+                    dm_c = aux_ref[t, ch]
+                    w_c = jnp.where(pure, noise_c, dm_c + noise_c)
+                    w_c = jnp.where(pin_mean, dm_c, w_c)
+                    w_cs.append(w_c)
+                    u_c = m_c + w_c * dts_k
+                else:
+                    u_c = jnp.where(pure, noise_c, m_c + noise_c)
+                    u_c = jnp.where(pin_mean, m_c, u_c)
                 u_cs.append(_clamp_channel(u_c, cons_ref, ch))
             u = jnp.stack(u_cs)
             u_out_ref[pl.ds(t, 1)] = u.reshape(1, C, tile_k)
+            if noise_kind == "smooth":
+                w_out_ref[pl.ds(t, 1)] = jnp.stack(w_cs).reshape(1, C, tile_k)
 
             # --- likelihood-ratio cost on the clamped sample ---
             for ch in range(C):
@@ -439,7 +457,7 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
                 z1 = r * jnp.cos(theta)
                 z2 = r * jnp.sin(theta)
                 eps = jnp.stack([
-                    z1[ch] * jnp.exp(lns_ref[t, ch] * z2[ch])
+                    z1[ch] * jnp.exp(aux_ref[t, ch] * z2[ch])
                     for ch in range(C)
                 ])
                 return do_step(t, eps, carry)
@@ -494,49 +512,57 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
         jnp.asarray(dt, jnp.float32),
         jnp.asarray(lam, jnp.float32), jnp.asarray(alpha, jnp.float32),
         jnp.asarray(stride, jnp.float32), pure_threshold,
-    ]).reshape(1, 5)
+        jnp.asarray(dt_smooth, jnp.float32),
+    ]).reshape(1, 6)
 
     in_specs = leaf_specs + [
         pl.BlockSpec(memory_space=pltpu.VMEM),  # x0 (S, 1)
         pl.BlockSpec(memory_space=pltpu.SMEM),  # mean (T, C) scalars
         pl.BlockSpec(memory_space=pltpu.SMEM),  # sigma (T, C) scalars
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # lognormal sigma (T, C)
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # aux (T, C): NLN lognormal sigma / smooth deriv mean
         pl.BlockSpec(memory_space=pltpu.SMEM),  # coeff (1, C) scalars
         pl.BlockSpec(memory_space=pltpu.SMEM),  # constraints (4, C) scalars
         pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1, 1) int32
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars (1, 5)
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars (1, 6)
     ]
-    out_specs = (
+    out_specs = [
         pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((T, C, tile_k), lambda i: (0, 0, i),
                      memory_space=pltpu.VMEM),
-    )
-    out_shape = (
+    ]
+    out_shape = [
         jax.ShapeDtypeStruct((grid, rows, LANES), jnp.float32),
         jax.ShapeDtypeStruct((grid, rows, LANES), jnp.int32),
         jax.ShapeDtypeStruct((T, C, K_pad), jnp.float32),
-    )
-    costs3d, crash3d, U_tck = pl.pallas_call(
+    ]
+    if noise_kind == "smooth":
+        out_specs.append(pl.BlockSpec((T, C, tile_k), lambda i: (0, 0, i),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((T, C, K_pad), jnp.float32))
+    outs = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=60 * K_pad * T * (S + C),
             bytes_accessed=T * C * K_pad * 4 + K_pad * 8,
             transcendentals=6 * K_pad * T * C,
         ),
-    )(*leaf_shapes, x0.reshape(S, 1), mean, sigma, ln_sigma,
+    )(*leaf_shapes, x0.reshape(S, 1), mean, sigma, aux_tab,
       coeff.reshape(1, C), constraints, seed.reshape(1, 1), scalars)
+    costs3d, crash3d, U_tck = outs[:3]
     costs = costs3d.reshape(-1)[:K]
     crash = crash3d.reshape(-1)[:K]
     U = jnp.transpose(U_tck, (2, 0, 1))[:K]  # (K, T, C)
-    return costs, crash, U
+    aux = (jnp.transpose(outs[3], (2, 0, 1))[:K]
+           if noise_kind == "smooth" else None)
+    return costs, crash, U, aux
 
 
 @functools.partial(
@@ -750,28 +776,39 @@ def fused_sample_rollout_costs(
     optimization_stride=0,
     tile_k: int | None = None,
     interpret: bool | None = None,
+    sampler_state=None,
 ):
-    """Fully-fused Gaussian sample + rollout. Returns
-    (costs (K,), crash (K,), U (K, T, C)) where ``costs`` already includes
-    the likelihood-ratio term normalized by T (combined-kernel semantics,
-    mppi_common.cu:126-145) and ``U`` is the clamped sample tensor for the
-    weighted mean update.
+    """Fully-fused sample + rollout. Returns
+    (costs (K,), crash (K,), U (K, T, C), aux) where ``costs`` already
+    includes the likelihood-ratio term normalized by T (combined-kernel
+    semantics, mppi_common.cu:126-145), ``U`` is the clamped sample tensor
+    for the weighted mean update, and ``aux`` is the derivative sample
+    tensor W (K, T, C) for Smooth-MPPI (None otherwise).
 
-    Gaussian and NLN (log-MPPI) samplers qualify — their noise processes
-    generate in-kernel; other distributions (colored/FFT, smooth derivative
-    space, piecewise) raise :class:`PallasIncompatible`.
+    Gaussian, NLN (log-MPPI) and Smooth-MPPI samplers qualify — their noise
+    processes generate in-kernel; other distributions (colored/FFT,
+    piecewise) raise :class:`PallasIncompatible`. Smooth-MPPI requires
+    ``sampler_state`` (the derivative-mean sequence).
     """
     from mppi_generic_tpu.sampling.gaussian import GaussianDistribution
     from mppi_generic_tpu.sampling.nln import NLNDistribution
+    from mppi_generic_tpu.sampling.smooth import SmoothMPPIDistribution
 
     if type(sampler) is NLNDistribution:
         noise_kind = "nln"
+    elif type(sampler) is SmoothMPPIDistribution:
+        if sampler_state is None:
+            raise PallasIncompatible(
+                "smooth-MPPI fused sampling needs sampler_state "
+                "(the derivative-mean sequence)"
+            )
+        noise_kind = "smooth"
     elif type(sampler) is GaussianDistribution:
         noise_kind = "gaussian"
     else:
         raise PallasIncompatible(
-            f"fused sampling requires a Gaussian or NLN distribution, "
-            f"got {type(sampler).__name__}"
+            f"fused sampling requires a Gaussian, NLN or Smooth-MPPI "
+            f"distribution, got {type(sampler).__name__}"
         )
     if jax.default_backend() != "tpu":
         raise PallasIncompatible(
@@ -795,22 +832,27 @@ def fused_sample_rollout_costs(
     K_pad = _round_up(K, tile_k)
 
     sigma = sampler._sigma(T, iteration)
-    # NLN's lognormal scale is the RAW per-channel std_dev (nln.py); a (T,C)
-    # table either way so the kernel indexes uniformly
-    ln_sigma = jnp.broadcast_to(
-        jnp.asarray(sampler.std_dev, jnp.float32).reshape(-1, C)
-        if jnp.asarray(sampler.std_dev).ndim == 2
-        else jnp.asarray(sampler.std_dev, jnp.float32)[None, :],
-        (T, C),
-    )
+    # per-kind (T, C) aux table: NLN's lognormal scale is the RAW
+    # per-channel std_dev (nln.py); smooth uses the derivative mean
+    if noise_kind == "smooth":
+        aux_tab = jnp.asarray(sampler_state, jnp.float32).reshape(T, C)
+        dt_smooth = jnp.asarray(sampler.dt_smooth, jnp.float32)
+    else:
+        aux_tab = jnp.broadcast_to(
+            jnp.asarray(sampler.std_dev, jnp.float32).reshape(-1, C)
+            if jnp.asarray(sampler.std_dev).ndim == 2
+            else jnp.asarray(sampler.std_dev, jnp.float32)[None, :],
+            (T, C),
+        )
+        dt_smooth = jnp.float32(0.0)
     pure_threshold = (1.0 - sampler.pure_noise_percentage) * K
     constraints = _constraint_rows(dynamics)
 
     return _fused_sample_call(
         leaves, treedef, type(dynamics).__name__, type(cost).__name__,
-        x0, mean, sigma, ln_sigma, sampler.control_cost_coeff, constraints,
+        x0, mean, sigma, aux_tab, sampler.control_cost_coeff, constraints,
         jnp.asarray(seed, jnp.int32), dt, lam, alpha,
         jnp.asarray(optimization_stride, jnp.int32),
-        jnp.asarray(pure_threshold, jnp.float32),
+        jnp.asarray(pure_threshold, jnp.float32), dt_smooth,
         T, C, S, K, K_pad, tile_k, interpret, noise_kind=noise_kind,
     )

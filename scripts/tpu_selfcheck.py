@@ -53,7 +53,7 @@ def main():
         pure_noise_percentage=0.1,
     )
     mean = jnp.tile(jnp.array([0.3, -0.2]), (T, 1))
-    costs, crash, U2 = fused_sample_rollout_costs(
+    costs, crash, U2, _ = fused_sample_rollout_costs(
         dyn, cost, samp, x0, mean, jnp.int32(1234), dt, 1.0, 0.0, K,
         optimization_stride=3,
     )
@@ -79,7 +79,7 @@ def main():
     # unclamped dynamics: the in-kernel constraint clamp would truncate the
     # tails and bias the moment estimates
     dyn_free = DoubleIntegratorDynamics.create()
-    _, _, U3 = fused_sample_rollout_costs(
+    _, _, U3, _ = fused_sample_rollout_costs(
         dyn_free, cost, unit, x0, zero_mean, jnp.int32(99), dt, 1.0, 0.0, K2,
     )
     eps = np.asarray(U3[1:])  # sample 0 is the (zero) mean
@@ -112,7 +112,7 @@ def main():
     nln = NLNDistribution.create(std_dev=[s_ln, s_ln],
                                  control_cost_coeff=[0.01, 0.02],
                                  pure_noise_percentage=0.1)
-    costs_n, crash_n, U4 = fused_sample_rollout_costs(
+    costs_n, crash_n, U4, _ = fused_sample_rollout_costs(
         dyn_free, cost, nln, x0, mean, jnp.int32(77), dt, 1.0, 0.0, K2,
         optimization_stride=3,
     )
@@ -138,6 +138,41 @@ def main():
     print("2c. fused NLN sampling "
           f"(var {flat_n.var():.3f}/{var_want:.3f}, "
           f"kurt {kurt_n:.2f}/{kurt_want:.2f}): OK")
+
+    # 2e. fused Smooth-MPPI sampling: derivative-space carve-outs, the
+    # integration identity U = mean + W*dt_smooth, and cost self-consistency
+    from mppi_generic_tpu.sampling import SmoothMPPIDistribution
+
+    sm = SmoothMPPIDistribution.create(
+        std_dev=[2.0, 2.0], num_timesteps=T, dt=0.2,
+        control_cost_coeff=[0.01, 0.02], pure_noise_percentage=0.1,
+    )
+    dmean = jnp.tile(jnp.array([0.5, -0.4]), (T, 1))
+    costs_s, crash_s, U5, W5 = fused_sample_rollout_costs(
+        dyn_free, cost, sm, x0, mean, jnp.int32(55), dt, 1.0, 0.0, K2,
+        optimization_stride=3, sampler_state=dmean,
+    )
+    np.testing.assert_allclose(np.asarray(W5[0]), np.asarray(dmean),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(W5[7, :3]), np.asarray(dmean[:3]),
+                               atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(U5), np.asarray(mean[None] + W5 * sm.dt_smooth),
+        rtol=1e-5, atol=1e-6)
+    # body derivative noise ~ N(dmean, std^2); pure tail ~ N(0, std^2)
+    w_body = np.asarray(W5[1 : int(0.9 * K2), 10:])
+    assert np.abs(w_body.mean(axis=(0, 1)) - np.asarray(dmean[0])).max() < 0.05
+    assert abs(w_body.std() - 2.0) < 0.05, w_body.std()
+    w_pure = np.asarray(W5[int(0.9 * K2) + 1:])
+    assert np.abs(w_pure.mean(axis=(0, 1))).max() < 0.05
+    c_s, _, cr_s = rollout_combined(dyn_free, cost, x0, U5, dt)
+    lr_s = sm.likelihood_ratio_cost(U5, mean[:T], 1.0, 0.0)
+    np.testing.assert_allclose(np.asarray(costs_s),
+                               np.asarray(c_s + lr_s / T),
+                               rtol=1e-3, atol=1e-3)
+    assert bool(jnp.all(crash_s == cr_s))
+    print("2e. fused smooth-MPPI sampling (U = mean + W*dt identity, "
+          "derivative carve-outs): OK")
 
     # 2d. Pallas Riccati backward kernel vs a HIGHEST-precision XLA oracle
     # (the default-precision XLA scan itself drifts via bf16 MXU passes on

@@ -41,6 +41,26 @@ def test_fused_sampling_refuses_non_gaussian():
         )
 
 
+def test_fused_sampling_accepts_smooth_type():
+    """Smooth-MPPI passes the type gate when its derivative-mean state is
+    supplied; without it the refusal names the missing state."""
+    from mppi_generic_tpu.sampling import SmoothMPPIDistribution
+
+    dyn = DoubleIntegratorDynamics.create()
+    samp = SmoothMPPIDistribution.create(std_dev=[0.5, 0.5], num_timesteps=8)
+    with pytest.raises(PallasIncompatible, match="sampler_state"):
+        fused_sample_rollout_costs(
+            dyn, DoubleIntegratorCircleCost(), samp, jnp.zeros(4),
+            jnp.zeros((8, 2)), jnp.int32(0), 0.02, 1.0, 0.0, 128,
+        )
+    with pytest.raises(PallasIncompatible, match="hardware PRNG"):
+        fused_sample_rollout_costs(
+            dyn, DoubleIntegratorCircleCost(), samp, jnp.zeros(4),
+            jnp.zeros((8, 2)), jnp.int32(0), 0.02, 1.0, 0.0, 128,
+            sampler_state=samp.init_state(),
+        )
+
+
 def test_fused_sampling_accepts_nln_type():
     """NLN passes the distribution-type gate (its noise generates in-kernel);
     on the CPU test backend the refusal must cite the PRNG backend, not the
