@@ -10,7 +10,10 @@ core: every matrix lives as unrolled SMEM scalars, the time loop is a
 `fori_loop` whose carry is the flattened value function (Vx, Vxx), and the
 (C,C) SPD solve is an unrolled Gauss elimination (division only — scalar
 sqrt is not relied on). For S=4, C=2, T=100 the measured cost drops to
-~0.03 ms (~15x).
+~0.20 ms (2.3x on the pass, 2.1x on the full DDP synthesis), and the
+result is exact f32 — the XLA scan's tiny matmuls go through
+default-precision bf16 MXU passes and drift ~1e-2 relative over 100
+steps.
 
 Semantics are identical to the XLA path with `use_boxqp=False`; the BoxQP
 variant stays on XLA. Supported sizes are bounded by SMEM capacity and
