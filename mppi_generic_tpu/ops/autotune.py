@@ -71,19 +71,44 @@ def _kernel_supported(controller, name) -> bool:
 
 
 def time_solve(controller, x0, ctrl_state, num_evaluations=10):
-    """Median wall-clock of ``num_evaluations`` dispatched solves (after one
-    warm-up/compile call). Returns seconds."""
-    solve = jax.jit(lambda x, s: controller.solve(x, s))
-    result, state = solve(x0, ctrl_state)
-    jax.block_until_ready(result)  # any result pytree (tube/robust too)
-    times = []
-    for _ in range(num_evaluations):
+    """Per-solve seconds, dispatch-amortized: times jitted chains of n and
+    2n state-threaded solves and returns (t_2n - t_n) / n, so a fixed
+    host->device dispatch latency (tens of ms through a TPU relay, vs
+    ~0.1 ms solves) cancels instead of swamping the kernel differences the
+    tuner exists to measure. Median of 3 repeats; the reference's 10-launch
+    timing loop (mppi_controller.cu:45-143) has the same amortizing effect
+    because its launches queue on one CUDA stream."""
+    # chain length sets the jitter floor: relay round-trip noise (~1 ms)
+    # divides by n, so n >= 32 resolves ~0.03 ms kernel differences
+    n = max(int(num_evaluations), 32)
+
+    def chain(x, s, length):
+        def body(carry, _):
+            x, s = carry
+            result, s2 = controller.solve(x, s)
+            return (x, s2), 0.0
+        (_, s_f), _ = jax.lax.scan(body, (x, s), None, length=length)
+        return s_f
+
+    chain_j = jax.jit(chain, static_argnames="length")
+
+    def run(length):
+        out = chain_j(x0, ctrl_state, length)
+        jax.block_until_ready(out)
+
+    run(n)  # compiles both lengths (same program shape, different trip
+    run(2 * n)  # counts -> separate executables) and warms the caches
+    deltas = []
+    for _ in range(5):
         t0 = time.perf_counter()
-        result, state = solve(x0, ctrl_state)
-        jax.block_until_ready(result)
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    return times[len(times) // 2]
+        run(n)
+        t1 = time.perf_counter()
+        run(2 * n)
+        t2 = time.perf_counter()
+        deltas.append(((t2 - t1) - (t1 - t0)) / n)
+    deltas.sort()
+    # guard against relay jitter making the difference negative
+    return max(deltas[len(deltas) // 2], 1e-9)
 
 
 def choose_appropriate_kernel(
