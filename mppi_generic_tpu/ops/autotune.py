@@ -79,8 +79,9 @@ def time_solve(controller, x0, ctrl_state, num_evaluations=10):
     timing loop (mppi_controller.cu:45-143) has the same amortizing effect
     because its launches queue on one CUDA stream."""
     # chain length sets the jitter floor: relay round-trip noise (~1 ms)
-    # divides by n, so n >= 32 resolves ~0.03 ms kernel differences
-    n = max(int(num_evaluations), 32)
+    # divides by n, so n >= 32 resolves ~0.03 ms kernel differences on TPU;
+    # CPU dispatch is ~us, so short chains suffice (and keep tests fast)
+    n = max(int(num_evaluations), 32 if jax.default_backend() == "tpu" else 4)
 
     def chain(x, s, length):
         def body(carry, _):
