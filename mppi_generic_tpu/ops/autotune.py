@@ -3,10 +3,11 @@
 which times the single-kernel vs split-kernel variants for 10 launches at
 construction and picks the faster.
 
-Here the candidates are the three rollout paths ("combined" XLA scan,
-"split" scan + time-parallel cost, "pallas" fused kernel); results are
-cached per (dynamics type, cost type, K, T, backend) so a plant that
-rebuilds controllers does not re-tune.
+Here the candidates are the four rollout paths ("combined" XLA scan,
+"split" scan + time-parallel cost, "pallas" fused rollout kernel,
+"pallas_fused" sample+rollout kernel); results are cached per
+(controller/dynamics/cost/sampler type, K, T, sharding, backend) so a
+plant that rebuilds controllers does not re-tune.
 """
 
 from __future__ import annotations
