@@ -190,8 +190,17 @@ class RobustMPPI(ControllerBase):
                         Uc, ctrl_state.nominal_mean, self.lam, self.alpha
                     )
                 )(U_all)  # (n, S_per)
+                # shard the flattened (candidate × sample) axis when it
+                # divides the mesh; otherwise run the eval replicated (it is
+                # a small side computation next to the main solve)
+                sh = self.sample_sharding
+                if sh is not None:
+                    msize = sh.mesh.shape[sh.spec[0]]
+                    if (n * S_per) % msize:
+                        sh = None
                 costs, _ = pallas_rollout.fused_rollout_costs(
-                    self.dynamics, self.cost, x0_all, U_flat, self.dt
+                    self.dynamics, self.cost, x0_all, U_flat, self.dt,
+                    sharding=sh,
                 )
                 cand_costs = costs.reshape(n, S_per) + lr / T
             else:
@@ -350,10 +359,6 @@ class RobustMPPI(ControllerBase):
             if self.kernel in ("pallas", "pallas_fused"):
                 from mppi_generic_tpu.ops import pallas_rollout
 
-                if self.sample_sharding is not None:
-                    raise pallas_rollout.PallasIncompatible(
-                        "pallas RMPPI kernels are single-chip"
-                    )
                 s_nom, j_real_state, s_fb, crash, Ur = (
                     pallas_rollout.fused_rmppi_rollout(
                         self.dynamics, self.cost, nominal_state, state, U,
@@ -361,6 +366,7 @@ class RobustMPPI(ControllerBase):
                         self.sampler._sigma(T, 0),
                         self.sampler.control_cost_coeff,
                         self.dt, self.lam, self.alpha,
+                        sharding=self.sample_sharding,
                     )
                 )
             else:

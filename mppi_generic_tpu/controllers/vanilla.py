@@ -86,13 +86,11 @@ class VanillaMPPI(ControllerBase):
             )
             costs = state_costs + lr / T
         elif self.kernel == "pallas":
-            if self.sample_sharding is not None:
-                raise pallas_rollout.PallasIncompatible(
-                    "kernel='pallas' is single-chip; use the XLA kernels "
-                    "with sample_sharding (multi-chip)"
-                )
+            # multi-chip: the fused kernel runs per-shard under shard_map
+            # (sample_sharding → one kernel launch per chip on its K/n slice)
             state_costs, crash = pallas_rollout.fused_rollout_costs(
-                self.dynamics, self.cost, x0, U, self.dt
+                self.dynamics, self.cost, x0, U, self.dt,
+                sharding=self.sample_sharding,
             )
             costs = state_costs + lr / T
             Y = None  # never materialized — the fused kernel's HBM win
@@ -107,11 +105,8 @@ class VanillaMPPI(ControllerBase):
         if self.kernel == "pallas_fused":
             # one kernel: hardware-PRNG sampling + carve-outs + clamp +
             # rollout + likelihood-ratio cost (the combined rolloutKernel
-            # with generateSamples folded in)
-            if self.sample_sharding is not None:
-                raise pallas_rollout.PallasIncompatible(
-                    "kernel='pallas_fused' is single-chip"
-                )
+            # with generateSamples folded in); under sample_sharding it runs
+            # per-shard with disjoint PRNG streams + global carve-out indices
             seed = jax.random.randint(
                 key, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
             )
@@ -119,7 +114,7 @@ class VanillaMPPI(ControllerBase):
                 self.dynamics, self.cost, self.sampler, x0, mean, seed,
                 self.dt, self.lam, self.alpha, self.num_rollouts,
                 iteration=iteration, optimization_stride=optimization_stride,
-                sampler_state=samp_state,
+                sampler_state=samp_state, sharding=self.sample_sharding,
             )
             baseline = weight_ops.baseline_cost(costs)
             w = self._transform_weights(costs, baseline)

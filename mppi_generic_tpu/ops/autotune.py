@@ -46,8 +46,12 @@ def _kernel_supported(controller, name) -> bool:
     (not type) are incompatible — e.g. an oversized NN checkpoint."""
     if not name.startswith("pallas"):
         return True
-    if controller.sample_sharding is not None:
-        return False
+    sh = controller.sample_sharding
+    if sh is not None:
+        # shard_mapped Pallas: the sample axis must divide the mesh
+        axis = sh.spec[0] if len(sh.spec) else None
+        if axis is not None and controller.num_rollouts % sh.mesh.shape[axis]:
+            return False
     try:
         leaves = [
             jnp.asarray(l) for l in jax.tree_util.tree_leaves(

@@ -102,6 +102,28 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def _mesh_axis(sharding):
+    """(mesh, axis_name, n_shards) from a sample-axis NamedSharding, or
+    (None, None, 1) when the sharding is absent/trivial."""
+    if sharding is None:
+        return None, None, 1
+    axis = sharding.spec[0] if len(sharding.spec) else None
+    if axis is None:
+        return None, None, 1
+    if isinstance(axis, tuple):  # P(("a","b"), ...) — not used by this lib
+        raise PallasIncompatible("compound sample-axis specs unsupported")
+    n = sharding.mesh.shape[axis]
+    if n == 1:
+        return None, None, 1
+    return sharding.mesh, axis, n
+
+
+def _replicated(n):
+    from jax.sharding import PartitionSpec as P
+
+    return tuple(P() for _ in range(n))
+
+
 def _constraint_rows(dynamics):
     """(4, C) [lo, hi, deadband, zero_control] SMEM rows with infinities
     finite-clamped — shared by every kernel that clamps in-loop."""
@@ -275,6 +297,7 @@ def fused_rollout_costs(
     dt,
     tile_k: int | None = None,
     interpret: bool | None = None,
+    sharding=None,
 ):
     """Fused Pallas rollout: returns (costs (K,), crash (K,)).
 
@@ -286,8 +309,40 @@ def fused_rollout_costs(
     hidden/cell leaves are hosted in-kernel; oversized or higher-rank
     parameter/recurrent leaves raise :class:`PallasIncompatible` and fall
     back to the XLA paths.
+
+    ``sharding``: an optional sample-axis ``NamedSharding`` — the kernel
+    then runs **per shard** under ``jax.shard_map``, each chip rolling out
+    its contiguous K/n slice at the full single-chip rate (the multi-chip
+    analog of the reference's single-GPU rolloutKernel; downstream
+    reductions lower to psum/pmin collectives).
     """
     K, T, C = U.shape
+    mesh, axis, n_shards = _mesh_axis(sharding)
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        if K % n_shards:
+            raise PallasIncompatible(
+                f"K={K} not divisible by mesh axis '{axis}'={n_shards}"
+            )
+        leaves, treedef = jax.tree_util.tree_flatten((dynamics, cost))
+        leaves = [jnp.asarray(l) for l in leaves]
+        per_sample_x0 = x0.ndim == 2
+
+        def body(x0_l, U_l, dt_l, *leaf_vals):
+            d, c = jax.tree_util.tree_unflatten(treedef, leaf_vals)
+            return fused_rollout_costs(
+                d, c, x0_l, U_l, dt_l, tile_k=tile_k, interpret=interpret
+            )
+
+        return jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(axis) if per_sample_x0 else P(), P(axis), P())
+            + _replicated(len(leaves)),
+            out_specs=(P(axis), P(axis)),
+            check_vma=False,
+        )(x0, U, jnp.asarray(dt, jnp.float32), *leaves)
     S = dynamics.STATE_DIM
     leaves, treedef = jax.tree_util.tree_flatten((dynamics, cost))
     leaves = [jnp.asarray(l) for l in leaves]
@@ -344,7 +399,7 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
                        x0, mean, sigma, aux_tab, coeff, constraints, seed,
                        dt, lam, alpha, stride, pure_threshold, dt_smooth,
                        T, C, S, K, K_pad, tile_k, interpret,
-                       noise_kind="gaussian"):
+                       noise_kind="gaussian", idx_offset=0):
     del dynamics_static, cost_static
     rows = tile_k // LANES
     grid = K_pad // tile_k
@@ -370,13 +425,18 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
         stride_k = scal_ref[0, 3].astype(jnp.int32)
         pure_thresh = scal_ref[0, 4]
         dts_k = scal_ref[0, 5]  # smooth-MPPI derivative-integration step
+        idx_off = scal_ref[0, 6].astype(jnp.int32)  # shard's global offset
 
         i = pl.program_id(0)
         pltpu.prng_seed(seed_k + i)  # independent stream per sample tile
 
         lane = (jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0) * LANES
                 + jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1))
-        sample_idx = i * tile_k + lane
+        # global sample index: under multi-chip shard_map each shard owns a
+        # contiguous [idx_off, idx_off + K_local) slice, so the reference's
+        # global carve-outs (sample 0 = mean, trailing pure-noise tail,
+        # gaussian.cu:101-121) land on the same samples as single-chip
+        sample_idx = idx_off + i * tile_k + lane
         pure = sample_idx.astype(jnp.float32) >= pure_thresh
         is_zero = sample_idx == 0
 
@@ -513,7 +573,8 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
         jnp.asarray(lam, jnp.float32), jnp.asarray(alpha, jnp.float32),
         jnp.asarray(stride, jnp.float32), pure_threshold,
         jnp.asarray(dt_smooth, jnp.float32),
-    ]).reshape(1, 6)
+        jnp.asarray(idx_offset, jnp.float32),
+    ]).reshape(1, 7)
 
     in_specs = leaf_specs + [
         pl.BlockSpec(memory_space=pltpu.VMEM),  # x0 (S, 1)
@@ -523,7 +584,7 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
         pl.BlockSpec(memory_space=pltpu.SMEM),  # coeff (1, C) scalars
         pl.BlockSpec(memory_space=pltpu.SMEM),  # constraints (4, C) scalars
         pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1, 1) int32
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars (1, 6)
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars (1, 7)
     ]
     out_specs = [
         pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
@@ -719,6 +780,7 @@ def fused_rmppi_rollout(
     alpha,
     tile_k: int | None = None,
     interpret: bool | None = None,
+    sharding=None,
 ):
     """Fused RMPPI augmented rollout (rolloutRMPPIDynamicsKernel +
     rolloutRMPPICostKernel, core/rmppi_kernels.cu:359-665): per sample the
@@ -737,6 +799,35 @@ def fused_rmppi_rollout(
     """
     K, T, C = U.shape
     S = dynamics.STATE_DIM
+    mesh, axis, n_shards = _mesh_axis(sharding)
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        if K % n_shards:
+            raise PallasIncompatible(
+                f"K={K} not divisible by mesh axis '{axis}'={n_shards}"
+            )
+        rep_leaves, rep_treedef = jax.tree_util.tree_flatten((dynamics, cost))
+        rep_leaves = [jnp.asarray(l) for l in rep_leaves]
+
+        def body(U_l, xn, xr, g, sg, cf, dt_v, lam_v, alpha_v, *leaf_vals):
+            d, c = jax.tree_util.tree_unflatten(rep_treedef, leaf_vals)
+            return fused_rmppi_rollout(
+                d, c, xn, xr, U_l, g, sg, cf, dt_v, lam_v, alpha_v,
+                tile_k=tile_k, interpret=interpret,
+            )
+
+        return jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(axis),) + _replicated(8 + len(rep_leaves)),
+            out_specs=(P(axis),) * 5,
+            check_vma=False,
+        )(U, x0_nom, x0_real, gains, jnp.asarray(sigma, jnp.float32),
+          jnp.asarray(coeff, jnp.float32), jnp.asarray(dt, jnp.float32),
+          jnp.asarray(lam, jnp.float32), jnp.asarray(alpha, jnp.float32),
+          *rep_leaves)
+
     leaves, treedef = jax.tree_util.tree_flatten((dynamics, cost))
     leaves = [jnp.asarray(l) for l in leaves]
     _check_compatible(dynamics, leaves)
@@ -777,6 +868,7 @@ def fused_sample_rollout_costs(
     tile_k: int | None = None,
     interpret: bool | None = None,
     sampler_state=None,
+    sharding=None,
 ):
     """Fully-fused sample + rollout. Returns
     (costs (K,), crash (K,), U (K, T, C), aux) where ``costs`` already
@@ -789,6 +881,13 @@ def fused_sample_rollout_costs(
     processes generate in-kernel; other distributions (colored/FFT,
     piecewise) raise :class:`PallasIncompatible`. Smooth-MPPI requires
     ``sampler_state`` (the derivative-mean sequence).
+
+    ``sharding``: optional sample-axis ``NamedSharding`` — the kernel runs
+    per-shard under ``jax.shard_map`` with disjoint PRNG streams
+    (per-shard seed offset by the shard's tile count) and global carve-out
+    indexing (the shard's ``idx_offset`` keeps sample 0 / pure-noise-tail
+    semantics identical to single-chip). Statistically equivalent to, but
+    not bit-identical with, the single-chip stream.
     """
     from mppi_generic_tpu.sampling.gaussian import GaussianDistribution
     from mppi_generic_tpu.sampling.nln import NLNDistribution
@@ -847,6 +946,47 @@ def fused_sample_rollout_costs(
         dt_smooth = jnp.float32(0.0)
     pure_threshold = (1.0 - sampler.pure_noise_percentage) * K
     constraints = _constraint_rows(dynamics)
+
+    mesh, axis, n_shards = _mesh_axis(sharding)
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        if K % n_shards:
+            raise PallasIncompatible(
+                f"K={K} not divisible by mesh axis '{axis}'={n_shards}"
+            )
+        K_local = K // n_shards
+        tile_local = (tile_k if tile_k is not None
+                      else default_tile_k(K_local, T, C))
+        K_pad_local = _round_up(K_local, tile_local)
+        grid_local = K_pad_local // tile_local
+        dyn_name, cost_name = type(dynamics).__name__, type(cost).__name__
+
+        def body(x0_v, mean_v, sigma_v, aux_v, coeff_v, cons_v, seed_v,
+                 dt_v, lam_v, alpha_v, stride_v, pure_v, dts_v, *leaf_vals):
+            ax = jax.lax.axis_index(axis)
+            return _fused_sample_call(
+                list(leaf_vals), treedef, dyn_name, cost_name,
+                x0_v, mean_v, sigma_v, aux_v, coeff_v, cons_v,
+                seed_v + ax * grid_local, dt_v, lam_v, alpha_v,
+                stride_v, pure_v, dts_v, T, C, S, K_local, K_pad_local,
+                tile_local, False, noise_kind=noise_kind,
+                idx_offset=ax * K_local,
+            )
+
+        return jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=_replicated(13) + _replicated(len(leaves)),
+            out_specs=(P(axis), P(axis), P(axis),
+                       P(axis) if noise_kind == "smooth" else None),
+            check_vma=False,
+        )(x0, mean, sigma, aux_tab, sampler.control_cost_coeff, constraints,
+          jnp.asarray(seed, jnp.int32), jnp.asarray(dt, jnp.float32),
+          jnp.asarray(lam, jnp.float32), jnp.asarray(alpha, jnp.float32),
+          jnp.asarray(optimization_stride, jnp.int32),
+          jnp.asarray(pure_threshold, jnp.float32),
+          jnp.asarray(dt_smooth, jnp.float32), *leaves)
 
     return _fused_sample_call(
         leaves, treedef, type(dynamics).__name__, type(cost).__name__,

@@ -70,15 +70,22 @@ def distributed_init(coordinator_address=None, num_processes=None,
 
 def shard_controller(controller, mesh: Mesh):
     """Return a copy of ``controller`` whose solves shard the sample axis
-    over ``mesh``. Requires num_rollouts % mesh size == 0."""
+    over ``mesh``. Requires num_rollouts % mesh size == 0.
+
+    The fused Pallas rollout kernels run **per shard** under
+    ``jax.shard_map`` (ops/pallas_rollout.py): each chip launches the
+    single-chip kernel on its K/n sample slice, and only the MPPI
+    reductions (baseline pmin, normalizer / weighted-mean psum) cross
+    chips — so a sharded solve keeps the fused-kernel rate per chip."""
     n = mesh.devices.size
     if controller.num_rollouts % n != 0:
         raise ValueError(
             f"num_rollouts={controller.num_rollouts} not divisible by mesh size {n}"
         )
     ctrl = controller.replace(sample_sharding=sample_sharding(mesh))
-    # single-chip Pallas paths don't lower under pjit sharding — switch the
-    # DDP feedback's Riccati kernel back to the XLA scan on a mesh
+    # the (sample-independent, replicated) DDP Riccati kernel still solves
+    # per-device; under pjit auto-sharding it cannot be partitioned, so a
+    # mesh switches it to the XLA scan (roadmap: fold into shard_map too)
     fb = getattr(ctrl, "feedback", None)
     if fb is not None and getattr(fb, "use_pallas", False):
         ctrl = ctrl.replace(feedback=fb.replace(use_pallas=False))

@@ -35,8 +35,13 @@ def test_eight_virtual_devices():
     assert len(jax.devices()) == 8
 
 
-def test_sharded_solve_matches_unsharded():
-    ctrl = make_controller()
+@pytest.mark.parametrize("kernel", ["combined", "pallas"])
+def test_sharded_solve_matches_unsharded(kernel):
+    """XLA and shard_mapped-Pallas solves both match their unsharded
+    twins — per-shard kernel launches + cross-shard reductions reproduce
+    the single-chip math (reference reduction contract,
+    core/mppi_common.cu:710-765)."""
+    ctrl = make_controller(kernel=kernel)
     mesh = make_sample_mesh()
     sharded = shard_controller(ctrl, mesh)
     x0 = jnp.array([2.0, 0.0, 0.0, 1.0])
@@ -93,6 +98,110 @@ def test_tube_sharded_solve():
     np.testing.assert_allclose(
         np.asarray(res_s.real.control_mean), np.asarray(res_u.real.control_mean),
         rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_sharded_pallas_costs_actually_sharded():
+    """The shard_mapped fused kernel's outputs really live on 8 devices
+    (one per-shard kernel launch each), not gathered to one."""
+    ctrl = make_controller(kernel="pallas", return_samples=True)
+    mesh = make_sample_mesh()
+    sharded = shard_controller(ctrl, mesh)
+    x0 = jnp.array([2.0, 0.0, 0.0, 1.0])
+    res, _ = sharded.solve(x0, sharded.init_state(jax.random.PRNGKey(0)))
+    shard_devs = {s.device for s in res.sampled_controls.addressable_shards}
+    assert len(shard_devs) == 8
+
+
+def test_sharded_pallas_per_sample_x0():
+    """shard_map path with (K, S) per-sample initial states (the RMPPI
+    candidate-eval pattern) shards x0 alongside U."""
+    from mppi_generic_tpu.ops import pallas_rollout
+
+    dyn = DoubleIntegratorDynamics.create()
+    cost = DoubleIntegratorCircleCost()
+    mesh = make_sample_mesh()
+    from mppi_generic_tpu.parallel import sample_sharding
+
+    K, T, C = 256, 16, 2
+    key = jax.random.PRNGKey(3)
+    U = jax.random.normal(key, (K, T, C))
+    x0s = jax.random.normal(jax.random.PRNGKey(4), (K, 4))
+    ref_c, ref_cr = pallas_rollout.fused_rollout_costs(
+        dyn, cost, x0s, U, jnp.float32(0.02)
+    )
+    sh_c, sh_cr = pallas_rollout.fused_rollout_costs(
+        dyn, cost, x0s, U, jnp.float32(0.02),
+        sharding=sample_sharding(mesh),
+    )
+    np.testing.assert_allclose(np.asarray(sh_c), np.asarray(ref_c),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(sh_cr), np.asarray(ref_cr))
+
+
+def test_tube_sharded_pallas_solve():
+    """Tube-MPPI's stacked dual-system solve through the shard_mapped
+    fused kernel matches the unsharded Pallas solve."""
+    from mppi_generic_tpu.controllers import TubeMPPI
+    from mppi_generic_tpu.feedback import DDPFeedback
+
+    dyn = DoubleIntegratorDynamics.create()
+    tube = TubeMPPI(
+        dynamics=dyn,
+        cost=DoubleIntegratorCircleCost(),
+        sampler=GaussianDistribution.create(std_dev=[1.0, 1.0]),
+        num_timesteps=16,
+        num_rollouts=64,
+        nominal_threshold=jnp.float32(20.0),
+        feedback=DDPFeedback.create(dyn, 0.02),
+        kernel="pallas",
+    )
+    mesh = make_sample_mesh()
+    sharded = shard_controller(tube, mesh)
+    x0 = jnp.array([2.0, 0.0, 0.0, 1.0])
+    ts = tube.init_state(jax.random.PRNGKey(1))
+    res_s, _ = jax.jit(sharded.solve)(x0, ts)
+    res_u, _ = jax.jit(tube.solve)(x0, ts)
+    np.testing.assert_allclose(
+        np.asarray(res_s.real.control_mean),
+        np.asarray(res_u.real.control_mean), rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_robust_sharded_pallas_solve():
+    """RMPPI's fused augmented rollout (feedback-in-loop) and fused
+    candidate eval under shard_map match the unsharded Pallas solve."""
+    from mppi_generic_tpu.controllers import RobustMPPI
+    from mppi_generic_tpu.feedback import DDPFeedback
+
+    dyn = DoubleIntegratorDynamics.create()
+    ctrl = RobustMPPI(
+        dynamics=dyn,
+        cost=DoubleIntegratorCircleCost(),
+        sampler=GaussianDistribution.create(std_dev=[1.0, 1.0]),
+        num_timesteps=16,
+        num_rollouts=64,
+        num_candidates=9,
+        samples_per_condition=32,
+        value_function_threshold=jnp.float32(20.0),
+        feedback=DDPFeedback.create(dyn, 0.02),
+        kernel="pallas",
+    )
+    mesh = make_sample_mesh()
+    sharded = shard_controller(ctrl, mesh)
+    x0 = jnp.array([2.0, 0.0, 0.0, 1.0])
+    cs = ctrl.init_state(jax.random.PRNGKey(0))
+    cs_s, _ = jax.jit(sharded.update_importance_sampling)(x0, cs, 1)
+    cs_u, _ = jax.jit(ctrl.update_importance_sampling)(x0, cs, 1)
+    res_s, _ = jax.jit(sharded.solve)(x0, cs_s)
+    res_u, _ = jax.jit(ctrl.solve)(x0, cs_u)
+    np.testing.assert_allclose(
+        np.asarray(res_s.real.control_mean),
+        np.asarray(res_u.real.control_mean), rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_s.nominal.control_mean),
+        np.asarray(res_u.nominal.control_mean), rtol=1e-4, atol=1e-5,
     )
 
 
