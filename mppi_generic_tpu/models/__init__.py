@@ -9,7 +9,10 @@ from mppi_generic_tpu.models.racer_dubins_elevation import (
     RacerDubinsElevationDynamics,
     RacerDubinsElevationLSTMSteering,
 )
-from mppi_generic_tpu.models.bicycle_slip import BicycleSlipDynamics
+from mppi_generic_tpu.models.bicycle_slip import (
+    BicycleSlipDynamics,
+    BicycleSlipParametricElevation,
+)
 from mppi_generic_tpu.models.racer_suspension import RacerSuspensionDynamics
 from mppi_generic_tpu.models.racer_dubins_unc import (
     RacerDubinsElevationSuspension,
@@ -27,6 +30,7 @@ __all__ = [
     "RacerDubinsElevationDynamics",
     "RacerDubinsElevationLSTMSteering",
     "BicycleSlipDynamics",
+    "BicycleSlipParametricElevation",
     "RacerSuspensionDynamics",
     "RacerDubinsElevationSuspension",
     "RacerDubinsElevationLSTMUncertainty",

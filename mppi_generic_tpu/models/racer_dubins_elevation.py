@@ -46,6 +46,91 @@ _FRONT_X = 2.981
 _HALF_TRACK = 0.737
 
 
+def static_settling(elevation_map, pos_x, pos_y, yaw, roll, pitch):
+    """Terrain static settling (RACER::computeStaticSettling,
+    racer_dubins.cu:359-430): query the elevation map under the four wheel
+    positions (body offsets rotated by the current attitude), average the
+    per-axle asin slopes into roll/pitch and the rear-axle heights into the
+    body height. Shared by every elevation-coupled model (RacerDubins
+    elevation family, BicycleSlipParametricElevation — the reference's
+    BicycleSlipParametricImpl inherits it the same way,
+    bicycle_slip_parametric.cu:192-196).
+
+    Returns (roll, pitch, height); zeros when ``elevation_map`` is None."""
+    if elevation_map is None:
+        zero = jnp.zeros_like(yaw)
+        return zero, zero, zero
+
+    def corner(bx, by):
+        q = math_utils.euler_to_quat(roll, pitch, yaw)
+        off = jnp.stack(
+            [jnp.full_like(yaw, bx), jnp.full_like(yaw, by),
+             jnp.zeros_like(yaw)],
+            axis=-1,
+        )
+        world = jnp.stack([pos_x, pos_y, jnp.zeros_like(yaw)], axis=-1)
+        pt = world + math_utils.quat_rotate(q, off)
+        return elevation_map.query_at_world_pose(pt)
+
+    fl = corner(_FRONT_X, _HALF_TRACK)
+    fr = corner(_FRONT_X, -_HALF_TRACK)
+    rl = corner(0.0, _HALF_TRACK)
+    rr = corner(0.0, -_HALF_TRACK)
+
+    front_roll = jnp.arcsin(jnp.clip(fl - fr, -2 * 0.736, 2 * 0.736) / (2 * 0.737))
+    rear_roll = jnp.arcsin(jnp.clip(rl - rr, -2 * 0.736, 2 * 0.736) / (2 * 0.737))
+    new_roll = 0.5 * (front_roll + rear_roll)
+
+    left_pitch = jnp.arcsin(jnp.clip(rl - fl, -2.98, 2.98) / 2.981)
+    right_pitch = jnp.arcsin(jnp.clip(rr - fr, -2.98, 2.98) / 2.981)
+    new_pitch = 0.5 * (left_pitch + right_pitch)
+    height = 0.5 * (rl + rr)
+
+    new_roll = jnp.where(
+        jnp.isfinite(new_roll) & (jnp.abs(new_roll) <= jnp.pi),
+        new_roll,
+        2 * jnp.pi,
+    )
+    new_pitch = jnp.where(
+        jnp.isfinite(new_pitch) & (jnp.abs(new_pitch) <= jnp.pi),
+        new_pitch,
+        2 * jnp.pi,
+    )
+    height = jnp.where(jnp.isfinite(height), height, 0.0)
+    return new_roll, new_pitch, height
+
+
+def body_frame_normals(normals_map, pos_x, pos_y, yaw, roll, pitch):
+    """Mean terrain surface normal under the four wheels, rotated into the
+    yaw frame (RACER::computeBodyFrameNormals,
+    bicycle_slip_parametric.cu:391-466). ``normals_map`` is a 3-channel
+    ``MapTexture2D`` of unit surface normals. Returns (nx, ny, nz) —
+    (0, 0, 1) when the map is absent or a query is non-finite."""
+    if normals_map is None:
+        zero = jnp.zeros_like(yaw)
+        return zero, zero, jnp.ones_like(yaw)
+
+    def corner(bx, by):
+        off = jnp.stack(
+            [jnp.full_like(yaw, bx), jnp.full_like(yaw, by),
+             jnp.zeros_like(yaw)],
+            axis=-1,
+        )
+        world = jnp.stack([pos_x, pos_y, jnp.zeros_like(yaw)], axis=-1)
+        rpy = jnp.stack([roll, pitch, yaw], axis=-1)
+        return normals_map.query_at_world_offset_pose(world, off, rpy)
+
+    n = (corner(_FRONT_X, _HALF_TRACK) + corner(_FRONT_X, -_HALF_TRACK)
+         + corner(0.0, _HALF_TRACK) + corner(0.0, -_HALF_TRACK)) / 4.0
+    cos_y, sin_y = jnp.cos(yaw), jnp.sin(yaw)
+    nx = cos_y * n[..., 0] - sin_y * n[..., 1]
+    ny = sin_y * n[..., 0] + cos_y * n[..., 1]
+    nz = n[..., 2]
+    bad = ~(jnp.isfinite(nx) & jnp.isfinite(ny) & jnp.isfinite(nz))
+    return (jnp.where(bad, 0.0, nx), jnp.where(bad, 0.0, ny),
+            jnp.where(bad, 1.0, nz))
+
+
 class RacerDubinsElevationDynamics(RacerDubinsDynamics):
     STATE_DIM: int = struct.field(pytree_node=False, default=9)
     OUTPUT_DIM: int = struct.field(pytree_node=False, default=13)
@@ -141,46 +226,9 @@ class RacerDubinsElevationDynamics(RacerDubinsDynamics):
 
     # --- settling (RACER::computeStaticSettling, racer_dubins.cu:359-430) ---
     def _settle(self, pos_x, pos_y, yaw, roll, pitch):
-        if self.elevation_map is None:
-            zero = jnp.zeros_like(yaw)
-            return zero, zero, zero
-
-        def corner(bx, by):
-            q = math_utils.euler_to_quat(roll, pitch, yaw)
-            off = jnp.stack(
-                [jnp.full_like(yaw, bx), jnp.full_like(yaw, by), jnp.zeros_like(yaw)],
-                axis=-1,
-            )
-            world = jnp.stack([pos_x, pos_y, jnp.zeros_like(yaw)], axis=-1)
-            pt = world + math_utils.quat_rotate(q, off)
-            return self.elevation_map.query_at_world_pose(pt)
-
-        fl = corner(_FRONT_X, _HALF_TRACK)
-        fr = corner(_FRONT_X, -_HALF_TRACK)
-        rl = corner(0.0, _HALF_TRACK)
-        rr = corner(0.0, -_HALF_TRACK)
-
-        front_roll = jnp.arcsin(jnp.clip(fl - fr, -2 * 0.736, 2 * 0.736) / (2 * 0.737))
-        rear_roll = jnp.arcsin(jnp.clip(rl - rr, -2 * 0.736, 2 * 0.736) / (2 * 0.737))
-        new_roll = 0.5 * (front_roll + rear_roll)
-
-        left_pitch = jnp.arcsin(jnp.clip(rl - fl, -2.98, 2.98) / 2.981)
-        right_pitch = jnp.arcsin(jnp.clip(rr - fr, -2.98, 2.98) / 2.981)
-        new_pitch = 0.5 * (left_pitch + right_pitch)
-        height = 0.5 * (rl + rr)
-
-        new_roll = jnp.where(
-            jnp.isfinite(new_roll) & (jnp.abs(new_roll) <= jnp.pi),
-            new_roll,
-            2 * jnp.pi,
+        return static_settling(
+            self.elevation_map, pos_x, pos_y, yaw, roll, pitch
         )
-        new_pitch = jnp.where(
-            jnp.isfinite(new_pitch) & (jnp.abs(new_pitch) <= jnp.pi),
-            new_pitch,
-            2 * jnp.pi,
-        )
-        height = jnp.where(jnp.isfinite(height), height, 0.0)
-        return new_roll, new_pitch, height
 
     def step(self, x, u, t, dt):
         xdot = self.state_deriv(x, u, t)

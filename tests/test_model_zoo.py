@@ -269,3 +269,85 @@ def test_bicycle_slip_rollout_stable():
     states, _ = rollout_single(dyn, jnp.zeros(10), U, 0.02)
     assert np.all(np.isfinite(np.asarray(states)))
     assert float(states[-1, 5]) > 0.1  # accelerates forward
+
+
+# ------------------- bicycle slip + elevation coupling --------------------
+def test_bicycle_elevation_map_off_matches_flat_model():
+    """Map-off parity: with no elevation/normals map, the 22-state
+    elevation variant's shared dynamics states step identically to the
+    flat 10-state parametric model (the reference inherits the flat force
+    model either way, bicycle_slip_parametric.cuh:83)."""
+    from mppi_generic_tpu.models import BicycleSlipParametricElevation
+
+    ele = BicycleSlipParametricElevation.create()
+    flat = BicycleSlipDynamics.create()
+    x22 = ele.get_zero_state().at[5].set(2.0).at[7].set(0.3).at[3].set(0.1)
+    u = jnp.array([0.5, 0.2])
+    xn22, y = ele.step(x22, u, 0.0, 0.02)
+    xn10, _ = flat.step(x22[:10], u, 0.0, 0.02)
+    np.testing.assert_allclose(
+        np.asarray(xn22[:8]), np.asarray(xn10[:8]), rtol=1e-6, atol=1e-7
+    )
+    # flat ground: settling leaves roll/pitch at zero
+    assert float(xn22[8]) == 0.0 and float(xn22[9]) == 0.0
+    # steer-rate write-back (updateState, bicycle_slip_parametric.cu:161)
+    assert float(xn22[10]) != 0.0
+    assert y.shape == (14,)
+
+
+def test_bicycle_elevation_settling_on_ramp():
+    """Map-on: the elevation texture pitches the vehicle on a ramp exactly
+    like the RacerDubins elevation family (shared computeStaticSettling)."""
+    from mppi_generic_tpu.models import BicycleSlipParametricElevation
+
+    dyn = BicycleSlipParametricElevation.create(elevation_map=make_ramp_map())
+    x = dyn.get_zero_state()  # at origin facing +x (uphill)
+    x_next, y = dyn.step(x, jnp.zeros(2), 0.0, 0.02)
+    pitch = float(x_next[9])
+    assert np.isclose(pitch, np.arcsin(-0.1), atol=0.02), pitch
+    # output carries the settled attitude + terrain height
+    assert np.isclose(float(y[7]), pitch, atol=1e-6)
+
+
+def test_bicycle_elevation_uncertainty_grows():
+    """The packed covariance block (state[12:22]) propagates
+    Sigma' = (I+A dt) Sigma (I+A dt)^T + Q dt each step and stays PSD on
+    the diagonal entries (computeUncertaintyPropagation reuse)."""
+    from mppi_generic_tpu.models import BicycleSlipParametricElevation
+
+    dyn = BicycleSlipParametricElevation.create()
+    x = dyn.get_zero_state().at[5].set(3.0)
+    u = jnp.array([0.5, 0.3])
+    for _ in range(5):
+        x, _ = dyn.step(x, u, 0.0, 0.02)
+    # diagonal entries [px, py, yaw, vx] at indices 12..15
+    diag = np.asarray(x[12:16])
+    assert np.all(diag >= 0)
+    assert diag[3] > 0  # Q_vv feeds vel_x variance at speed
+    assert np.all(np.isfinite(np.asarray(x)))
+
+
+def test_bicycle_elevation_normals_gravity_terms():
+    """A 3-channel surface-normals texture adds the body-frame gravity
+    accelerations (computeBodyFrameNormals + tanhshrink gravity terms,
+    bicycle_slip_parametric.cu:264-268, 391-466)."""
+    from mppi_generic_tpu.models import BicycleSlipParametricElevation
+
+    # normals tilted toward -x: n = (-sin a, 0, cos a), a ~ 30 deg
+    W = H = 32
+    n = np.zeros((H, W, 3), np.float32)
+    n[..., 0] = -0.5
+    n[..., 2] = np.sqrt(1 - 0.25)
+    nmap = MapTexture2D.create(n, origin=(-16.0, -16.0, 0.0), resolution=1.0)
+    dyn = BicycleSlipParametricElevation.create(normals_map=nmap)
+    ref = BicycleSlipParametricElevation.create()
+    x = dyn.get_zero_state().at[5].set(2.0)
+    u = jnp.zeros(2)
+    d_with = dyn.state_deriv(x, u)
+    d_flat = ref.state_deriv(x, u)
+    # gravity_x < 0 and n_x < 0 -> tanhshrink(n_x)*g_x > 0 -> -term < 0:
+    # the slope decelerates vel_x relative to flat ground
+    assert float(d_with[5]) < float(d_flat[5])
+    np.testing.assert_allclose(
+        float(d_with[0]), float(d_flat[0]), atol=1e-6
+    )
