@@ -4,11 +4,18 @@ reach the hardware PRNG). Run on a real TPU:
 
     python scripts/tpu_selfcheck.py
 
+or as the pytest TPU tier (tests/test_tpu_kernels.py wraps these same
+checks, VERDICT r1 item 6):
+
+    MPPI_TPU_TESTS=1 python -m pytest -m tpu
+
 Checks:
 1. fused rollout kernel (compiled) == XLA combined scan, bit-tolerant;
 2. fused sample+rollout kernel: carve-outs exact, N(0,1) statistics,
    cost self-consistency against the XLA path re-scoring the emitted U;
-3. full-solve parity pallas vs combined.
+   same for NLN and Smooth-MPPI in-kernel generation;
+3. Pallas Riccati backward kernel vs an exact-f32 XLA oracle;
+4. full-solve parity pallas vs combined.
 """
 
 import sys
@@ -29,25 +36,32 @@ from mppi_generic_tpu.ops.pallas_rollout import (
 )
 from mppi_generic_tpu.sampling import GaussianDistribution, NLNDistribution
 
+K, T = 1024, 50
+DT = 0.02
 
-def main():
-    assert jax.default_backend() == "tpu", "run on a TPU backend"
+
+def _fixtures():
     dyn = DoubleIntegratorDynamics.create(control_ranges=[[-3, 3], [-3, 3]])
     cost = DoubleIntegratorCircleCost()
     x0 = jnp.array([2.0, 0.0, 0.0, 1.0])
-    dt = jnp.float32(0.02)
-    K, T = 1024, 50
+    return dyn, cost, x0, jnp.float32(DT)
 
-    # 1. compiled fused rollout vs XLA combined
+
+def check_fused_rollout_parity():
+    """Compiled fused rollout vs XLA combined scan."""
+    dyn, cost, x0, dt = _fixtures()
     U = jax.random.normal(jax.random.PRNGKey(0), (K, T, 2)) * 0.5
     c_ref, _, cr_ref = rollout_combined(dyn, cost, x0, U, dt)
     c_p, cr_p = fused_rollout_costs(dyn, cost, x0, U, dt)
     np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_ref),
                                rtol=1e-5, atol=1e-5)
     assert bool(jnp.all(cr_p == cr_ref))
-    print("1. fused rollout parity: OK")
 
-    # 2. fused sample+rollout self-consistency
+
+def check_fused_sample_self_consistency():
+    """Fused sample+rollout: carve-outs exact, noise std, cost equals the
+    XLA path re-scoring the emitted U."""
+    dyn, cost, x0, dt = _fixtures()
     samp = GaussianDistribution.create(
         std_dev=[1.0, 0.7], control_cost_coeff=[0.01, 0.02],
         pure_noise_percentage=0.1,
@@ -60,19 +74,20 @@ def main():
     np.testing.assert_allclose(np.asarray(U2[0]), np.asarray(mean), atol=1e-6)
     np.testing.assert_allclose(np.asarray(U2[5, :3]), np.asarray(mean[:3]),
                                atol=1e-6)
-    body = np.asarray(U2[1 : int(0.9 * K), 10:, 0])
+    body = np.asarray(U2[1: int(0.9 * K), 10:, 0])
     assert abs(body.std() - 1.0) < 0.05, f"noise std {body.std()}"
     c_r, _, cr_r = rollout_combined(dyn, cost, x0, U2, dt)
     lr = samp.likelihood_ratio_cost(U2, mean, 1.0, 0.0)
     np.testing.assert_allclose(np.asarray(costs), np.asarray(c_r + lr / T),
                                rtol=1e-3, atol=1e-3)
     assert bool(jnp.all(crash == cr_r))
-    print("2. fused sample+rollout self-consistency: OK")
 
-    # 2b. hardware-PRNG statistical quality: the N(0,1) draws behind the
-    # fused sampling must have correct moments, independent tiles, and no
-    # temporal autocorrelation (the reference validates its samplers
-    # statistically the same way, colored_noise_tests.cu)
+
+def check_hw_prng_statistics():
+    """Hardware-PRNG N(0,1) draws: correct moments, independent tiles, no
+    temporal autocorrelation (the reference validates its samplers
+    statistically the same way, colored_noise_tests.cu)."""
+    dyn, cost, x0, dt = _fixtures()
     K2, T2 = 4096, 64
     zero_mean = jnp.zeros((T2, 2))
     unit = GaussianDistribution.create(std_dev=[1.0, 1.0])
@@ -101,13 +116,16 @@ def main():
     # channel independence
     r_ch = float(np.corrcoef(eps[..., 0].ravel(), eps[..., 1].ravel())[0, 1])
     assert abs(r_ch) < 0.01, r_ch
-    print("2b. hardware-PRNG normal statistics "
-          f"(skew {skew:+.4f}, kurt {kurt:.3f}, tile r {r_tiles:+.4f}, "
-          f"time r {r_time:+.4f}): OK")
 
-    # 2c. fused NLN (log-MPPI) sampling: carve-outs, moment battery, cost
-    # self-consistency. For u = z1 * exp(s * z2) with z1, z2 ~ N(0,1) iid:
-    # E[u]=0, Var[u]=exp(2 s^2), kurtosis = 3 exp(4 s^2).
+
+def check_fused_nln_sampling():
+    """Fused NLN (log-MPPI): carve-outs, moment battery, cost
+    self-consistency. For u = z1 * exp(s * z2), z1, z2 ~ N(0,1) iid:
+    E[u]=0, Var[u]=exp(2 s^2), kurtosis = 3 exp(4 s^2)."""
+    dyn, cost, x0, dt = _fixtures()
+    dyn_free = DoubleIntegratorDynamics.create()
+    K2 = 4096
+    mean = jnp.tile(jnp.array([0.3, -0.2]), (T, 1))
     s_ln = 0.4
     nln = NLNDistribution.create(std_dev=[s_ln, s_ln],
                                  control_cost_coeff=[0.01, 0.02],
@@ -120,7 +138,7 @@ def main():
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(U4[5, :3]), np.asarray(mean[:3]),
                                atol=1e-6)
-    eps_n = (np.asarray(U4[1 : int(0.9 * K2), 10:]) - np.asarray(mean)[10:])
+    eps_n = (np.asarray(U4[1: int(0.9 * K2), 10:]) - np.asarray(mean)[10:])
     eps_n = eps_n / s_ln  # undo the carve-out's sigma multiply (= std_dev)
     flat_n = eps_n.reshape(-1)
     var_want = float(np.exp(2 * s_ln**2))
@@ -135,14 +153,17 @@ def main():
                                np.asarray(c_n + lr_n / T),
                                rtol=1e-3, atol=1e-3)
     assert bool(jnp.all(crash_n == cr_n))
-    print("2c. fused NLN sampling "
-          f"(var {flat_n.var():.3f}/{var_want:.3f}, "
-          f"kurt {kurt_n:.2f}/{kurt_want:.2f}): OK")
 
-    # 2e. fused Smooth-MPPI sampling: derivative-space carve-outs, the
-    # integration identity U = mean + W*dt_smooth, and cost self-consistency
+
+def check_fused_smooth_sampling():
+    """Fused Smooth-MPPI: derivative-space carve-outs, the integration
+    identity U = mean + W*dt_smooth, cost self-consistency."""
     from mppi_generic_tpu.sampling import SmoothMPPIDistribution
 
+    dyn, cost, x0, dt = _fixtures()
+    dyn_free = DoubleIntegratorDynamics.create()
+    K2 = 4096
+    mean = jnp.tile(jnp.array([0.3, -0.2]), (T, 1))
     sm = SmoothMPPIDistribution.create(
         std_dev=[2.0, 2.0], num_timesteps=T, dt=0.2,
         control_cost_coeff=[0.01, 0.02], pure_noise_percentage=0.1,
@@ -160,7 +181,7 @@ def main():
         np.asarray(U5), np.asarray(mean[None] + W5 * sm.dt_smooth),
         rtol=1e-5, atol=1e-6)
     # body derivative noise ~ N(dmean, std^2); pure tail ~ N(0, std^2)
-    w_body = np.asarray(W5[1 : int(0.9 * K2), 10:])
+    w_body = np.asarray(W5[1: int(0.9 * K2), 10:])
     assert np.abs(w_body.mean(axis=(0, 1)) - np.asarray(dmean[0])).max() < 0.05
     assert abs(w_body.std() - 2.0) < 0.05, w_body.std()
     w_pure = np.asarray(W5[int(0.9 * K2) + 1:])
@@ -171,12 +192,12 @@ def main():
                                np.asarray(c_s + lr_s / T),
                                rtol=1e-3, atol=1e-3)
     assert bool(jnp.all(crash_s == cr_s))
-    print("2e. fused smooth-MPPI sampling (U = mean + W*dt identity, "
-          "derivative carve-outs): OK")
 
-    # 2d. Pallas Riccati backward kernel vs a HIGHEST-precision XLA oracle
-    # (the default-precision XLA scan itself drifts via bf16 MXU passes on
-    # tiny matrices, so compare both against exact-f32 matmuls)
+
+def check_pallas_riccati():
+    """Pallas Riccati backward kernel vs a HIGHEST-precision XLA oracle
+    (the default-precision XLA scan itself drifts via bf16 MXU passes on
+    tiny matrices, so compare both against exact-f32 matmuls)."""
     from mppi_generic_tpu.ops.pallas_riccati import riccati_backward
 
     Tr, Sr, Cr = 64, 4, 2
@@ -213,9 +234,12 @@ def main():
                                rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(k_pal[:-1]), np.asarray(k_hp),
                                rtol=2e-4, atol=2e-5)
-    print("2d. pallas riccati backward vs exact-f32 oracle: OK")
 
-    # 3. full-solve parity pallas vs combined (same key)
+
+def check_full_solve_parity():
+    """Full-solve parity pallas vs combined (same key)."""
+    dyn, cost, x0, dt = _fixtures()
+
     def ctrl(kernel):
         return VanillaMPPI(
             dynamics=dyn, cost=cost,
@@ -230,7 +254,24 @@ def main():
     np.testing.assert_allclose(np.asarray(r_pal.control_mean),
                                np.asarray(r_ref.control_mean),
                                rtol=1e-3, atol=1e-4)
-    print("3. full-solve parity pallas vs combined: OK")
+
+
+CHECKS = [
+    check_fused_rollout_parity,
+    check_fused_sample_self_consistency,
+    check_hw_prng_statistics,
+    check_fused_nln_sampling,
+    check_fused_smooth_sampling,
+    check_pallas_riccati,
+    check_full_solve_parity,
+]
+
+
+def main():
+    assert jax.default_backend() == "tpu", "run on a TPU backend"
+    for fn in CHECKS:
+        fn()
+        print(f"{fn.__name__}: OK")
     print("ALL TPU SELF-CHECKS PASSED")
 
 

@@ -12,8 +12,19 @@ effect as long as no computation ran yet).
 """
 
 import os
+import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# TPU tier (VERDICT r1 item 6): `MPPI_TPU_TESTS=1 pytest -m tpu` (or plain
+# `pytest -m tpu`, detected from argv) keeps the real TPU backend so the
+# @pytest.mark.tpu kernel-parity tests in test_tpu_kernels.py run compiled
+# on hardware. Everything else runs on the virtual 8-device CPU mesh.
+_argv = " ".join(sys.argv)
+TPU_TIER = bool(os.environ.get("MPPI_TPU_TESTS")) or (
+    "-m tpu" in _argv or "-m 'tpu'" in _argv or '-m "tpu"' in _argv
+)
+
+if not TPU_TIER:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -22,7 +33,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not TPU_TIER:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
-assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"
+if not TPU_TIER:
+    assert jax.devices()[0].platform == "cpu", (
+        "tests must run on the CPU backend"
+    )
