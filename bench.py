@@ -123,6 +123,38 @@ def main():
     single = jax.jit(lambda x, s: ctrl.solve(x, s))
     ts1 = time_fn(single, (x0, cs), n_warmup=2, n_timed=7)
 
+    # dispatch-cost minimization study (VERDICT r1 item 7):
+    # (a) donate the ControllerState buffers — the warm-start mean / RNG key
+    #     / history update in place instead of allocating fresh outputs
+    #     (the plant loop never reuses the old state);
+    # (b) keep x0 device-resident (the deployed plant holds the estimator
+    #     state on-device; only sensor deltas cross the host boundary).
+    x0_dev = jax.device_put(x0)
+    donated = jax.jit(lambda x, s: ctrl.solve(x, s), donate_argnums=(1,))
+    res, cs_d = donated(x0_dev, ctrl.init_state(_rng_key()))
+    jax.block_until_ready(res.control_mean)
+    ts_don = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        res, cs_d = donated(x0_dev, cs_d)
+        jax.block_until_ready(res.control_mean)
+        ts_don.append(time.perf_counter() - t0)
+
+    # (c) async pipelined dispatch: the plant issues the next solve while
+    # the previous result streams back — JAX dispatch is async, so chaining
+    # state-threaded calls without blocking overlaps the host->device
+    # round-trip with compute. This is the per-solve cost a co-located (or
+    # even relayed) deployment pays at steady state with one solve in
+    # flight.
+    N_PIPE = 50
+    res, cs_p = donated(x0_dev, cs_d)
+    jax.block_until_ready(res.control_mean)
+    t0 = time.perf_counter()
+    for _ in range(N_PIPE):
+        res, cs_p = donated(x0_dev, cs_p)
+    jax.block_until_ready(res.control_mean)
+    pipelined_ms = (time.perf_counter() - t0) / N_PIPE * 1e3
+
     target = 1e6  # BASELINE.json north-star: >=1e6 rollouts/s/chip
     print(
         json.dumps(
@@ -134,6 +166,8 @@ def main():
                 "solves_per_sec": solves_per_s,
                 "steady_state_solve_ms": per_solve * 1e3,
                 "single_dispatch_p50_ms": float(np.median(ts1)) * 1e3,
+                "single_dispatch_donated_p50_ms": float(np.median(ts_don)) * 1e3,
+                "async_pipelined_solve_ms": pipelined_ms,
                 "config": {"K": K, "T": T, "kernel": kernel, "iters": 1, "scan_len": S},
                 "backend": jax.devices()[0].platform,
                 "device": str(jax.devices()[0]),
@@ -294,6 +328,33 @@ def suite():
            jnp.array([2.0, 0.0, 0.0, 1.0]), 2560,
            note="single-chip; multi-host sharding exercised by "
                 "scripts/scaling_bench.py + dryrun_multichip")
+
+    # 6. multi-device scaling curve (virtual 8-device CPU mesh when no
+    # multi-chip slice is attached; see SCALING_r02.json for the recorded
+    # artifact + caveats). Runs in a subprocess because the device count
+    # must be set before the backend initializes.
+    import os
+    import subprocess
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8").strip()
+    try:
+        proc = subprocess.run(
+            [sys.executable, "scripts/scaling_bench.py", "--cpu",
+             "--rollouts", "16384", "--timesteps", "64", "--scan", "10"],
+            env=env, capture_output=True, text=True, timeout=900,
+        )
+        for line in proc.stdout.splitlines():
+            if line.startswith("{"):
+                entry = json.loads(line)
+                entry["config"] = "scaling_cpu_mesh"
+                results.append(entry)
+                print(json.dumps(entry))
+    except (subprocess.TimeoutExpired, OSError) as e:
+        print(json.dumps({"config": "scaling_cpu_mesh",
+                          "error": type(e).__name__}))
     return results
 
 

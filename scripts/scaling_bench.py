@@ -3,14 +3,24 @@
 meshes of increasing size and reports throughput + parallel efficiency.
 
 On a TPU pod slice this measures real ICI/DCN scaling; in the test
-environment it can run on a virtual CPU mesh:
+environment it runs on a virtual CPU mesh:
 
     XLA_FLAGS=--xla_force_host_platform_device_count=8 \
         python scripts/scaling_bench.py --cpu --rollouts 4096 --scan 20
 
-The solve's collectives (baseline = min, normalizer/mean update = weighted
-psum) are inserted by XLA from the sample-axis sharding constraint — no
+Modes:
+* strong scaling (default): fixed total K, more devices -> faster solves;
+* weak scaling (--weak): fixed K *per device*, more devices -> more
+  rollouts at (ideally) constant solve time — the deployment-relevant
+  curve for "more samples for the same latency budget".
+
+Kernels: "combined" (XLA scan) or "pallas" (the fused rollout kernel,
+running per-shard under jax.shard_map on meshes > 1 device;
+interpret-mode off-TPU). The solve's cross-shard work (baseline = min,
+normalizer/mean update = weighted psum) is inserted by XLA — no
 hand-written communication (SURVEY §2.12).
+
+--out FILE writes the result table as a JSON artifact (SCALING_r0N.json).
 """
 
 import argparse
@@ -21,19 +31,8 @@ import time
 sys.path.insert(0, ".")
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--cpu", action="store_true",
-                    help="force the CPU backend (virtual device mesh)")
-    ap.add_argument("--rollouts", type=int, default=8192)
-    ap.add_argument("--timesteps", type=int, default=100)
-    ap.add_argument("--scan", type=int, default=100,
-                    help="sequential solves per timing scan")
-    args = ap.parse_args()
-
-    if args.cpu:
-        import jax
-        jax.config.update("jax_platforms", "cpu")
+def run_curve(rollouts, timesteps, scan, kernel="combined", weak=False,
+              sizes=None):
     import jax
     import jax.numpy as jnp
 
@@ -41,35 +40,82 @@ def main():
     import bench
 
     n_dev = len(jax.devices())
-    sizes = [s for s in (1, 2, 4, 8, 16, 32, 64) if s <= n_dev]
+    if sizes is None:
+        sizes = [s for s in (1, 2, 4, 8, 16, 32, 64) if s <= n_dev]
     x0 = jnp.array([2.0, 0.0, 0.0, 1.0])
     results = []
     base_rate = None
+    base_ms = None
     for n in sizes:
-        ctrl = bench.build_controller(K=args.rollouts, T=args.timesteps,
-                                      kernel="combined")
+        K = rollouts * n if weak else rollouts
+        ctrl = bench.build_controller(K=K, T=timesteps, kernel=kernel)
         if n > 1:
             mesh = make_sample_mesh(num_devices=n)
             ctrl = shard_controller(ctrl, mesh)
         cs = ctrl.init_state(jax.random.PRNGKey(0))
-        fn = bench.closed_loop_fn(ctrl, args.scan)
+        fn = bench.closed_loop_fn(ctrl, scan)
         out = fn(x0, cs)
         jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        out = fn(x0, cs)
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / args.scan
-        rate = args.rollouts / dt
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = fn(x0, cs)
+            jax.block_until_ready(out)
+            best = min(best, (time.perf_counter() - t0) / scan)
+        rate = K / best
         if base_rate is None:
             base_rate = rate
+            base_ms = best * 1e3
+        if weak:
+            # ideal weak scaling: rate grows n-fold at constant solve time
+            efficiency = (rate / base_rate) / n
+        else:
+            efficiency = (rate / base_rate) / n
         results.append({
             "devices": n,
-            "solve_ms": dt * 1e3,
+            "rollouts": K,
+            "kernel": kernel,
+            "mode": "weak" if weak else "strong",
+            "solve_ms": best * 1e3,
             "rollouts_per_s": rate,
             "speedup": rate / base_rate,
-            "efficiency": rate / base_rate / n,
+            "efficiency": efficiency,
         })
         print(json.dumps(results[-1]))
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (virtual device mesh)")
+    ap.add_argument("--rollouts", type=int, default=8192,
+                    help="total K (strong) or K per device (weak)")
+    ap.add_argument("--timesteps", type=int, default=100)
+    ap.add_argument("--scan", type=int, default=100,
+                    help="sequential solves per timing scan")
+    ap.add_argument("--kernel", default="combined",
+                    choices=("combined", "split", "pallas"))
+    ap.add_argument("--weak", action="store_true",
+                    help="weak scaling: K per device held constant")
+    ap.add_argument("--out", default=None,
+                    help="write the results JSON to this path")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax  # noqa: F811
+
+    results = run_curve(args.rollouts, args.timesteps, args.scan,
+                        kernel=args.kernel, weak=args.weak)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({
+                "backend": jax.default_backend(),
+                "device_kind": jax.devices()[0].device_kind,
+                "results": results,
+            }, f, indent=1)
     return results
 
 
