@@ -54,6 +54,19 @@ class VanillaMPPI(ControllerBase):
     shaping_function: object = None
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _gaussian_lr(sampler) -> bool:
+        """True when the sampler charges the plain Gaussian likelihood-ratio
+        formula (gaussian.cu:481-568) — i.e. it did not override
+        ``likelihood_ratio_cost`` — so the fused kernel can accumulate it
+        in-loop (Gaussian, colored, NLN, smooth all qualify)."""
+        from mppi_generic_tpu.sampling.gaussian import GaussianDistribution
+
+        return (
+            type(sampler).likelihood_ratio_cost
+            is GaussianDistribution.likelihood_ratio_cost
+        )
+
     def _transform_weights(self, costs, baseline):
         if self.shaping_function is not None:
             return self.shaping_function.compute_weights(costs, baseline)
@@ -76,6 +89,25 @@ class VanillaMPPI(ControllerBase):
         with."""
         T = self.num_timesteps
         sampler = self.sampler if sampler is None else sampler
+        if self.kernel == "pallas" and self._gaussian_lr(sampler):
+            # Gaussian-family LR accumulates inside the fused kernel from
+            # SMEM scalars (lr_params below) — no separate XLA LR pass.
+            # This is how colored-noise solves stay on the fused path: FFT
+            # generation in XLA, everything after in one kernel.
+            K = U.shape[0]
+            lr_params = (
+                mean,
+                sampler._sigma(T, iteration),
+                sampler.control_cost_coeff,
+                self.lam,
+                self.alpha,
+                (1.0 - sampler.pure_noise_percentage) * K,
+            )
+            costs, crash = pallas_rollout.fused_rollout_costs(
+                self.dynamics, self.cost, x0, U, self.dt,
+                sharding=self.sample_sharding, lr_params=lr_params,
+            )
+            return costs, None, crash
         lr = sampler.likelihood_ratio_cost(
             U, mean, self.lam, self.alpha, iteration=iteration
         )

@@ -192,25 +192,50 @@ def _broadcast_rec(rec, rows):
     jax.jit,
     static_argnames=("dynamics_static", "cost_static", "T", "C", "S",
                      "tile_k", "interpret", "treedef", "per_sample_x0",
-                     "recurrent"),
+                     "recurrent", "with_lr"),
 )
 def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_tck,
                 dt, T, C, S, tile_k, interpret, per_sample_x0=False,
-                recurrent=False):
+                recurrent=False, with_lr=False, lr_mean=None, lr_sigma=None,
+                lr_coeff=None, lr_scal=None):
     del dynamics_static, cost_static  # only part of the jit cache key
     K_pad = U_tck.shape[-1]
     rows = tile_k // LANES
     grid = K_pad // tile_k
     leaf_ndims = tuple(l.ndim for l in leaves)
+    if not with_lr:
+        # dummy SMEM operands keep one call structure for both variants
+        lr_mean = jnp.zeros((T, C), jnp.float32)
+        lr_sigma = jnp.ones((T, C), jnp.float32)
+        lr_coeff = jnp.zeros((1, C), jnp.float32)
+        lr_scal = jnp.zeros((1, 4), jnp.float32)
 
     def kernel(*refs):
         leaf_refs = refs[: len(leaves)]
-        x0_ref, u_ref, dt_ref = refs[len(leaves): len(leaves) + 3]
-        costs_ref, crash_ref = refs[len(leaves) + 3:]
+        (x0_ref, u_ref, dt_ref, mean_ref, sigma_ref, coeff_ref,
+         lrs_ref) = refs[len(leaves): len(leaves) + 7]
+        costs_ref, crash_ref = refs[len(leaves) + 7:]
 
         vals = [_read_leaf(r, nd) for r, nd in zip(leaf_refs, leaf_ndims)]
         dynamics, cost = jax.tree_util.tree_unflatten(treedef, vals)
         dt_k = dt_ref[0, 0]
+
+        if with_lr:
+            # Gaussian-family likelihood-ratio accumulation in-kernel
+            # (gaussian.cu:481-568): mu = 0 for the pure-noise tail, whose
+            # membership is a *global* sample-index predicate (idx_off
+            # positions this shard's tile under shard_map)
+            lam_k = lrs_ref[0, 0]
+            alpha_k = lrs_ref[0, 1]
+            pure_thresh = lrs_ref[0, 2]
+            idx_off = lrs_ref[0, 3].astype(jnp.int32)
+            i = pl.program_id(0)
+            lane = (jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
+                    * LANES
+                    + jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1))
+            sample_idx = idx_off + i * tile_k + lane
+            pure = sample_idx.astype(jnp.float32) >= pure_thresh
+            lr_gain = 0.5 * lam_k * (1.0 - alpha_k)
 
         if per_sample_x0:
             # x0 tile is (S, tile_k): minor-dim split into VPU shape
@@ -239,6 +264,16 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_tck,
             else:
                 x_next, y = dynamics.step(x, u, t.astype(jnp.float32), dt_k)
             c, crash = cost.running_cost(y, u, t, crash)
+            if with_lr:
+                lr_t = jnp.zeros((rows, LANES), jnp.float32)
+                for ch in range(C):
+                    m_c = mean_ref[t, ch]
+                    s_c = sigma_ref[t, ch]
+                    mu_c = jnp.where(pure, 0.0, m_c)
+                    lr_t = lr_t + coeff_ref[0, ch] * mu_c * (
+                        mu_c - 2.0 * u[ch]
+                    ) / (s_c * s_c)
+                c = c + lr_gain * lr_t
             return (x_next, rec, crash, acc + c, y)
 
         _, _, crash, acc, y_last = jax.lax.fori_loop(
@@ -261,6 +296,10 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_tck,
         pl.BlockSpec((T, C, tile_k), lambda i: (0, 0, i),
                      memory_space=pltpu.VMEM),  # U tile
         pl.BlockSpec(memory_space=pltpu.SMEM),  # dt (1, 1)
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # lr mean (T, C)
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # lr sigma (T, C)
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # lr coeff (1, C)
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # lr scalars (1, 4)
     ]
     out_specs = (
         pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
@@ -285,7 +324,11 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_tck,
             transcendentals=2 * K_pad * T,
         ),
     )(*leaf_shapes, x0_in, U_tck,
-      jnp.asarray(dt, jnp.float32).reshape(1, 1))
+      jnp.asarray(dt, jnp.float32).reshape(1, 1),
+      jnp.asarray(lr_mean, jnp.float32),
+      jnp.asarray(lr_sigma, jnp.float32),
+      jnp.asarray(lr_coeff, jnp.float32).reshape(1, C),
+      jnp.asarray(lr_scal, jnp.float32).reshape(1, 4))
     return costs2d.reshape(-1), crash2d.reshape(-1)
 
 
@@ -298,17 +341,27 @@ def fused_rollout_costs(
     tile_k: int | None = None,
     interpret: bool | None = None,
     sharding=None,
+    lr_params=None,
+    _idx_offset=0,
 ):
     """Fused Pallas rollout: returns (costs (K,), crash (K,)).
 
     ``costs`` = (sum_t running + terminal) / T, matching
     ``trajectory_state_costs`` — the sampler likelihood-ratio term is added
-    by the caller. ``U`` is the (K, T, C) pre-clamped control-sample tensor;
-    ``x0`` a single (S,) initial state, or (K, S) per-sample initial states
-    (the RMPPI candidate-eval pattern). Recurrent models with small 1-D
-    hidden/cell leaves are hosted in-kernel; oversized or higher-rank
+    by the caller UNLESS ``lr_params`` is given (below). ``U`` is the
+    (K, T, C) pre-clamped control-sample tensor; ``x0`` a single (S,)
+    initial state, or (K, S) per-sample initial states (the RMPPI
+    candidate-eval pattern). Recurrent models with small 1-D hidden/cell
+    leaves are hosted in-kernel; oversized or higher-rank
     parameter/recurrent leaves raise :class:`PallasIncompatible` and fall
     back to the XLA paths.
+
+    ``lr_params``: optional ``(mean (T, C), sigma (T, C), coeff (C,), lam,
+    alpha, pure_threshold)`` — the Gaussian-family likelihood-ratio cost
+    (gaussian.cu:481-568) then accumulates *inside* the horizon loop from
+    SMEM scalars and ``costs`` already includes ``lr / T``, eliminating the
+    separate XLA LR pass (one combined kernel serves every Gaussian-LR
+    sampler, incl. colored noise — reference core/mppi_common.cu:28-146).
 
     ``sharding``: an optional sample-axis ``NamedSharding`` — the kernel
     then runs **per shard** under ``jax.shard_map``, each chip rolling out
@@ -328,21 +381,38 @@ def fused_rollout_costs(
         leaves, treedef = jax.tree_util.tree_flatten((dynamics, cost))
         leaves = [jnp.asarray(l) for l in leaves]
         per_sample_x0 = x0.ndim == 2
+        K_local = K // n_shards
+        if lr_params is None:
+            lr_pack = (jnp.zeros((T, C)), jnp.ones((T, C)), jnp.zeros((C,)),
+                       jnp.float32(0), jnp.float32(0), jnp.float32(0))
+            with_lr = False
+        else:
+            m_, s_, c_, lam_, al_, pt_ = lr_params
+            lr_pack = (jnp.asarray(m_, jnp.float32),
+                       jnp.asarray(s_, jnp.float32),
+                       jnp.asarray(c_, jnp.float32),
+                       jnp.asarray(lam_, jnp.float32),
+                       jnp.asarray(al_, jnp.float32),
+                       jnp.asarray(pt_, jnp.float32))
+            with_lr = True
 
-        def body(x0_l, U_l, dt_l, *leaf_vals):
+        def body(x0_l, U_l, dt_l, lrp, *leaf_vals):
             d, c = jax.tree_util.tree_unflatten(treedef, leaf_vals)
+            off = jax.lax.axis_index(axis) * K_local
             return fused_rollout_costs(
-                d, c, x0_l, U_l, dt_l, tile_k=tile_k, interpret=interpret
+                d, c, x0_l, U_l, dt_l, tile_k=tile_k, interpret=interpret,
+                lr_params=lrp if with_lr else None, _idx_offset=off,
             )
 
         return jax.shard_map(
             body,
             mesh=mesh,
-            in_specs=(P(axis) if per_sample_x0 else P(), P(axis), P())
+            in_specs=(P(axis) if per_sample_x0 else P(), P(axis), P(),
+                      (P(),) * 6)
             + _replicated(len(leaves)),
             out_specs=(P(axis), P(axis)),
             check_vma=False,
-        )(x0, U, jnp.asarray(dt, jnp.float32), *leaves)
+        )(x0, U, jnp.asarray(dt, jnp.float32), lr_pack, *leaves)
     S = dynamics.STATE_DIM
     leaves, treedef = jax.tree_util.tree_flatten((dynamics, cost))
     leaves = [jnp.asarray(l) for l in leaves]
@@ -369,10 +439,26 @@ def fused_rollout_costs(
         if K_pad != K:
             x0 = jnp.pad(x0, ((0, 0), (0, K_pad - K)))
 
+    if lr_params is None:
+        lr_kw = dict(with_lr=False)
+    else:
+        m_, s_, c_, lam_, al_, pt_ = lr_params
+        lr_kw = dict(
+            with_lr=True,
+            lr_mean=m_,
+            lr_sigma=s_,
+            lr_coeff=c_,
+            lr_scal=jnp.stack([
+                jnp.asarray(lam_, jnp.float32),
+                jnp.asarray(al_, jnp.float32),
+                jnp.asarray(pt_, jnp.float32),
+                jnp.asarray(_idx_offset, jnp.float32),
+            ]).reshape(1, 4),
+        )
     costs, crash = _fused_call(
         leaves, treedef, type(dynamics).__name__, type(cost).__name__,
         x0, U_tck, dt, T, C, S, tile_k, interpret,
-        per_sample_x0=per_sample_x0, recurrent=recurrent,
+        per_sample_x0=per_sample_x0, recurrent=recurrent, **lr_kw,
     )
     return costs[:K], crash[:K]
 

@@ -35,6 +35,12 @@ from flax import struct
 from mppi_generic_tpu.sampling.gaussian import GaussianDistribution
 
 
+# horizons up to this length use the exact inverse-DFT matmul instead of
+# jnp.fft.irfft (basis is (T+1, T) per trig table — tiny); longer horizons
+# fall back to the FFT
+_DFT_MATMUL_MAX_T = 2048
+
+
 def powerlaw_psd_gaussian(
     key, exponents, num_timesteps, num_samples, fmin=0.0, offset_t=0, offset_decay=0.0
 ):
@@ -71,7 +77,27 @@ def powerlaw_psd_gaussian(
     if n % 2 == 0:
         si = si.at[..., -1].set(0.0)
 
-    y = jnp.fft.irfft(sr + 1j * si, n=n, axis=-1)  # (K, C, n), 1/n normalized
+    if T <= _DFT_MATMUL_MAX_T:
+        # inverse real DFT as two MXU matmuls over only the first T outputs:
+        # y[t] = (1/n)[X0 + 2 sum_f (Re cos - Im sin) + (-1)^t X_nyq].
+        # XLA's TPU FFT dislikes the n = 2T (non-power-of-two) length the
+        # algorithm prescribes; the (F, T) cosine/sine bases are trace-time
+        # constants and the contraction is K*C x F x T — microseconds on
+        # the MXU at exact f32, and it skips the T discarded oversamples.
+        ang = (2.0 * jnp.pi / n) * jnp.outer(
+            jnp.arange(F, dtype=jnp.float32), jnp.arange(T, dtype=jnp.float32)
+        )
+        scale = jnp.full((F,), 2.0 / n, jnp.float32).at[0].set(1.0 / n)
+        if n % 2 == 0:
+            scale = scale.at[-1].set(1.0 / n)
+        basis_c = jnp.cos(ang) * scale[:, None]
+        basis_s = -jnp.sin(ang) * scale[:, None]
+        y = (
+            jnp.einsum("kcf,ft->kct", sr, basis_c, precision="float32")
+            + jnp.einsum("kcf,ft->kct", si, basis_s, precision="float32")
+        )
+    else:
+        y = jnp.fft.irfft(sr + 1j * si, n=n, axis=-1)[..., :T]  # 1/n normed
     y = y / sigma[None, :, None]
 
     anchor = jax.lax.dynamic_slice_in_dim(y, offset_t, 1, axis=-1)  # (K, C, 1)
@@ -79,7 +105,7 @@ def powerlaw_psd_gaussian(
         jnp.float32(offset_decay), jnp.arange(T, dtype=jnp.float32)
     )[None, None, :]
     decay = jnp.where(jnp.float32(offset_decay) == 0.0, 0.0, decay)
-    out = y[..., :T] - anchor * decay
+    out = y - anchor * decay
     return jnp.transpose(out, (0, 2, 1))  # (K, T, C)
 
 

@@ -212,3 +212,35 @@ def test_lstm_recurrent_model_on_pallas_path():
     c_p, _ = fused_rollout_costs(dyn, cost, x0, U, dt, tile_k=128)
     np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_ref),
                                rtol=2e-4, atol=1e-5)
+
+
+def test_fused_rollout_in_kernel_lr():
+    """lr_params accumulates the Gaussian likelihood-ratio cost inside the
+    kernel: equals the XLA LR pass added outside (gaussian.cu:481-568)."""
+    from mppi_generic_tpu.sampling import GaussianDistribution
+
+    dyn = DoubleIntegratorDynamics.create(control_ranges=[[-3, 3], [-3, 3]])
+    cost = DoubleIntegratorCircleCost()
+    samp = GaussianDistribution.create(
+        std_dev=[1.0, 0.7], control_cost_coeff=[0.02, 0.01],
+        pure_noise_percentage=0.25,
+    )
+    K, T, C = 256, 24, 2
+    x0 = jnp.array([2.0, 0.0, 0.0, 1.0])
+    mean = jnp.tile(jnp.array([0.3, -0.2]), (T, 1))
+    U = mean[None] + 0.5 * jax.random.normal(jax.random.PRNGKey(3), (K, T, C))
+    lam, alpha = jnp.float32(1.3), jnp.float32(0.2)
+
+    base, crash0 = fused_rollout_costs(
+        dyn, cost, x0, U, jnp.float32(0.02)
+    )
+    lr = samp.likelihood_ratio_cost(U, mean, lam, alpha)
+    fused, crash1 = fused_rollout_costs(
+        dyn, cost, x0, U, jnp.float32(0.02),
+        lr_params=(mean, samp._sigma(T, 0), samp.control_cost_coeff,
+                   lam, alpha, (1.0 - samp.pure_noise_percentage) * K),
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(base + lr / T), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(crash0), np.asarray(crash1))
