@@ -103,7 +103,9 @@ def ilqr_tracking(
         cs = jax.vmap(running_cost)(xs, us, ts)
         return jnp.sum(cs[:-1]) * dt + terminal_cost(xs[-1])
 
-    def backward_pass(xs, us):
+    def linearize(xs, us):
+        """Batched Jacobians + cost gradients + terminal value function
+        (the ddp_model_wrapper/tracking-cost derivatives, MXU-friendly)."""
         def jac(x, u):
             A = jax.jacfwd(lambda s: f(s, u))(x) * dt + jnp.eye(S)
             B = jax.jacfwd(lambda c: f(x, c))(u) * dt
@@ -113,9 +115,12 @@ def ilqr_tracking(
         ts = jnp.arange(T)
         dLx = jax.vmap(lambda x, t: Q @ (x - goal_x[t]))(xs, ts)
         dLu = jax.vmap(lambda u, t: R @ (u - goal_u[t]))(us, ts)
-
         Vxx_T = 0.5 * (Q_f + Q_f.T)
         Vx_T = Q_f @ (xs[-1] - goal_x[-1])
+        return As, Bs, dLx, dLu, Vxx_T, Vx_T
+
+    def backward_pass(xs, us):
+        As, Bs, dLx, dLu, Vxx_T, Vx_T = linearize(xs, us)
 
         # the sequential Riccati recursion is XLA-op-latency-bound on TPU
         # (~4.5 us/step on tiny matrices); a single-program Pallas kernel on
@@ -171,16 +176,37 @@ def ilqr_tracking(
         _, (xnew, unew) = jax.lax.scan(step, xs[0], (xs, us, Ks, ks))
         return xnew, unew
 
+    # fused backward+line-search kernel gate: one Pallas program runs the
+    # scalar-core Riccati recursion AND the whole alpha-ladder forward pass
+    # (one lane per alpha) — removes the XLA 14-alpha vmapped scan that
+    # dominated DDP synthesis after the backward kernel landed
+    use_ladder = (use_pallas and not use_boxqp
+                  and jax.default_backend() == "tpu"
+                  and pallas_riccati.supported(S, C, T))
+    if use_ladder:
+        for leaf in jax.tree_util.tree_leaves(dynamics):
+            if jnp.asarray(leaf).ndim > 3:
+                use_ladder = False
+                break
+
     def iteration(carry, it):
         xs, us, prev_cost = carry
-        Ks, ks = backward_pass(xs, us)
         alphas = _alpha_ladder()
+        if use_ladder:
+            As, Bs, dLx, dLu, Vxx_T, Vx_T = linearize(xs, us)
+            Ks, ks, cs, xns, uns = pallas_riccati.riccati_ladder_solve(
+                dynamics, xs, us, As, Bs, dLx, dLu, Q, R, Q_f,
+                Vxx_T, Vx_T, goal_x, goal_u, alphas, u_min, u_max, dt,
+                reg=1e-6,
+            )
+        else:
+            Ks, ks = backward_pass(xs, us)
 
-        def try_alpha(a):
-            xn, un = forward_pass(xs, us, Ks, ks, a)
-            return xn, un, trajectory_cost(xn, un)
+            def try_alpha(a):
+                xn, un = forward_pass(xs, us, Ks, ks, a)
+                return xn, un, trajectory_cost(xn, un)
 
-        xns, uns, cs = jax.vmap(try_alpha)(alphas)
+            xns, uns, cs = jax.vmap(try_alpha)(alphas)
         accept = (cs <= prev_cost) | (it == 0)
         # first (largest) accepted alpha; fall back to the smallest alpha
         idx = jnp.argmax(accept)

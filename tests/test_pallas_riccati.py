@@ -111,3 +111,67 @@ def test_riccati_via_cartpole_sanity():
     assert np.all(np.isfinite(np.asarray(st.gains)))
     # driving toward +x from rest: position gain must push positively
     assert float(st.gains[0, 0, 0]) != 0.0
+
+
+def test_riccati_ladder_solve_matches_xla_iteration():
+    """Fused backward+line-search kernel (interpret mode): gains match the
+    XLA backward scan and the per-alpha forward trajectories/costs match
+    the XLA forward_pass + trajectory_cost (ddp/ddp.h run() semantics)."""
+    from mppi_generic_tpu.feedback.ilqr import _alpha_ladder, ilqr_tracking
+    from mppi_generic_tpu.ops.pallas_riccati import riccati_ladder_solve
+
+    dyn = DoubleIntegratorDynamics.create(control_ranges=[[-2, 2], [-2, 2]])
+    S, C, T = 4, 2, 24
+    x0 = jnp.array([2.0, 0.0, 0.0, 1.0])
+    key = jax.random.PRNGKey(0)
+    goal_x = 0.1 * jax.random.normal(key, (T, S))
+    goal_u = jnp.zeros((T, C))
+    u_init = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (T, C))
+    Q, R, Qf = jnp.eye(S), 0.5 * jnp.eye(C), 3 * jnp.eye(S)
+    dt = jnp.float32(0.02)
+
+    ref = ilqr_tracking(dyn, x0, u_init, goal_x, goal_u, Q, R, Qf, dt,
+                        use_pallas=False)
+
+    f = lambda x, u: dyn.state_deriv(x, u)
+    u_min = dyn.control_ranges[:, 0]
+    u_max = dyn.control_ranges[:, 1]
+    us0 = jnp.clip(u_init, u_min, u_max)
+
+    def fr(x0, U):
+        def step(x, u):
+            return x + f(x, jnp.clip(u, u_min, u_max)) * dt, x
+
+        _, xs = jax.lax.scan(step, x0, U)
+        return xs
+
+    xs0 = fr(x0, us0)
+
+    def jac(x, u):
+        A = jax.jacfwd(lambda s: f(s, u))(x) * dt + jnp.eye(S)
+        B = jax.jacfwd(lambda c: f(x, c))(u) * dt
+        return A, B
+
+    As, Bs = jax.vmap(jac)(xs0, us0)
+    ts = jnp.arange(T)
+    dLx = jax.vmap(lambda x, t: Q @ (x - goal_x[t]))(xs0, ts)
+    dLu = jax.vmap(lambda u, t: R @ (u - goal_u[t]))(us0, ts)
+    Vxx_T = 0.5 * (Qf + Qf.T)
+    Vx_T = Qf @ (xs0[-1] - goal_x[-1])
+
+    Ks, ks, cs, xns, uns = riccati_ladder_solve(
+        dyn, xs0, us0, As, Bs, dLx, dLu, Q, R, Qf, Vxx_T, Vx_T,
+        goal_x, goal_u, _alpha_ladder(), u_min, u_max, dt, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(Ks), np.asarray(ref.gains),
+                               rtol=2e-3, atol=2e-4)
+    # iteration 0 always accepts alpha[0] = 1.0 -> the reference trajectory
+    np.testing.assert_allclose(np.asarray(xns[0]), np.asarray(ref.x_traj),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(uns[0]), np.asarray(ref.u_traj),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(cs[0]), float(ref.total_cost),
+                               rtol=1e-4)
+    # smaller alphas blend toward the unshifted reference controls
+    assert cs.shape == (_alpha_ladder().shape[0],)
+    assert np.all(np.isfinite(np.asarray(cs)))
