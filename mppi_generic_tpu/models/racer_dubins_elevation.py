@@ -77,12 +77,15 @@ def static_settling(elevation_map, pos_x, pos_y, yaw, roll, pitch):
     rl = corner(0.0, _HALF_TRACK)
     rr = corner(0.0, -_HALF_TRACK)
 
-    front_roll = jnp.arcsin(jnp.clip(fl - fr, -2 * 0.736, 2 * 0.736) / (2 * 0.737))
-    rear_roll = jnp.arcsin(jnp.clip(rl - rr, -2 * 0.736, 2 * 0.736) / (2 * 0.737))
+    # asin via the atan2 polynomial (~1e-5 rad) — jnp.arcsin has no Mosaic
+    # lowering, and this keeps the settling path inside the fused kernels
+    asin = math_utils.asin_approx
+    front_roll = asin(jnp.clip(fl - fr, -2 * 0.736, 2 * 0.736) / (2 * 0.737))
+    rear_roll = asin(jnp.clip(rl - rr, -2 * 0.736, 2 * 0.736) / (2 * 0.737))
     new_roll = 0.5 * (front_roll + rear_roll)
 
-    left_pitch = jnp.arcsin(jnp.clip(rl - fl, -2.98, 2.98) / 2.981)
-    right_pitch = jnp.arcsin(jnp.clip(rr - fr, -2.98, 2.98) / 2.981)
+    left_pitch = asin(jnp.clip(rl - fl, -2.98, 2.98) / 2.981)
+    right_pitch = asin(jnp.clip(rr - fr, -2.98, 2.98) / 2.981)
     new_pitch = 0.5 * (left_pitch + right_pitch)
     height = 0.5 * (rl + rr)
 

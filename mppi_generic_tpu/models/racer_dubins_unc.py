@@ -84,12 +84,21 @@ def unc_matrix_to_state(S):
 
 def propagate_uncertainty(s10, A, Q, dt):
     """Sigma' = (I + A dt) Sigma (I + A dt)^T + Q dt
-    (computeUncertaintyPropagation, racer_dubins_elevation.cu:672-760)."""
+    (computeUncertaintyPropagation, racer_dubins_elevation.cu:672-760).
+
+    Written as explicit 4x4 scalar loops over axis-0-indexed blocks (not an
+    einsum): Mosaic's matmul supports at most one batch dim, so the
+    unrolled form is what lets the whole uncertainty block run inside the
+    fused Pallas rollout kernel — and XLA fuses it identically on the
+    batched path."""
     S = unc_state_to_matrix(s10)
-    eye = jnp.eye(4).reshape((4, 4) + (1,) * (A.ndim - 2))
-    Ad = eye + A * dt
-    S2 = jnp.einsum("ij...,jk...,lk...->il...", Ad, S, Ad)
-    return unc_matrix_to_state(S2 + Q * dt)
+    Ad = [[A[i, j] * dt + (1.0 if i == j else 0.0) for j in range(4)]
+          for i in range(4)]
+    M = [[sum(Ad[i][k] * S[k, j] for k in range(4)) for j in range(4)]
+         for i in range(4)]
+    S2 = [[sum(M[i][k] * Ad[l][k] for k in range(4)) + Q[i, l] * dt
+           for l in range(4)] for i in range(4)]
+    return unc_matrix_to_state(jnp.stack([jnp.stack(r) for r in S2]))
 
 
 class RacerDubinsElevationSuspension(RacerDubinsElevationLSTMSteering):
@@ -444,9 +453,11 @@ class RacerDubinsElevationLSTMUncertainty(RacerDubinsElevationSuspension):
         # uncertainty LSTM -> Q (lstm_unc.cu:300-495)
         feats_u = self._nn_features(x, u, vel_d, yaw_d, with_roll=True)
         unc_out, uh, uc = self.unc_lstm.forward_axis0(uh, uc, feats_u)
-        unc_out = jnp.abs(
-            jax.nn.sigmoid(unc_out)
-            * self.unc_scale.reshape((-1,) + (1,) * (x.ndim - 1))
+        # per-component scalar scale (no rank-changing reshape — Mosaic
+        # cannot shape-cast a (1, 5) leaf to (5, 1, 1) inside the kernel)
+        sig = jax.nn.sigmoid(unc_out)
+        unc_out = jnp.stack(
+            [jnp.abs(sig[i] * self.unc_scale[i]) for i in range(5)]
         )
         c_b = self._regime_select(x[0], self.c_b3) * jnp.where(
             jnp.abs(x[0]) <= 0.2, x[0], 1.0)

@@ -27,6 +27,16 @@ DEFAULT_CANDIDATES = ("combined", "split", "pallas", "pallas_fused")
 
 
 def _config_key(controller, candidates):
+    # the leaf-shape signature distinguishes parameter-wise-different
+    # models of the same type (e.g. elevation map attached vs flat ground):
+    # whether a model lowers in Mosaic can depend on which leaves exist,
+    # not just on the class — a cached choice must never cross that line
+    leaf_sig = tuple(
+        tuple(jnp.shape(l))
+        for l in jax.tree_util.tree_leaves(
+            (controller.dynamics, controller.cost)
+        )
+    )
     return (
         type(controller).__name__,
         type(controller.dynamics).__name__,
@@ -37,6 +47,7 @@ def _config_key(controller, candidates):
         controller.sample_sharding is not None,
         jax.default_backend(),
         tuple(candidates),
+        leaf_sig,
     )
 
 

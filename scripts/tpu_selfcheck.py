@@ -277,3 +277,89 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def check_riccati_ladder():
+    """Fused backward+alpha-ladder kernel (compiled) vs the XLA iLQR
+    iteration — gains, accepted trajectory, and ladder costs."""
+    from mppi_generic_tpu.feedback.ilqr import _alpha_ladder, ilqr_tracking
+    from mppi_generic_tpu.models import DoubleIntegratorDynamics
+    from mppi_generic_tpu.ops.pallas_riccati import riccati_ladder_solve
+
+    dyn = DoubleIntegratorDynamics.create(control_ranges=[[-2, 2], [-2, 2]])
+    S_, C_, T_ = 4, 2, 50
+    x0 = jnp.array([2.0, 0.0, 0.0, 1.0])
+    goal_x = 0.1 * jax.random.normal(jax.random.PRNGKey(0), (T_, S_))
+    goal_u = jnp.zeros((T_, C_))
+    u_init = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (T_, C_))
+    Q, R, Qf = jnp.eye(S_), 0.5 * jnp.eye(C_), 3 * jnp.eye(S_)
+    dtf = jnp.float32(0.02)
+
+    ref = ilqr_tracking(dyn, x0, u_init, goal_x, goal_u, Q, R, Qf, dtf,
+                        use_pallas=False)
+    fused = ilqr_tracking(dyn, x0, u_init, goal_x, goal_u, Q, R, Qf, dtf,
+                          use_pallas=True)
+    np.testing.assert_allclose(np.asarray(fused.gains),
+                               np.asarray(ref.gains), rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(fused.x_traj),
+                               np.asarray(ref.x_traj), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(float(fused.total_cost),
+                               float(ref.total_cost), rtol=1e-3)
+
+
+def check_colored_in_kernel_lr():
+    """Colored-noise solve through the fused kernel with in-kernel LR
+    accumulation matches the XLA combined path."""
+    from mppi_generic_tpu.sampling import ColoredNoiseDistribution
+
+    dyn, cost, x0, dt = _fixtures()
+    samp = ColoredNoiseDistribution.create(
+        std_dev=[1.0, 0.7], exponents=[1.0, 2.0],
+        control_cost_coeff=[0.02, 0.01], pure_noise_percentage=0.1,
+    )
+
+    def ctrl(kernel):
+        return VanillaMPPI(
+            dynamics=dyn, cost=cost, sampler=samp,
+            dt=dt, lam=jnp.float32(1.0), alpha=jnp.float32(0.0),
+            num_timesteps=T, num_rollouts=K, num_iters=1, kernel=kernel,
+        )
+
+    cs = ctrl("combined").init_state(jax.random.PRNGKey(0))
+    r_ref, _ = jax.jit(ctrl("combined").solve)(x0, cs)
+    r_pal, _ = jax.jit(ctrl("pallas").solve)(x0, cs)
+    np.testing.assert_allclose(np.asarray(r_pal.costs),
+                               np.asarray(r_ref.costs),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(r_pal.control_mean),
+                               np.asarray(r_ref.control_mean),
+                               rtol=1e-3, atol=1e-4)
+
+
+CHECKS.append(check_riccati_ladder)
+CHECKS.append(check_colored_in_kernel_lr)
+
+
+def check_recurrent_models_fused_kernel():
+    """Compiled fused-kernel parity for the 26-state LSTM-uncertainty and
+    suspension models (3 recurrent nets + covariance block in-kernel)."""
+    from mppi_generic_tpu.costs import ARStandardCost
+    from mppi_generic_tpu.models import (
+        RacerDubinsElevationLSTMUncertainty,
+        RacerDubinsElevationSuspension,
+    )
+
+    cost = ARStandardCost(output_indices=(2, 3, 5, 6, 0, 1))
+    K2, T2 = 256, 16
+    U = 0.3 * jax.random.normal(jax.random.PRNGKey(0), (K2, T2, 2))
+    for cls in (RacerDubinsElevationLSTMUncertainty,
+                RacerDubinsElevationSuspension):
+        dyn = cls.create()
+        x0 = dyn.get_zero_state().at[0].set(3.0)
+        c_ref, _, _ = rollout_combined(dyn, cost, x0, U, jnp.float32(0.02))
+        c_p, _ = fused_rollout_costs(dyn, cost, x0, U, jnp.float32(0.02))
+        np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_ref),
+                                   rtol=1e-4, atol=1e-4)
+
+
+CHECKS.append(check_recurrent_models_fused_kernel)

@@ -122,3 +122,49 @@ def test_models_vmap_parity():
         )(us)
         np.testing.assert_allclose(np.asarray(batched), np.asarray(single),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_lstm_unc_fused_kernel_parity_interpret():
+    """The 26-state LSTM-uncertainty model (3 recurrent nets + covariance
+    block) lowers into the fused Pallas rollout kernel — interpret-mode
+    parity vs the XLA combined scan (compiled parity runs in the TPU tier).
+    The component-first rewrites that admit it: unrolled 4x4 uncertainty
+    propagation (no multi-batch einsum) and per-component sigmoid scaling."""
+    from mppi_generic_tpu.costs import ARStandardCost
+    from mppi_generic_tpu.models import RacerDubinsElevationLSTMUncertainty
+    from mppi_generic_tpu.ops import pallas_rollout, rollout as rollout_ops
+
+    dyn = RacerDubinsElevationLSTMUncertainty.create()
+    cost = ARStandardCost(output_indices=(2, 3, 5, 6, 0, 1))
+    K, T = 32, 8
+    x0 = dyn.get_zero_state().at[0].set(3.0)
+    U = 0.3 * jax.random.normal(jax.random.PRNGKey(0), (K, T, 2))
+    c_ref, _, cr_ref = rollout_ops.rollout_combined(
+        dyn, cost, x0, U, jnp.float32(0.02)
+    )
+    c_p, cr_p = pallas_rollout.fused_rollout_costs(
+        dyn, cost, x0, U, jnp.float32(0.02)
+    )
+    np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(cr_p), np.asarray(cr_ref))
+
+
+def test_suspension_fused_kernel_parity_interpret():
+    from mppi_generic_tpu.costs import ARStandardCost
+    from mppi_generic_tpu.models import RacerDubinsElevationSuspension
+    from mppi_generic_tpu.ops import pallas_rollout, rollout as rollout_ops
+
+    dyn = RacerDubinsElevationSuspension.create()
+    cost = ARStandardCost(output_indices=(2, 3, 5, 6, 0, 1))
+    K, T = 32, 8
+    x0 = dyn.get_zero_state().at[0].set(3.0)
+    U = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (K, T, 2))
+    c_ref, _, _ = rollout_ops.rollout_combined(
+        dyn, cost, x0, U, jnp.float32(0.02)
+    )
+    c_p, _ = pallas_rollout.fused_rollout_costs(
+        dyn, cost, x0, U, jnp.float32(0.02)
+    )
+    np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_ref),
+                               rtol=1e-4, atol=1e-4)
