@@ -47,6 +47,11 @@ def _alpha_ladder(n=14):
     return jnp.power(0.5, jnp.arange(n, dtype=jnp.float32))
 
 
+# test escape hatch: force the fused ladder kernel (interpret mode) off-TPU
+# so the shard_map-replicated path can be exercised on the virtual CPU mesh
+_LADDER_INTERPRET = False
+
+
 def ilqr_tracking(
     dynamics: Dynamics,
     x0,
@@ -62,6 +67,7 @@ def ilqr_tracking(
     u_max=None,
     use_boxqp: bool = False,
     use_pallas: bool = True,
+    mesh=None,
 ):
     """Run iLQR tracking. Shapes: x0 (S,), u_init (T, C), goal_x (T, S),
     goal_u (T, C). Returns DDPFeedbackState with gains (T, C, S)."""
@@ -181,7 +187,7 @@ def ilqr_tracking(
     # (one lane per alpha) — removes the XLA 14-alpha vmapped scan that
     # dominated DDP synthesis after the backward kernel landed
     use_ladder = (use_pallas and not use_boxqp
-                  and jax.default_backend() == "tpu"
+                  and (jax.default_backend() == "tpu" or _LADDER_INTERPRET)
                   and pallas_riccati.supported(S, C, T))
     if use_ladder:
         for leaf in jax.tree_util.tree_leaves(dynamics):
@@ -189,16 +195,45 @@ def ilqr_tracking(
                 use_ladder = False
                 break
 
+    def run_ladder(xs, us, alphas):
+        As, Bs, dLx, dLu, Vxx_T, Vx_T = linearize(xs, us)
+        if mesh is None:
+            return pallas_riccati.riccati_ladder_solve(
+                dynamics, xs, us, As, Bs, dLx, dLu, Q, R, Q_f,
+                Vxx_T, Vx_T, goal_x, goal_u, alphas, u_min, u_max, dt,
+                reg=1e-6, interpret=_LADDER_INTERPRET,
+            )
+        # sample-axis mesh: the DDP synthesis is sample-independent, so
+        # every device computes the same (replicated) kernel under
+        # shard_map — the single-chip pallas_call cannot be partitioned by
+        # pjit, but a fully-replicated manual region lowers fine
+        from jax.sharding import PartitionSpec as P
+
+        leaves, treedef = jax.tree_util.tree_flatten(dynamics)
+
+        def body(xs_, us_, As_, Bs_, dLx_, dLu_, Vxx_, Vx_, gx_, gu_,
+                 Q_, R_, Qf_, al_, lo_, hi_, dt_, *leaf_vals):
+            dyn = jax.tree_util.tree_unflatten(treedef, leaf_vals)
+            return pallas_riccati.riccati_ladder_solve(
+                dyn, xs_, us_, As_, Bs_, dLx_, dLu_, Q_, R_, Qf_,
+                Vxx_, Vx_, gx_, gu_, al_, lo_, hi_, dt_,
+                reg=1e-6, interpret=_LADDER_INTERPRET,
+            )
+
+        n_in = 17 + len(leaves)
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(),) * n_in, out_specs=(P(),) * 5,
+            check_vma=False,
+        )(xs, us, As, Bs, dLx, dLu, Vxx_T, Vx_T, goal_x, goal_u,
+          Q, R, Q_f, alphas, u_min, u_max, jnp.asarray(dt, jnp.float32),
+          *[jnp.asarray(l) for l in leaves])
+
     def iteration(carry, it):
         xs, us, prev_cost = carry
         alphas = _alpha_ladder()
         if use_ladder:
-            As, Bs, dLx, dLu, Vxx_T, Vx_T = linearize(xs, us)
-            Ks, ks, cs, xns, uns = pallas_riccati.riccati_ladder_solve(
-                dynamics, xs, us, As, Bs, dLx, dLu, Q, R, Q_f,
-                Vxx_T, Vx_T, goal_x, goal_u, alphas, u_min, u_max, dt,
-                reg=1e-6,
-            )
+            Ks, ks, cs, xns, uns = run_ladder(xs, us, alphas)
         else:
             Ks, ks = backward_pass(xs, us)
 
@@ -241,10 +276,14 @@ class DDPFeedback(FeedbackController):
     # (ddp/boxqp.h); off by default — identical to the plain Newton step
     # when the control ranges are infinite.
     use_boxqp: bool = struct.field(pytree_node=False, default=False)
-    # single-program Pallas Riccati backward pass (ops/pallas_riccati.py);
-    # auto-falls-back to the XLA scan off-TPU, under BoxQP, on unsupported
-    # sizes, and on sharded controllers (parallel/mesh.py flips it off)
+    # single-program Pallas Riccati + line-search kernel
+    # (ops/pallas_riccati.py); auto-falls-back to the XLA scan off-TPU,
+    # under BoxQP, and on unsupported sizes
     use_pallas: bool = struct.field(pytree_node=False, default=True)
+    # sample-axis mesh of a sharded controller: the (replicated) DDP
+    # synthesis then runs the Pallas kernel inside a fully-replicated
+    # shard_map region (parallel/mesh.py sets this)
+    mesh: object = struct.field(pytree_node=False, default=None)
 
     @classmethod
     def create(cls, dynamics, dt, Q=None, R=None, Q_f=None, num_iterations=1,
@@ -290,6 +329,7 @@ class DDPFeedback(FeedbackController):
             iterations=self.num_iterations,
             use_boxqp=self.use_boxqp,
             use_pallas=self.use_pallas,
+            mesh=self.mesh,
         )
 
     def k(self, x, x_goal, t, fb_state: DDPFeedbackState):

@@ -83,10 +83,10 @@ def shard_controller(controller, mesh: Mesh):
             f"num_rollouts={controller.num_rollouts} not divisible by mesh size {n}"
         )
     ctrl = controller.replace(sample_sharding=sample_sharding(mesh))
-    # the (sample-independent, replicated) DDP Riccati kernel still solves
-    # per-device; under pjit auto-sharding it cannot be partitioned, so a
-    # mesh switches it to the XLA scan (roadmap: fold into shard_map too)
+    # the (sample-independent) DDP synthesis runs its Pallas kernel inside
+    # a fully-replicated shard_map region on a mesh — every device computes
+    # the same gains; pjit cannot partition a bare single-chip pallas_call
     fb = getattr(ctrl, "feedback", None)
-    if fb is not None and getattr(fb, "use_pallas", False):
-        ctrl = ctrl.replace(feedback=fb.replace(use_pallas=False))
+    if fb is not None and hasattr(fb, "mesh"):
+        ctrl = ctrl.replace(feedback=fb.replace(mesh=mesh))
     return ctrl

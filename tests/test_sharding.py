@@ -231,3 +231,41 @@ def test_robust_sharded_solve():
     res_s, _ = jax.jit(sharded.solve)(x0, cs)
     assert np.all(np.isfinite(np.asarray(res_s.real.control_mean)))
     assert np.all(np.isfinite(np.asarray(res_s.nominal.control_mean)))
+
+
+def test_sharded_pallas_ddp_ladder_replicated():
+    """On a mesh the DDP synthesis keeps its fused Pallas ladder kernel by
+    running it in a fully-replicated shard_map region (every device
+    computes the same gains); parity vs the unsharded XLA ladder."""
+    import mppi_generic_tpu.feedback.ilqr as ilqr_mod
+    from mppi_generic_tpu.controllers import TubeMPPI
+    from mppi_generic_tpu.feedback import DDPFeedback
+
+    dyn = DoubleIntegratorDynamics.create()
+    tube = TubeMPPI(
+        dynamics=dyn,
+        cost=DoubleIntegratorCircleCost(),
+        sampler=GaussianDistribution.create(std_dev=[1.0, 1.0]),
+        num_timesteps=16,
+        num_rollouts=64,
+        nominal_threshold=jnp.float32(20.0),
+        feedback=DDPFeedback.create(dyn, 0.02, use_pallas=True),
+    )
+    mesh = make_sample_mesh()
+    sharded = shard_controller(tube, mesh)
+    assert sharded.feedback.mesh is mesh
+    assert sharded.feedback.use_pallas
+    cs = tube.init_state(jax.random.PRNGKey(1))
+    x0 = jnp.array([2.0, 0.0, 0.0, 1.0])
+    old = ilqr_mod._LADDER_INTERPRET
+    ilqr_mod._LADDER_INTERPRET = True  # the kernel itself, off-TPU
+    try:
+        r_sh, _ = jax.jit(sharded.solve)(x0, cs)
+    finally:
+        ilqr_mod._LADDER_INTERPRET = old
+    ref = tube.replace(feedback=tube.feedback.replace(use_pallas=False))
+    r_ref, _ = jax.jit(ref.solve)(x0, cs)
+    np.testing.assert_allclose(
+        np.asarray(r_sh.real.control_mean),
+        np.asarray(r_ref.real.control_mean), rtol=1e-3, atol=1e-4,
+    )
