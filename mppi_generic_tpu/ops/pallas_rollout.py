@@ -192,12 +192,12 @@ def _broadcast_rec(rec, rows):
     jax.jit,
     static_argnames=("dynamics_static", "cost_static", "T", "C", "S",
                      "tile_k", "interpret", "treedef", "per_sample_x0",
-                     "recurrent", "with_lr"),
+                     "recurrent", "with_lr", "state_dtype"),
 )
 def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_tck,
                 dt, T, C, S, tile_k, interpret, per_sample_x0=False,
                 recurrent=False, with_lr=False, lr_mean=None, lr_sigma=None,
-                lr_coeff=None, lr_scal=None):
+                lr_coeff=None, lr_scal=None, state_dtype="float32"):
     del dynamics_static, cost_static  # only part of the jit cache key
     K_pad = U_tck.shape[-1]
     rows = tile_k // LANES
@@ -216,9 +216,18 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_tck,
          lrs_ref) = refs[len(leaves): len(leaves) + 7]
         costs_ref, crash_ref = refs[len(leaves) + 7:]
 
-        vals = [_read_leaf(r, nd) for r, nd in zip(leaf_refs, leaf_ndims)]
+        cd = jnp.dtype(state_dtype)
+        n_dyn = treedef.children()[0].num_leaves  # dynamics' leaf count
+
+        def _cast(v, i):
+            if i < n_dyn and jnp.issubdtype(v.dtype, jnp.floating):
+                return v.astype(cd)  # dynamics params only; cost stays f32
+            return v
+
+        vals = [_cast(_read_leaf(r, nd), i)
+                for i, (r, nd) in enumerate(zip(leaf_refs, leaf_ndims))]
         dynamics, cost = jax.tree_util.tree_unflatten(treedef, vals)
-        dt_k = dt_ref[0, 0]
+        dt_k = dt_ref[0, 0].astype(cd)
 
         if with_lr:
             # Gaussian-family likelihood-ratio accumulation in-kernel
@@ -239,14 +248,14 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_tck,
 
         if per_sample_x0:
             # x0 tile is (S, tile_k): minor-dim split into VPU shape
-            x = x0_ref[...].reshape(S, rows, LANES)
+            x = x0_ref[...].reshape(S, rows, LANES).astype(cd)
         else:
             x = jnp.broadcast_to(x0_ref[...].reshape(S, 1, 1),
-                                 (S, rows, LANES))
+                                 (S, rows, LANES)).astype(cd)
         crash0 = jnp.zeros((rows, LANES), jnp.int32)
         acc0 = jnp.zeros((rows, LANES), jnp.float32)
         y0 = jnp.broadcast_to(
-            jnp.zeros((1, 1), jnp.float32),
+            jnp.zeros((1, 1), cd),
             (dynamics.OUTPUT_DIM, rows, LANES),
         )
         # recurrent (LSTM) state: each (H,) leaf becomes an (H, rows, LANES)
@@ -256,14 +265,21 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_tck,
 
         def body(t, carry):
             x, rec, crash, acc, _ = carry
-            u = u_ref[pl.ds(t, 1)].reshape(C, rows, LANES)
+            u_raw = u_ref[pl.ds(t, 1)].reshape(C, rows, LANES)
+            u = u_raw.astype(cd)
             if recurrent:
                 x_next, y, rec = dynamics.step_recurrent(
-                    x, rec, u, t.astype(jnp.float32), dt_k
+                    x, rec, u, t.astype(cd), dt_k
                 )
             else:
-                x_next, y = dynamics.step(x, u, t.astype(jnp.float32), dt_k)
-            c, crash = cost.running_cost(y, u, t, crash)
+                x_next, y = dynamics.step(x, u, t.astype(cd), dt_k)
+            # the cost evaluates in f32 regardless of the state dtype: the
+            # weights/crash decisions ride on it, and Mosaic's bf16-derived
+            # bool masks hit relayout limits in comparison-heavy costs
+            c, crash = cost.running_cost(
+                y.astype(jnp.float32), u_raw, t, crash
+            )
+            c = c.astype(jnp.float32)
             if with_lr:
                 lr_t = jnp.zeros((rows, LANES), jnp.float32)
                 for ch in range(C):
@@ -279,7 +295,8 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_tck,
         _, _, crash, acc, y_last = jax.lax.fori_loop(
             0, T, body, (x, rec0, crash0, acc0, y0)
         )
-        costs_ref[...] = ((acc + cost.terminal_cost(y_last)) / T)[None]
+        term = cost.terminal_cost(y_last.astype(jnp.float32))
+        costs_ref[...] = ((acc + term) / T)[None]
         crash_ref[...] = crash[None]
 
     leaf_shapes, leaf_specs = _prepare_leaves(leaves)
@@ -343,8 +360,14 @@ def fused_rollout_costs(
     sharding=None,
     lr_params=None,
     _idx_offset=0,
+    state_dtype="float32",
 ):
     """Fused Pallas rollout: returns (costs (K,), crash (K,)).
+
+    ``state_dtype``: "bfloat16" runs the dynamics/cost arithmetic in bf16
+    (state, controls, parameters; cost accumulation stays f32) for 2x VPU
+    packing — see BASELINE.md "bf16 rollout-state study" for the measured
+    speed/accuracy tradeoff before enabling it.
 
     ``costs`` = (sum_t running + terminal) / T, matching
     ``trajectory_state_costs`` — the sampler likelihood-ratio term is added
@@ -402,6 +425,7 @@ def fused_rollout_costs(
             return fused_rollout_costs(
                 d, c, x0_l, U_l, dt_l, tile_k=tile_k, interpret=interpret,
                 lr_params=lrp if with_lr else None, _idx_offset=off,
+                state_dtype=state_dtype,
             )
 
         return jax.shard_map(
@@ -458,7 +482,8 @@ def fused_rollout_costs(
     costs, crash = _fused_call(
         leaves, treedef, type(dynamics).__name__, type(cost).__name__,
         x0, U_tck, dt, T, C, S, tile_k, interpret,
-        per_sample_x0=per_sample_x0, recurrent=recurrent, **lr_kw,
+        per_sample_x0=per_sample_x0, recurrent=recurrent,
+        state_dtype=state_dtype, **lr_kw,
     )
     return costs[:K], crash[:K]
 

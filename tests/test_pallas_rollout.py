@@ -244,3 +244,27 @@ def test_fused_rollout_in_kernel_lr():
         np.asarray(fused), np.asarray(base + lr / T), rtol=1e-5, atol=1e-6
     )
     np.testing.assert_array_equal(np.asarray(crash0), np.asarray(crash1))
+
+
+def test_fused_rollout_bf16_state_option():
+    """state_dtype="bfloat16" (dynamics in bf16, cost in f32) stays within
+    a few percent of the f32 kernel on the double integrator — the
+    measured-and-documented option from the BASELINE.md bf16 study (not a
+    default; see the study for why)."""
+    dyn = DoubleIntegratorDynamics.create(control_ranges=[[-3, 3], [-3, 3]])
+    cost = DoubleIntegratorCircleCost()
+    K, T = 256, 32
+    x0 = jnp.array([2.0, 0.0, 0.0, 1.0])
+    U = 0.5 * jax.random.normal(jax.random.PRNGKey(0), (K, T, 2))
+    c32, cr32 = fused_rollout_costs(dyn, cost, x0, U, jnp.float32(0.02))
+    c16, cr16 = fused_rollout_costs(
+        dyn, cost, x0, U, jnp.float32(0.02), state_dtype="bfloat16"
+    )
+    rel = np.abs(np.asarray(c16) - np.asarray(c32)) / (
+        np.abs(np.asarray(c32)) + 1e-6
+    )
+    # median-robust only: ~10% of samples straddle the crash boundary and
+    # legitimately flip in bf16, blowing up their relative error — exactly
+    # the measured behavior that keeps f32 the default (BASELINE.md study)
+    assert np.median(rel) < 0.05, np.median(rel)
+    assert np.all(np.isfinite(np.asarray(c16)))
