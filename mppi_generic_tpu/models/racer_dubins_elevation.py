@@ -61,21 +61,22 @@ def static_settling(elevation_map, pos_x, pos_y, yaw, roll, pitch):
         zero = jnp.zeros_like(yaw)
         return zero, zero, zero
 
-    def corner(bx, by):
-        q = math_utils.euler_to_quat(roll, pitch, yaw)
-        off = jnp.stack(
-            [jnp.full_like(yaw, bx), jnp.full_like(yaw, by),
-             jnp.zeros_like(yaw)],
-            axis=-1,
-        )
-        world = jnp.stack([pos_x, pos_y, jnp.zeros_like(yaw)], axis=-1)
-        pt = world + math_utils.quat_rotate(q, off)
-        return elevation_map.query_at_world_pose(pt)
-
-    fl = corner(_FRONT_X, _HALF_TRACK)
-    fr = corner(_FRONT_X, -_HALF_TRACK)
-    rl = corner(0.0, _HALF_TRACK)
-    rr = corner(0.0, -_HALF_TRACK)
+    # all four wheel queries in ONE batched lookup (leading corner axis):
+    # the one-hot MXU bilinear then runs one (4K, W) matmul per step
+    # instead of four (K, W) ones
+    q = math_utils.euler_to_quat(roll, pitch, yaw)
+    world = jnp.stack([pos_x, pos_y, jnp.zeros_like(yaw)], axis=-1)
+    corners = [(_FRONT_X, _HALF_TRACK), (_FRONT_X, -_HALF_TRACK),
+               (0.0, _HALF_TRACK), (0.0, -_HALF_TRACK)]
+    offs = jnp.stack([
+        jnp.stack([jnp.full_like(yaw, bx), jnp.full_like(yaw, by),
+                   jnp.zeros_like(yaw)], axis=-1)
+        for bx, by in corners
+    ])  # (4, ..., 3)
+    pts = world[None] + math_utils.quat_rotate(
+        jnp.broadcast_to(q, (4,) + q.shape), offs
+    )
+    fl, fr, rl, rr = elevation_map.query_at_world_pose(pts)
 
     # asin via the atan2 polynomial (~1e-5 rad) — jnp.arcsin has no Mosaic
     # lowering, and this keeps the settling path inside the fused kernels

@@ -179,19 +179,26 @@ class RacerDubinsElevationSuspension(RacerDubinsElevationLSTMSteering):
         fwd_max = jnp.full_like(vel, -jnp.inf)
         side_max = jnp.full_like(vel, -jnp.inf)
 
-        for i, (bx, by) in enumerate(self._wheel_body_positions()):
+        wheels = self._wheel_body_positions()
+        if self.elevation_map is not None:
+            # one batched 4-wheel lookup (leading wheel axis) — a single
+            # (4K, W) one-hot matmul per step instead of four (K, W) ones
+            pts = jnp.stack([
+                jnp.stack([pos_x + bx * cos_y - by * sin_y,
+                           pos_y + bx * sin_y + by * cos_y,
+                           jnp.zeros_like(pos_x)], axis=-1)
+                for bx, by in wheels
+            ])
+            hs = self.elevation_map.query_at_world_pose(pts)
+            hs = jnp.where(jnp.isfinite(hs), hs,
+                           cg_z - self.wheel_radius)
+        else:
+            hs = None
+
+        for i, (bx, by) in enumerate(wheels):
             wx_cg = bx - self.cg_x
             wy_cg = by
-            # wheel position in the world (yaw-rotated body offset)
-            wx_w = pos_x + bx * cos_y - by * sin_y
-            wy_w = pos_y + bx * sin_y + by * cos_y
-            if self.elevation_map is not None:
-                h = self.elevation_map.query_at_world_pose(
-                    jnp.stack([wx_w, wy_w, jnp.zeros_like(wx_w)], axis=-1)
-                )
-                h = jnp.where(jnp.isfinite(h), h, cg_z - self.wheel_radius)
-            else:
-                h = cg_z - self.wheel_radius
+            h = hs[i] if hs is not None else cg_z - self.wheel_radius
 
             wheel_z = cg_z + roll * wy_cg - pitch * wx_cg - self.wheel_radius
             wheel_vz = cg_vz + roll_rate * wy_cg - pitch_rate * wx_cg
