@@ -346,12 +346,21 @@ def suite():
              "--rollouts", "16384", "--timesteps", "64", "--scan", "10"],
             env=env, capture_output=True, text=True, timeout=900,
         )
+        emitted = 0
         for line in proc.stdout.splitlines():
             if line.startswith("{"):
                 entry = json.loads(line)
                 entry["config"] = "scaling_cpu_mesh"
                 results.append(entry)
                 print(json.dumps(entry))
+                emitted += 1
+        if proc.returncode != 0 or emitted == 0:
+            # a crashed subprocess must not silently drop the scaling curve
+            print(json.dumps({
+                "config": "scaling_cpu_mesh",
+                "error": f"returncode={proc.returncode}, rows={emitted}",
+                "stderr_tail": proc.stderr[-400:],
+            }))
     except (subprocess.TimeoutExpired, OSError) as e:
         print(json.dumps({"config": "scaling_cpu_mesh",
                           "error": type(e).__name__}))

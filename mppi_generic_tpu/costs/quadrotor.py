@@ -14,7 +14,6 @@ from __future__ import annotations
 
 from typing import Optional
 
-import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -198,10 +197,15 @@ class QuadrotorMapCost(Cost):
         moved = self.replace(
             curr_waypoint=new, prev_waypoint=self.curr_waypoint
         ).update_gate_boundaries(left, right)
-        # when unchanged, neither the waypoint nor the gate shift fires
-        return jax.tree_util.tree_map(
-            lambda a, b: jnp.where(changed, a, b), moved, self
-        )
+        # when unchanged, neither the waypoint nor the gate shift fires;
+        # select only over the seven waypoint/gate fields (never the
+        # costmap texture or coefficient leaves — they are untouched)
+        fields = ("curr_waypoint", "prev_waypoint", "curr_gate_left",
+                  "curr_gate_right", "prev_gate_left", "prev_gate_right")
+        return self.replace(**{
+            f: jnp.where(changed, getattr(moved, f), getattr(self, f))
+            for f in fields
+        })
 
     def update_gate_boundaries(self, left, right):
         """Advance the gate posts; the old current posts become the

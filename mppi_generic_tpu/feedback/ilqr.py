@@ -131,8 +131,10 @@ def ilqr_tracking(
         # the sequential Riccati recursion is XLA-op-latency-bound on TPU
         # (~4.5 us/step on tiny matrices); a single-program Pallas kernel on
         # the scalar core runs it ~2.3x faster and in exact f32 (the XLA
-        # scan's small matmuls use default-precision bf16 MXU passes)
-        if (use_pallas and not use_boxqp
+        # scan's small matmuls use default-precision bf16 MXU passes).
+        # mesh is None only: unlike the ladder path, this bare pallas_call
+        # has no shard_map wrapper, and pjit cannot partition it
+        if (use_pallas and not use_boxqp and mesh is None
                 and jax.default_backend() == "tpu"
                 and pallas_riccati.supported(S, C, T)):
             return pallas_riccati.riccati_backward(

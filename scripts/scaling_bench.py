@@ -66,11 +66,9 @@ def run_curve(rollouts, timesteps, scan, kernel="combined", weak=False,
         if base_rate is None:
             base_rate = rate
             base_ms = best * 1e3
-        if weak:
-            # ideal weak scaling: rate grows n-fold at constant solve time
-            efficiency = (rate / base_rate) / n
-        else:
-            efficiency = (rate / base_rate) / n
+        # both modes: ideal = n-fold rate (strong: n-fold faster at fixed
+        # K; weak: constant solve time at n-fold K)
+        efficiency = (rate / base_rate) / n
         results.append({
             "devices": n,
             "rollouts": K,

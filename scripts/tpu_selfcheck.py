@@ -275,10 +275,6 @@ def main():
     print("ALL TPU SELF-CHECKS PASSED")
 
 
-if __name__ == "__main__":
-    main()
-
-
 def check_riccati_ladder():
     """Fused backward+alpha-ladder kernel (compiled) vs the XLA iLQR
     iteration — gains, accepted trajectory, and ladder costs."""
@@ -363,3 +359,9 @@ def check_recurrent_models_fused_kernel():
 
 
 CHECKS.append(check_recurrent_models_fused_kernel)
+
+
+# keep this at the very END of the file: checks appended above must be
+# registered before the standalone script runs them
+if __name__ == "__main__":
+    main()

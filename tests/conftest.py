@@ -15,12 +15,30 @@ import os
 import sys
 
 # TPU tier (VERDICT r1 item 6): `MPPI_TPU_TESTS=1 pytest -m tpu` (or plain
-# `pytest -m tpu`, detected from argv) keeps the real TPU backend so the
-# @pytest.mark.tpu kernel-parity tests in test_tpu_kernels.py run compiled
-# on hardware. Everything else runs on the virtual 8-device CPU mesh.
-_argv = " ".join(sys.argv)
-TPU_TIER = bool(os.environ.get("MPPI_TPU_TESTS")) or (
-    "-m tpu" in _argv or "-m 'tpu'" in _argv or '-m "tpu"' in _argv
+# `pytest -m tpu`, detected by parsing the actual -m option value) keeps
+# the real TPU backend so the @pytest.mark.tpu kernel-parity tests in
+# test_tpu_kernels.py run compiled on hardware. Everything else — incl.
+# expressions like `-m "not tpu"` — runs on the virtual 8-device CPU mesh.
+
+
+def _tpu_marker_requested(argv):
+    for i, arg in enumerate(argv):
+        if arg == "-m" and i + 1 < len(argv):
+            expr = argv[i + 1]
+        elif arg.startswith("-m="):
+            expr = arg[3:]
+        elif arg.startswith("--markexpr"):
+            expr = arg.split("=", 1)[1] if "=" in arg else (
+                argv[i + 1] if i + 1 < len(argv) else ""
+            )
+        else:
+            continue
+        return expr.strip().strip("'\"") == "tpu"
+    return False
+
+
+TPU_TIER = bool(os.environ.get("MPPI_TPU_TESTS")) or _tpu_marker_requested(
+    sys.argv
 )
 
 if not TPU_TIER:

@@ -81,7 +81,10 @@ def test_ddp_feedback_falls_back_off_tpu():
                                   np.asarray(g_off.gains))
 
 
-def test_shard_controller_disables_pallas_riccati():
+def test_shard_controller_keeps_pallas_riccati_via_mesh():
+    """shard_controller no longer disables the Pallas DDP path: it sets
+    feedback.mesh so the kernel runs inside a replicated shard_map region
+    (round 2; the end-to-end sharded parity lives in test_sharding.py)."""
     from mppi_generic_tpu.controllers import TubeMPPI
     from mppi_generic_tpu.costs import DoubleIntegratorCircleCost
     from mppi_generic_tpu.parallel import make_sample_mesh, shard_controller
@@ -95,8 +98,11 @@ def test_shard_controller_disables_pallas_riccati():
         feedback=DDPFeedback.create(dyn, 0.02),
     )
     assert ctrl.feedback.use_pallas
-    sharded = shard_controller(ctrl, make_sample_mesh(num_devices=8))
-    assert not sharded.feedback.use_pallas
+    assert ctrl.feedback.mesh is None
+    mesh = make_sample_mesh(num_devices=8)
+    sharded = shard_controller(ctrl, mesh)
+    assert sharded.feedback.use_pallas
+    assert sharded.feedback.mesh is mesh
 
 
 def test_riccati_via_cartpole_sanity():
