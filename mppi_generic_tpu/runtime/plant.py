@@ -74,6 +74,15 @@ class BasePlant:
         self.latest_result = None
         self.stats = PlantStats()
         self._publish_fn = None  # jitted publish path, built lazily
+        # solve dispatch with the warm-start state DONATED: the plant never
+        # reuses the pre-solve ControllerState, so donating its buffers
+        # halves the per-call transfer cost (BASELINE.md dispatch study).
+        # The controller rides as a pytree argument — param hot-swaps reuse
+        # the same trace.
+        self._solve_fn = jax.jit(
+            lambda c, x, cs, stride: c.solve(x, cs, stride),
+            donate_argnums=(2,),
+        )
 
         # queued parameter hot-swaps (setDynamicsParams etc.,
         # base_plant.hpp:351-426)
@@ -234,7 +243,10 @@ class BasePlant:
             cs = ctrl.slide_control_sequence(cs, stride)
 
         t_opt = time_mod.monotonic()
-        result, cs = ctrl.solve(jnp.asarray(state), cs, stride)
+        # donated dispatch: cs's buffers are consumed by the call — the old
+        # controller_state must not be read afterwards (it is immediately
+        # replaced below; a fatal NaN raise abandons the plant anyway)
+        result, cs = self._solve_fn(ctrl, jnp.asarray(state), cs, stride)
         main = getattr(result, "real", result)
         control_mean = np.asarray(main.control_mean)
         opt_ms = (time_mod.monotonic() - t_opt) * 1e3
