@@ -37,6 +37,7 @@ from flax import struct
 
 from mppi_generic_tpu.maps.texture import MapTexture2D
 from mppi_generic_tpu.models.base import Dynamics
+from mppi_generic_tpu.utils import math_utils as mu
 
 
 def _stribeck_friction(v, mu_s, v_slip):
@@ -184,15 +185,18 @@ class RacerSuspensionDynamics(Dynamics):
             f_k = jnp.maximum(f_k, 0.0)
 
             # Ackermann per-wheel steering (racer_suspension.cu:163-172)
+            # atan via the octant-reduced polynomial (~1e-5 rad): exact
+            # jnp.arctan has no Mosaic lowering, and this keeps the model
+            # inside the fused Pallas rollout kernel
             if i == 0:  # front left
-                delta = jnp.arctan(
-                    self.wheel_base * tan_delta
-                    / (self.wheel_base - tan_delta * self.width / 2)
+                delta = mu.atan2_approx(
+                    self.wheel_base * tan_delta,
+                    self.wheel_base - tan_delta * self.width / 2,
                 )
             elif i == 1:  # front right
-                delta = jnp.arctan(
-                    self.wheel_base * tan_delta
-                    / (self.wheel_base + tan_delta * self.width / 2)
+                delta = mu.atan2_approx(
+                    self.wheel_base * tan_delta,
+                    self.wheel_base + tan_delta * self.width / 2,
                 )
             else:
                 delta = jnp.zeros_like(tan_delta)
@@ -315,9 +319,11 @@ class RacerSuspensionDynamics(Dynamics):
         rbx, rby, rbz = aux["R_mul"](blx, bly, blz)
         bpx, bpy, bpz = px + rbx, py + rby, pz + rbz
 
-        roll = jnp.arctan2(2 * (qw * qx + qy * qz), 1 - 2 * (qx * qx + qy * qy))
-        pitch = jnp.arcsin(jnp.clip(2 * (qw * qy - qz * qx), -1.0, 1.0))
-        yaw = jnp.arctan2(2 * (qw * qz + qx * qy), 1 - 2 * (qy * qy + qz * qz))
+        roll = mu.atan2_approx(2 * (qw * qx + qy * qz),
+                               1 - 2 * (qx * qx + qy * qy))
+        pitch = mu.asin_approx(2 * (qw * qy - qz * qx))
+        yaw = mu.atan2_approx(2 * (qw * qz + qx * qy),
+                              1 - 2 * (qy * qy + qz * qz))
 
         return jnp.stack(
             [bvx, bvy, bvz, bpx, bpy, bpz, yaw, roll, pitch,

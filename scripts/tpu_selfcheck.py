@@ -361,6 +361,43 @@ def check_recurrent_models_fused_kernel():
 CHECKS.append(check_recurrent_models_fused_kernel)
 
 
+def check_quadrotor_and_suspension_fused_kernel():
+    """Compiled fused-kernel parity for the quadrotor (quaternion state,
+    waypoint map cost) and the 14-state rigid-body racer suspension —
+    with these the whole flat-ground model zoo is kernel-admissible."""
+    from mppi_generic_tpu.costs import ARStandardCost, QuadrotorMapCost
+    from mppi_generic_tpu.models import (
+        QuadrotorDynamics,
+        RacerSuspensionDynamics,
+    )
+
+    K2, T2 = 256, 16
+    dyn = QuadrotorDynamics.create(control_ranges=[[-3, 3]] * 3 + [[0, 20]])
+    qcost = QuadrotorMapCost(
+        dist_to_waypoint_coeff=jnp.float32(4.0)
+    ).update_waypoint(2.0, 0.0, 0.0, 0.0)
+    x0q = dyn.get_zero_state()
+    Uq = jnp.tile(jnp.array([0.0, 0.0, 0.0, 9.81]), (K2, T2, 1)) + (
+        0.3 * jax.random.normal(jax.random.PRNGKey(0), (K2, T2, 4))
+    )
+    c_ref, _, _ = rollout_combined(dyn, qcost, x0q, Uq, jnp.float32(0.02))
+    c_p, _ = fused_rollout_costs(dyn, qcost, x0q, Uq, jnp.float32(0.02))
+    np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_ref),
+                               rtol=1e-3, atol=1e-3)
+
+    sus = RacerSuspensionDynamics.create()
+    scost = ARStandardCost(output_indices=(0, 1, 5, 6, 3, 4))
+    x0s = sus.get_zero_state()
+    Us = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (K2, T2, 2))
+    s_ref, _, _ = rollout_combined(sus, scost, x0s, Us, jnp.float32(0.02))
+    s_p, _ = fused_rollout_costs(sus, scost, x0s, Us, jnp.float32(0.02))
+    np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_ref),
+                               rtol=1e-3, atol=1e-3)
+
+
+CHECKS.append(check_quadrotor_and_suspension_fused_kernel)
+
+
 # keep this at the very END of the file: checks appended above must be
 # registered before the standalone script runs them
 if __name__ == "__main__":

@@ -255,3 +255,30 @@ def test_waypoint_progression_straight_line_mission():
     np.testing.assert_allclose(
         np.asarray(ctrl.cost.curr_waypoint)[:3], waypoints[1]
     )
+
+
+def test_quadrotor_waypoint_cost_fused_kernel_interpret():
+    """The waypoint cost's component math (atan2/asin approximations, no
+    trailing-axis ops without a costmap) traces inside the fused Pallas
+    rollout kernel with the quadrotor's quaternion dynamics."""
+    from mppi_generic_tpu.ops import pallas_rollout, rollout as rollout_ops
+
+    dyn = QuadrotorDynamics.create(
+        control_ranges=[[-3.0, 3.0]] * 3 + [[0.0, 20.0]]
+    )
+    cost = QuadrotorMapCost(
+        dist_to_waypoint_coeff=jnp.float32(4.0)
+    ).update_waypoint(2.0, 0.0, 0.0, 0.0)
+    K, T = 32, 8
+    x0 = dyn.get_zero_state()
+    U = jnp.tile(jnp.array([0.0, 0.0, 0.0, 9.81]), (K, T, 1)) + (
+        0.3 * jax.random.normal(jax.random.PRNGKey(0), (K, T, 4))
+    )
+    c_ref, _, _ = rollout_ops.rollout_combined(
+        dyn, cost, x0, U, jnp.float32(0.02)
+    )
+    c_p, _ = pallas_rollout.fused_rollout_costs(
+        dyn, cost, x0, U, jnp.float32(0.02)
+    )
+    np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_ref),
+                               rtol=1e-4, atol=1e-4)

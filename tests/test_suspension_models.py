@@ -168,3 +168,25 @@ def test_suspension_fused_kernel_parity_interpret():
     )
     np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_racer_suspension_fused_kernel_parity_interpret():
+    """The 14-state quaternion rigid-body suspension model lowers into the
+    fused kernel (atan2/asin polynomial approximations replaced the exact
+    trig, which has no Mosaic lowering)."""
+    from mppi_generic_tpu.costs import ARStandardCost
+    from mppi_generic_tpu.ops import pallas_rollout, rollout as rollout_ops
+
+    dyn = RacerSuspensionDynamics.create()
+    cost = ARStandardCost(output_indices=(0, 1, 5, 6, 3, 4))
+    K, T = 32, 8
+    x0 = dyn.get_zero_state()
+    U = 0.3 * jax.random.normal(jax.random.PRNGKey(2), (K, T, 2))
+    c_ref, _, _ = rollout_ops.rollout_combined(
+        dyn, cost, x0, U, jnp.float32(0.02)
+    )
+    c_p, _ = pallas_rollout.fused_rollout_costs(
+        dyn, cost, x0, U, jnp.float32(0.02)
+    )
+    np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_ref),
+                               rtol=1e-4, atol=1e-4)
