@@ -93,6 +93,10 @@ class ControllerBase(struct.PyTreeNode):
     return_samples: bool = struct.field(pytree_node=False, default=False)
     # sample-axis sharding (jax.sharding.NamedSharding) for multi-chip solves
     sample_sharding: Optional[object] = struct.field(pytree_node=False, default=None)
+    # sample-tile size for the Pallas kernels (None = default_tile_k); the
+    # auto-tuner sweeps this empirically, the way the reference sweeps its
+    # kernel block dims
+    pallas_tile_k: Optional[int] = struct.field(pytree_node=False, default=None)
 
     # ------------------------------------------------------------------
     def init_state(self, key=None, initial_mean=None) -> ControllerState:

@@ -200,7 +200,7 @@ class RobustMPPI(ControllerBase):
                         sh = None
                 costs, _ = pallas_rollout.fused_rollout_costs(
                     self.dynamics, self.cost, x0_all, U_flat, self.dt,
-                    sharding=sh,
+                    sharding=sh, tile_k=self.pallas_tile_k,
                 )
                 cand_costs = costs.reshape(n, S_per) + lr / T
             else:
@@ -367,6 +367,7 @@ class RobustMPPI(ControllerBase):
                         self.sampler.control_cost_coeff,
                         self.dt, self.lam, self.alpha,
                         sharding=self.sample_sharding,
+                        tile_k=self.pallas_tile_k,
                     )
                 )
             else:

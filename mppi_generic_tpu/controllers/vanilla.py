@@ -106,6 +106,7 @@ class VanillaMPPI(ControllerBase):
             costs, crash = pallas_rollout.fused_rollout_costs(
                 self.dynamics, self.cost, x0, U, self.dt,
                 sharding=self.sample_sharding, lr_params=lr_params,
+                tile_k=self.pallas_tile_k,
             )
             return costs, None, crash
         lr = sampler.likelihood_ratio_cost(
@@ -122,7 +123,7 @@ class VanillaMPPI(ControllerBase):
             # (sample_sharding → one kernel launch per chip on its K/n slice)
             state_costs, crash = pallas_rollout.fused_rollout_costs(
                 self.dynamics, self.cost, x0, U, self.dt,
-                sharding=self.sample_sharding,
+                sharding=self.sample_sharding, tile_k=self.pallas_tile_k,
             )
             costs = state_costs + lr / T
             Y = None  # never materialized — the fused kernel's HBM win
@@ -147,6 +148,7 @@ class VanillaMPPI(ControllerBase):
                 self.dt, self.lam, self.alpha, self.num_rollouts,
                 iteration=iteration, optimization_stride=optimization_stride,
                 sampler_state=samp_state, sharding=self.sample_sharding,
+                tile_k=self.pallas_tile_k,
             )
             baseline = weight_ops.baseline_cost(costs)
             w = self._transform_weights(costs, baseline)

@@ -142,8 +142,12 @@ def choose_appropriate_kernel(
     skipped. Timings are cached per configuration.
     """
     key = _config_key(controller, candidates)
-    if key in _CACHE and _kernel_supported(controller, _CACHE[key]):
-        return controller.replace(kernel=_CACHE[key])
+    if key in _CACHE:
+        cached_kernel, cached_tile = _CACHE[key]
+        if _kernel_supported(controller, cached_kernel):
+            return controller.replace(
+                kernel=cached_kernel, pallas_tile_k=cached_tile
+            )
 
     if ctrl_state is None:
         ctrl_state = controller.init_state(jax.random.PRNGKey(0))
@@ -176,5 +180,38 @@ def choose_appropriate_kernel(
             best, best_t = name, t
     if best is None:  # every candidate failed — keep what we had
         return controller
-    _CACHE[key] = best
-    return controller.replace(kernel=best)
+
+    # tile-size sweep for the winning Pallas kernel (the reference sweeps
+    # its kernel block dims the same empirical way): try half/double the
+    # default sample tile and keep the fastest
+    best_tile = None
+    if best.startswith("pallas") and controller.sample_sharding is None:
+        from mppi_generic_tpu.ops.pallas_rollout import (
+            LANES,
+            _round_up,
+            default_tile_k,
+        )
+
+        K = int(controller.num_rollouts)
+        T = int(controller.num_timesteps)
+        C = int(controller.dynamics.CONTROL_DIM)
+        base_tile = default_tile_k(K, T, C)
+        tiles = sorted({
+            t for t in (base_tile // 2, base_tile, base_tile * 2)
+            if LANES <= t <= _round_up(K, LANES)
+        })
+        if len(tiles) > 1:
+            best_tile_t = best_t
+            for tile in tiles:
+                if tile == base_tile:
+                    continue  # already timed as `best_t`
+                cand = controller.replace(kernel=best, pallas_tile_k=tile)
+                try:
+                    t = time_solve(cand, x0, ctrl_state, num_evaluations)
+                except Exception:
+                    continue
+                if t < best_tile_t:
+                    best_tile, best_tile_t = tile, t
+
+    _CACHE[key] = (best, best_tile)
+    return controller.replace(kernel=best, pallas_tile_k=best_tile)
