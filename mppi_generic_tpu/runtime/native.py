@@ -79,6 +79,19 @@ def load_library():
         ]
         lib.rt_mailbox_wait.restype = ctypes.c_long
         lib.rt_mailbox_wait.argtypes = [ctypes.c_void_p, ctypes.c_long, ctypes.c_double]
+        lib.rt_solution_new.restype = ctypes.c_void_p
+        lib.rt_solution_new.argtypes = [ctypes.c_int, ctypes.c_int]
+        lib.rt_solution_free.argtypes = [ctypes.c_void_p]
+        lib.rt_solution_set_constraints.argtypes = [
+            ctypes.c_void_p, f32p, f32p, f32p, f32p
+        ]
+        lib.rt_solution_update.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_double, f32p, f32p, f32p
+        ]
+        lib.rt_solution_interp.restype = ctypes.c_int
+        lib.rt_solution_interp.argtypes = [
+            ctypes.c_void_p, ctypes.c_double, f32p, f32p
+        ]
         _lib = lib
         return _lib
 
@@ -263,3 +276,116 @@ def make_mailbox(dim):
         return NativeMailbox(dim)
     except Exception:
         return PyMailbox(dim)
+
+
+class NativeSolution:
+    """Published-solution interpolator (RtSolution): the actuation-path
+    fast publisher. The solver thread posts each new solution once
+    (``update``); the estimator thread calls ``interp(rel_time, state)`` at
+    sensor rate — feed-forward lerp + interpolated feedback gains +
+    deadband/clamp, entirely on the host CPU (controller.cuh
+    interpolateControls/interpolateFeedback semantics)."""
+
+    def __init__(self, C, S, lib=None):
+        self._lib = lib or load_library()
+        self.C, self.S = C, S
+        self._h = self._lib.rt_solution_new(C, S)
+
+    def __del__(self):
+        if getattr(self, "_h", None) and self._lib:
+            self._lib.rt_solution_free(self._h)
+            self._h = None
+
+    def set_constraints(self, lo, hi, deadband, zero_control):
+        lo = np.ascontiguousarray(lo, np.float32)
+        hi = np.ascontiguousarray(hi, np.float32)
+        db = np.ascontiguousarray(deadband, np.float32)
+        zc = np.ascontiguousarray(zero_control, np.float32)
+        self._lib.rt_solution_set_constraints(
+            self._h, _as_f32p(lo), _as_f32p(hi), _as_f32p(db), _as_f32p(zc)
+        )
+
+    def update(self, dt, u_ff, gains=None, x_nom=None):
+        u_ff = np.ascontiguousarray(u_ff, np.float32)
+        T = u_ff.shape[0]
+        if gains is not None and x_nom is not None:
+            gains = np.ascontiguousarray(gains, np.float32)
+            x_nom = np.ascontiguousarray(x_nom, np.float32)
+            self._lib.rt_solution_update(
+                self._h, T, float(dt), _as_f32p(u_ff), _as_f32p(gains),
+                _as_f32p(x_nom),
+            )
+        else:
+            null = ctypes.POINTER(ctypes.c_float)()
+            self._lib.rt_solution_update(
+                self._h, T, float(dt), _as_f32p(u_ff), null, null
+            )
+
+    def interp(self, rel_time, state):
+        state = np.ascontiguousarray(state, np.float32)
+        out = np.empty(self.C, np.float32)
+        rc = self._lib.rt_solution_interp(
+            self._h, float(rel_time), _as_f32p(state), _as_f32p(out)
+        )
+        return out if rc == 0 else None
+
+
+class PySolution:
+    """NumPy fallback with identical semantics."""
+
+    def __init__(self, C, S):
+        self.C, self.S = C, S
+        self._lock = threading.Lock()
+        self._T = 0
+        self._dt = 0.0
+        self._u_ff = None
+        self._gains = None
+        self._x_nom = None
+        self._lo = np.full(C, -1e30, np.float32)
+        self._hi = np.full(C, 1e30, np.float32)
+        self._db = np.zeros(C, np.float32)
+        self._zc = np.zeros(C, np.float32)
+
+    def set_constraints(self, lo, hi, deadband, zero_control):
+        with self._lock:
+            self._lo = np.asarray(lo, np.float32)
+            self._hi = np.asarray(hi, np.float32)
+            self._db = np.asarray(deadband, np.float32)
+            self._zc = np.asarray(zero_control, np.float32)
+
+    def update(self, dt, u_ff, gains=None, x_nom=None):
+        with self._lock:
+            self._u_ff = np.asarray(u_ff, np.float32)
+            self._T = self._u_ff.shape[0]
+            self._dt = float(dt)
+            self._gains = None if gains is None else np.asarray(gains, np.float32)
+            self._x_nom = None if x_nom is None else np.asarray(x_nom, np.float32)
+
+    def _clamp(self, u):
+        sign = np.where(u < 0, -1.0, 1.0).astype(np.float32)
+        shrunk = u - self._db * sign
+        u = np.where(np.abs(u) < self._db, self._zc, shrunk)
+        return np.clip(u, self._lo, self._hi)
+
+    def interp(self, rel_time, state):
+        with self._lock:
+            if self._T <= 0:
+                return None
+            idx = np.clip(rel_time / self._dt, 0.0, self._T - 1.0)
+            lo = min(int(idx), self._T - 1)
+            hi = min(lo + 1, self._T - 1)
+            a = np.float32(idx - lo)
+            u = (1 - a) * self._u_ff[lo] + a * self._u_ff[hi]
+            u = self._clamp(u)
+            if self._gains is not None and self._x_nom is not None:
+                state = np.asarray(state, np.float32)
+                fb_lo = self._gains[lo] @ (state - self._x_nom[lo])
+                fb_hi = self._gains[hi] @ (state - self._x_nom[hi])
+                u = self._clamp(u + (1 - a) * fb_lo + a * fb_hi)
+            return u
+
+
+def make_solution(C, S):
+    if load_library() is not None:
+        return NativeSolution(C, S)
+    return PySolution(C, S)

@@ -29,7 +29,32 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mppi_generic_tpu.runtime.native import make_buffer, make_mailbox
+from mppi_generic_tpu.runtime.native import (
+    make_buffer,
+    make_mailbox,
+    make_solution,
+)
+
+
+def _dedupe_aliased_leaves(tree):
+    """Copy any leaf whose underlying device buffer already appeared in the
+    pytree — XLA refuses to donate the same buffer twice
+    (`f(donate(a), donate(a))`)."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    seen = set()
+    out = []
+    for leaf in leaves:
+        if isinstance(leaf, jax.Array):
+            try:
+                key = leaf.unsafe_buffer_pointer()
+            except Exception:
+                key = id(leaf)
+            if key in seen:
+                leaf = jnp.array(leaf, copy=True)
+            else:
+                seen.add(key)
+        out.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 class PlantStats:
@@ -66,6 +91,18 @@ class BasePlant:
 
         S = controller.dynamics.STATE_DIM
         self._mailbox = make_mailbox(S)
+        # native actuation-path publisher (RtSolution): the solver loop
+        # posts each solution; update_state interpolates host-side
+        self._solution_pub = make_solution(
+            controller.dynamics.CONTROL_DIM, S
+        )
+        dyn = controller.dynamics
+        self._solution_pub.set_constraints(
+            np.nan_to_num(np.asarray(dyn.control_ranges[:, 0]), neginf=-1e30),
+            np.nan_to_num(np.asarray(dyn.control_ranges[:, 1]), posinf=1e30),
+            np.asarray(dyn.control_deadband),
+            np.asarray(dyn.zero_control),
+        )
         self._last_seq = 0
         self._last_used_state_time = -1.0
         self.last_optimization_stride = 0
@@ -127,10 +164,16 @@ class BasePlant:
         rel = time - sol_time
         horizon = float(self.controller.dt) * self.controller.num_timesteps
         if 0 < rel < horizon:
-            u = self.get_published_control(
-                jnp.asarray(state), result, rel, ctrl_state
-            )
-            self.pub_control(np.asarray(u))
+            # actuation fast path: host-side native interpolator (posted by
+            # the solver loop) — no device dispatch between sensor and
+            # actuator. Falls back to the jitted publish path until the
+            # first solution lands.
+            u = self._solution_pub.interp(rel, state)
+            if u is None:
+                u = np.asarray(self.get_published_control(
+                    jnp.asarray(state), result, rel, ctrl_state
+                ))
+            self.pub_control(u)
             if self.debug_mode:
                 pub = getattr(result, "nominal", result)
                 T = pub.state_trajectory.shape[0]
@@ -245,7 +288,11 @@ class BasePlant:
         t_opt = time_mod.monotonic()
         # donated dispatch: cs's buffers are consumed by the call — the old
         # controller_state must not be read afterwards (it is immediately
-        # replaced below; a fatal NaN raise abandons the plant anyway)
+        # replaced below; a fatal NaN raise abandons the plant anyway).
+        # Donation rejects the same buffer appearing twice, and freshly
+        # constructed states DO alias (e.g. Tube's control/nominal means
+        # both point at initial_mean) — copy duplicate leaves first.
+        cs = _dedupe_aliased_leaves(cs)
         result, cs = self._solve_fn(ctrl, jnp.asarray(state), cs, stride)
         main = getattr(result, "real", result)
         control_mean = np.asarray(main.control_mean)
@@ -261,6 +308,21 @@ class BasePlant:
             self.latest_result = result
             self.controller_state = cs
             self._last_used_state_time = state_time
+        # post to the native actuation-path publisher (feed-forward + the
+        # DDP gains/nominal trajectory when the controller carries them)
+        pub = getattr(result, "nominal", result)
+        fb_state = getattr(cs, "feedback_state", None)
+        gains = getattr(fb_state, "gains", None)
+        if gains is not None:
+            self._solution_pub.update(
+                float(ctrl.dt), np.asarray(pub.control_mean),
+                np.asarray(gains),
+                np.asarray(pub.state_trajectory)[:-1],
+            )
+        else:
+            self._solution_pub.update(
+                float(ctrl.dt), np.asarray(pub.control_mean)
+            )
         self.pub_free_energy_statistics(main.free_energy)
 
         self.stats.update("avg_optimize_ms", opt_ms)

@@ -279,3 +279,78 @@ def test_plant_stride_clamped_on_long_stall():
     assert plant.last_optimization_stride == 15  # clamped to T-1
     res = plant.latest_result
     assert np.all(np.isfinite(np.asarray(res.control_mean)))
+
+
+def test_native_solution_matches_jitted_publish_path():
+    """The native actuation-path interpolator (RtSolution / PySolution)
+    reproduces the jitted publish path exactly: feed-forward lerp +
+    deadband/clamp + interpolated feedback gains + final clamp
+    (interpolateControls/interpolateFeedback, controller.cuh:363-399)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mppi_generic_tpu.controllers import TubeMPPI
+    from mppi_generic_tpu.costs import DoubleIntegratorCircleCost
+    from mppi_generic_tpu.feedback import DDPFeedback
+    from mppi_generic_tpu.models import DoubleIntegratorDynamics
+    from mppi_generic_tpu.runtime.native import (
+        NativeSolution,
+        PySolution,
+        load_library,
+    )
+    from mppi_generic_tpu.sampling import GaussianDistribution
+
+    dyn = DoubleIntegratorDynamics.create(control_ranges=[[-2, 2], [-2, 2]])
+    ctrl = TubeMPPI(
+        dynamics=dyn,
+        cost=DoubleIntegratorCircleCost(),
+        sampler=GaussianDistribution.create(std_dev=[1.0, 1.0]),
+        num_timesteps=16,
+        num_rollouts=64,
+        nominal_threshold=jnp.float32(20.0),
+        feedback=DDPFeedback.create(dyn, 0.02),
+    )
+
+    class P(BasePlant):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            self.published = []
+
+        def pub_control(self, u):
+            self.published.append(np.asarray(u))
+
+    cs = ctrl.init_state(jax.random.PRNGKey(0))
+    plant = P(ctrl, cs, hz=50.0)
+    x0 = np.array([2.0, 0.0, 0.0, 1.0], np.float32)
+    plant.update_state(x0, 0.0)
+    assert plant.run_control_iteration(timeout=5.0)
+
+    x_query = np.array([1.8, 0.2, -0.1, 1.1], np.float32)
+    for rel in (0.005, 0.013, 0.05, 0.21):
+        u_native = plant._solution_pub.interp(rel, x_query)
+        u_jit = np.asarray(plant.get_published_control(
+            jnp.asarray(x_query), plant.latest_result, rel,
+            plant.controller_state,
+        ))
+        np.testing.assert_allclose(u_native, u_jit, rtol=1e-5, atol=1e-6)
+
+    # the C++ and NumPy implementations agree with each other too
+    if load_library() is not None:
+        T, C, S = 16, 2, 4
+        rng = np.random.default_rng(0)
+        u_ff = rng.normal(size=(T, C)).astype(np.float32)
+        gains = 0.3 * rng.normal(size=(T, C, S)).astype(np.float32)
+        x_nom = rng.normal(size=(T, S)).astype(np.float32)
+        lo = np.full(C, -1.5, np.float32)
+        hi = np.full(C, 1.5, np.float32)
+        db = np.full(C, 0.05, np.float32)
+        zc = np.zeros(C, np.float32)
+        nat, py = NativeSolution(C, S), PySolution(C, S)
+        for impl in (nat, py):
+            impl.set_constraints(lo, hi, db, zc)
+            impl.update(0.02, u_ff, gains, x_nom)
+        x = rng.normal(size=(S,)).astype(np.float32)
+        for rel in (0.0, 0.011, 0.1, 0.5):
+            np.testing.assert_allclose(
+                nat.interp(rel, x), py.interp(rel, x), rtol=1e-6, atol=1e-7
+            )
