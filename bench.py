@@ -312,6 +312,21 @@ def suite():
     report("racer_lstm_steering_elevation_K1920", ctrl,
            jnp.zeros(9).at[0].set(3.0), 1920)
 
+    # 4c. the 26-state LSTM-uncertainty model through the fused kernel
+    # (flat ground; round-2 capability — the mapped variant is 4b-style XLA)
+    from mppi_generic_tpu.models import RacerDubinsElevationLSTMUncertainty
+
+    ctrl = VanillaMPPI(
+        dynamics=RacerDubinsElevationLSTMUncertainty.create(),
+        cost=ARStandardCost(output_indices=(2, 3, 5, 6, 0, 1)),
+        sampler=GaussianDistribution.create(std_dev=[0.3, 0.5]),
+        dt=jnp.float32(0.02), lam=jnp.float32(1.0), alpha=jnp.float32(0.0),
+        num_timesteps=150, num_rollouts=1920, num_iters=1,
+        kernel="pallas" if on_tpu else "combined",
+    )
+    report("racer_lstm_unc_flat_K1920", ctrl,
+           jnp.zeros(26).at[0].set(3.0), 1920)
+
     # 5. RMPPI with DDP feedback on the DI CoRL scenario
     dyn = DoubleIntegratorDynamics.create()
     ctrl = RobustMPPI(
