@@ -198,9 +198,12 @@ class RobustMPPI(ControllerBase):
                     msize = sh.mesh.shape[sh.spec[0]]
                     if (n * S_per) % msize:
                         sh = None
+                # tile_k=None: the candidate-eval batch (n * S_per) is
+                # much smaller than the main solve's K — a tile tuned for
+                # the big batch would pad it several-fold
                 costs, _ = pallas_rollout.fused_rollout_costs(
                     self.dynamics, self.cost, x0_all, U_flat, self.dt,
-                    sharding=sh, tile_k=self.pallas_tile_k,
+                    sharding=sh,
                 )
                 cand_costs = costs.reshape(n, S_per) + lr / T
             else:

@@ -187,16 +187,19 @@ class RacerSuspensionDynamics(Dynamics):
             # Ackermann per-wheel steering (racer_suspension.cu:163-172)
             # atan via the octant-reduced polynomial (~1e-5 rad): exact
             # jnp.arctan has no Mosaic lowering, and this keeps the model
-            # inside the fused Pallas rollout kernel
+            # inside the fused Pallas rollout kernel. atan(y/x) =
+            # atan2(y*sign(x), |x|) preserves the reference's plain-atan
+            # quadrant semantics when the Ackermann denominator goes
+            # negative at extreme steer angles (racer_suspension.cu:163-172)
             if i == 0:  # front left
+                den = self.wheel_base - tan_delta * self.width / 2
                 delta = mu.atan2_approx(
-                    self.wheel_base * tan_delta,
-                    self.wheel_base - tan_delta * self.width / 2,
+                    self.wheel_base * tan_delta * mu.sign(den), jnp.abs(den)
                 )
             elif i == 1:  # front right
+                den = self.wheel_base + tan_delta * self.width / 2
                 delta = mu.atan2_approx(
-                    self.wheel_base * tan_delta,
-                    self.wheel_base + tan_delta * self.width / 2,
+                    self.wheel_base * tan_delta * mu.sign(den), jnp.abs(den)
                 )
             else:
                 delta = jnp.zeros_like(tan_delta)

@@ -45,6 +45,7 @@ def _config_key(controller, candidates):
         int(controller.num_rollouts),
         int(controller.num_timesteps),
         controller.sample_sharding is not None,
+        controller.pallas_tile_k,
         jax.default_backend(),
         tuple(candidates),
         leaf_sig,
@@ -182,9 +183,12 @@ def choose_appropriate_kernel(
         return controller
 
     # tile-size sweep for the winning Pallas kernel (the reference sweeps
-    # its kernel block dims the same empirical way): try half/double the
-    # default sample tile and keep the fastest
-    best_tile = None
+    # its kernel block dims the same empirical way): the kernel candidates
+    # above were timed with the controller's OWN pallas_tile_k (tile0);
+    # additionally try half/default/double of the default tile and keep
+    # the fastest — a caller-set tile is only replaced by one that
+    # measured faster
+    best_tile = controller.pallas_tile_k
     if best.startswith("pallas") and controller.sample_sharding is None:
         from mppi_generic_tpu.ops.pallas_rollout import (
             LANES,
@@ -196,22 +200,20 @@ def choose_appropriate_kernel(
         T = int(controller.num_timesteps)
         C = int(controller.dynamics.CONTROL_DIM)
         base_tile = default_tile_k(K, T, C)
-        tiles = sorted({
-            t for t in (base_tile // 2, base_tile, base_tile * 2)
-            if LANES <= t <= _round_up(K, LANES)
-        })
-        if len(tiles) > 1:
-            best_tile_t = best_t
-            for tile in tiles:
-                if tile == base_tile:
-                    continue  # already timed as `best_t`
-                cand = controller.replace(kernel=best, pallas_tile_k=tile)
-                try:
-                    t = time_solve(cand, x0, ctrl_state, num_evaluations)
-                except Exception:
-                    continue
-                if t < best_tile_t:
-                    best_tile, best_tile_t = tile, t
+        tile0 = controller.pallas_tile_k  # None = base_tile inside the ops
+        timed = {base_tile if tile0 is None else tile0}
+        best_tile_t = best_t
+        for tile in sorted({base_tile // 2, base_tile, base_tile * 2}):
+            if tile in timed or not LANES <= tile <= _round_up(K, LANES):
+                continue
+            timed.add(tile)
+            cand = controller.replace(kernel=best, pallas_tile_k=tile)
+            try:
+                t = time_solve(cand, x0, ctrl_state, num_evaluations)
+            except Exception:
+                continue
+            if t < best_tile_t:
+                best_tile, best_tile_t = tile, t
 
     _CACHE[key] = (best, best_tile)
     return controller.replace(kernel=best, pallas_tile_k=best_tile)

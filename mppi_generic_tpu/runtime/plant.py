@@ -96,13 +96,7 @@ class BasePlant:
         self._solution_pub = make_solution(
             controller.dynamics.CONTROL_DIM, S
         )
-        dyn = controller.dynamics
-        self._solution_pub.set_constraints(
-            np.nan_to_num(np.asarray(dyn.control_ranges[:, 0]), neginf=-1e30),
-            np.nan_to_num(np.asarray(dyn.control_ranges[:, 1]), posinf=1e30),
-            np.asarray(dyn.control_deadband),
-            np.asarray(dyn.zero_control),
-        )
+        self._set_publisher_constraints(controller.dynamics)
         self._last_seq = 0
         self._last_used_state_time = -1.0
         self.last_optimization_stride = 0
@@ -159,16 +153,18 @@ class BasePlant:
             result = self.latest_result
             sol_time = self._last_used_state_time
             ctrl_state = self.controller_state  # paired with result
+            rel = time - sol_time
+            # actuation fast path: host-side native interpolator (posted
+            # under this same lock by the solver loop, so rel and the
+            # trajectory are a consistent pair) — no device dispatch
+            # between sensor and actuator. Falls back to the jitted
+            # publish path until the first solution lands.
+            u = (self._solution_pub.interp(rel, state)
+                 if result is not None and sol_time >= 0 else None)
         if result is None or sol_time < 0:
             return
-        rel = time - sol_time
         horizon = float(self.controller.dt) * self.controller.num_timesteps
         if 0 < rel < horizon:
-            # actuation fast path: host-side native interpolator (posted by
-            # the solver loop) — no device dispatch between sensor and
-            # actuator. Falls back to the jitted publish path until the
-            # first solution lands.
-            u = self._solution_pub.interp(rel, state)
             if u is None:
                 u = np.asarray(self.get_published_control(
                     jnp.asarray(state), result, rel, ctrl_state
@@ -219,11 +215,22 @@ class BasePlant:
         with self._param_lock:
             self._new_sampler = sampler
 
+    def _set_publisher_constraints(self, dyn):
+        self._solution_pub.set_constraints(
+            np.nan_to_num(np.asarray(dyn.control_ranges[:, 0]), neginf=-1e30),
+            np.nan_to_num(np.asarray(dyn.control_ranges[:, 1]), posinf=1e30),
+            np.asarray(dyn.control_deadband),
+            np.asarray(dyn.zero_control),
+        )
+
     def _update_parameters(self):
         with self._param_lock:
             c = self.controller
             if self._new_dynamics is not None:
                 c = c.replace(dynamics=self._new_dynamics)
+                # the actuation fast path clamps with the dynamics'
+                # constraint rows — keep them in sync with the hot-swap
+                self._set_publisher_constraints(self._new_dynamics)
                 self._new_dynamics = None
             if self._new_cost is not None:
                 c = c.replace(cost=self._new_cost)
@@ -304,24 +311,23 @@ class BasePlant:
         if not np.all(np.isfinite(np.asarray(main.state_trajectory))):
             raise FloatingPointError("NaN in state trajectory inside plant")
 
+        # materialize the publisher arrays BEFORE taking the lock (device
+        # transfers), then swap result + solve-time + native publisher
+        # atomically — the estimator must never pair the new solve time
+        # with the previous trajectory (or vice versa)
+        pub = getattr(result, "nominal", result)
+        fb_state = getattr(cs, "feedback_state", None)
+        gains = getattr(fb_state, "gains", None)
+        u_ff_np = np.asarray(pub.control_mean)
+        gains_np = None if gains is None else np.asarray(gains)
+        xnom_np = (None if gains is None
+                   else np.asarray(pub.state_trajectory)[:-1])
         with self._solution_lock:
             self.latest_result = result
             self.controller_state = cs
             self._last_used_state_time = state_time
-        # post to the native actuation-path publisher (feed-forward + the
-        # DDP gains/nominal trajectory when the controller carries them)
-        pub = getattr(result, "nominal", result)
-        fb_state = getattr(cs, "feedback_state", None)
-        gains = getattr(fb_state, "gains", None)
-        if gains is not None:
             self._solution_pub.update(
-                float(ctrl.dt), np.asarray(pub.control_mean),
-                np.asarray(gains),
-                np.asarray(pub.state_trajectory)[:-1],
-            )
-        else:
-            self._solution_pub.update(
-                float(ctrl.dt), np.asarray(pub.control_mean)
+                float(ctrl.dt), u_ff_np, gains_np, xnom_np
             )
         self.pub_free_energy_statistics(main.free_energy)
 
