@@ -96,9 +96,50 @@ def quadrotor_mppi(num_rollouts=2048, num_timesteps=100, **kw):
     )
 
 
+def quadrotor_waypoint_mppi(num_rollouts=1024, num_timesteps=48,
+                            costmap=None, **kw):
+    """Quadrotor gate-mission setup with the waypoint map cost
+    (quadrotor_map_cost.*; see examples/quadrotor_waypoint_example.py).
+    Drive waypoints with ``ctrl.cost.update_waypoint(x, y, z, heading)``."""
+    from mppi_generic_tpu.costs import QuadrotorMapCost
+
+    dyn = QuadrotorDynamics.create(
+        control_ranges=[[-3.0, 3.0]] * 3 + [[0.0, 20.0]]
+    )
+    cost = QuadrotorMapCost(
+        costmap=costmap,
+        dist_to_waypoint_coeff=jnp.float32(8.0),
+        desired_speed=jnp.float32(1.5),
+    )
+    return _controller(
+        dyn, cost, [0.5, 0.5, 0.5, 2.0],
+        num_rollouts=num_rollouts, num_timesteps=num_timesteps, **kw,
+    )
+
+
+def racer_lstm_mppi(num_rollouts=1920, num_timesteps=150,
+                    elevation_map=None, costmap=None, **kw):
+    """RACER LSTM-uncertainty vehicle at the real-platform scale
+    (racer_dubins_elevation_lstm_unc.*; 1920 rollouts x 150 steps). Flat
+    ground runs in the fused Pallas kernel (~1 ms/solve on a v5e chip);
+    with an ``elevation_map`` the auto-tuner selects the XLA path."""
+    from mppi_generic_tpu.models import RacerDubinsElevationLSTMUncertainty
+
+    dyn = RacerDubinsElevationLSTMUncertainty.create(
+        elevation_map=elevation_map
+    )
+    cost = ARStandardCost(costmap=costmap, output_indices=(2, 3, 5, 6, 0, 1))
+    return _controller(
+        dyn, cost, [0.3, 0.5],
+        num_rollouts=num_rollouts, num_timesteps=num_timesteps, **kw,
+    )
+
+
 __all__ = [
     "autorally_mppi",
     "cartpole_mppi",
     "double_integrator_mppi",
     "quadrotor_mppi",
+    "quadrotor_waypoint_mppi",
+    "racer_lstm_mppi",
 ]
