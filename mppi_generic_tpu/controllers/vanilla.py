@@ -93,7 +93,9 @@ class VanillaMPPI(ControllerBase):
             # Gaussian-family LR accumulates inside the fused kernel from
             # SMEM scalars (lr_params below) — no separate XLA LR pass.
             # This is how colored-noise solves stay on the fused path: FFT
-            # generation in XLA, everything after in one kernel.
+            # generation in XLA, everything after in one kernel. Horizons
+            # whose (T, C) tables exceed the SMEM budget fall through to
+            # the XLA-LR + fused-rollout combination below.
             K = U.shape[0]
             lr_params = (
                 mean,
@@ -103,12 +105,15 @@ class VanillaMPPI(ControllerBase):
                 self.alpha,
                 (1.0 - sampler.pure_noise_percentage) * K,
             )
-            costs, crash = pallas_rollout.fused_rollout_costs(
-                self.dynamics, self.cost, x0, U, self.dt,
-                sharding=self.sample_sharding, lr_params=lr_params,
-                tile_k=self.pallas_tile_k,
-            )
-            return costs, None, crash
+            try:
+                costs, crash = pallas_rollout.fused_rollout_costs(
+                    self.dynamics, self.cost, x0, U, self.dt,
+                    sharding=self.sample_sharding, lr_params=lr_params,
+                    tile_k=self.pallas_tile_k,
+                )
+                return costs, None, crash
+            except pallas_rollout.PallasIncompatible:
+                pass
         lr = sampler.likelihood_ratio_cost(
             U, mean, self.lam, self.alpha, iteration=iteration
         )

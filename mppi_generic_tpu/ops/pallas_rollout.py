@@ -53,6 +53,26 @@ LANES = 128
 _MAX_PARAM_BYTES = 2 * 1024 * 1024
 # VMEM budget for the (T, C, tile_k) control tile.
 _MAX_U_TILE_BYTES = 4 * 1024 * 1024
+# Budget for the per-timestep SMEM parameter tables (mean/sigma/aux/gains,
+# each (T, C)-shaped): scalar memory is small, and T=512 C=2 with three
+# tables compiles while T=1024 does not — horizons whose tables exceed
+# this raise PallasIncompatible and fall back to the XLA paths.
+_MAX_SMEM_TABLE_BYTES = 13 * 1024
+
+
+def _check_smem_tables(*tables):
+    total = 0
+    for shp in tables:
+        n = 1
+        for d in shp:
+            n *= int(d)
+        total += n * 4
+    if total > _MAX_SMEM_TABLE_BYTES:
+        raise PallasIncompatible(
+            f"per-timestep SMEM parameter tables need {total} bytes "
+            f"(> {_MAX_SMEM_TABLE_BYTES}); horizon too long for the fused "
+            "kernel — use the XLA paths"
+        )
 
 
 class PallasIncompatible(Exception):
@@ -204,9 +224,12 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_tck,
     grid = K_pad // tile_k
     leaf_ndims = tuple(l.ndim for l in leaves)
     if not with_lr:
-        # dummy SMEM operands keep one call structure for both variants
-        lr_mean = jnp.zeros((T, C), jnp.float32)
-        lr_sigma = jnp.ones((T, C), jnp.float32)
+        # (1, 1) dummy SMEM operands keep one call structure for both
+        # variants; the kernel only reads them under the static with_lr
+        # branch, and full-size (T, C) dummies would waste the scalar
+        # memory long horizons need
+        lr_mean = jnp.zeros((1, 1), jnp.float32)
+        lr_sigma = jnp.ones((1, 1), jnp.float32)
         lr_coeff = jnp.zeros((1, C), jnp.float32)
         lr_scal = jnp.zeros((1, 4), jnp.float32)
 
@@ -442,6 +465,8 @@ def fused_rollout_costs(
     leaves = [jnp.asarray(l) for l in leaves]
     recurrent = dynamics.init_recurrent_state() is not None
     _check_compatible(dynamics, leaves, allow_recurrent=True)
+    if lr_params is not None:
+        _check_smem_tables((T, C), (T, C))
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -942,6 +967,7 @@ def fused_rmppi_rollout(
     leaves, treedef = jax.tree_util.tree_flatten((dynamics, cost))
     leaves = [jnp.asarray(l) for l in leaves]
     _check_compatible(dynamics, leaves)
+    _check_smem_tables((T, C * S), (T, C))  # gains / sigma
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -1031,6 +1057,7 @@ def fused_sample_rollout_costs(
     leaves, treedef = jax.tree_util.tree_flatten((dynamics, cost))
     leaves = [jnp.asarray(l) for l in leaves]
     _check_compatible(dynamics, leaves)
+    _check_smem_tables((T, C), (T, C), (T, C))  # mean / sigma / aux
 
     # the hardware-PRNG path is compiled-TPU-only (guarded above); the
     # interpret parameter is accepted for signature symmetry

@@ -268,3 +268,42 @@ def test_fused_rollout_bf16_state_option():
     # the measured behavior that keeps f32 the default (BASELINE.md study)
     assert np.median(rel) < 0.05, np.median(rel)
     assert np.all(np.isfinite(np.asarray(c16)))
+
+
+def test_long_horizon_smem_table_gates():
+    """Horizons whose (T, C) SMEM parameter tables exceed the scalar-memory
+    budget raise PallasIncompatible (graceful fallback) instead of failing
+    Mosaic compilation; the table-free fused rollout still works (verified
+    compiled at T=1024 on hardware — the dummies shrank to (1, 1))."""
+    from mppi_generic_tpu.sampling import GaussianDistribution
+
+    dyn = DoubleIntegratorDynamics.create(control_ranges=[[-3, 3], [-3, 3]])
+    cost = DoubleIntegratorCircleCost()
+    x0 = jnp.array([2.0, 0.0, 0.0, 1.0])
+    K, T = 128, 1024
+    U = 0.3 * jax.random.normal(jax.random.PRNGKey(0), (K, T, 2))
+
+    # table-free fused rollout: fine at long T (interpret mode here)
+    c_p, _ = fused_rollout_costs(dyn, cost, x0, U, jnp.float32(0.02))
+    assert np.all(np.isfinite(np.asarray(c_p)))
+
+    # in-kernel LR tables: over budget -> PallasIncompatible
+    with pytest.raises(PallasIncompatible):
+        fused_rollout_costs(
+            dyn, cost, x0, U, jnp.float32(0.02),
+            lr_params=(jnp.zeros((T, 2)), jnp.ones((T, 2)), jnp.ones(2),
+                       1.0, 0.0, float(K)),
+        )
+
+    # the controller's in-kernel-LR branch falls back to XLA LR + fused
+    # rollout and still solves
+    ctrl = VanillaMPPI(
+        dynamics=dyn, cost=cost,
+        sampler=GaussianDistribution.create(
+            std_dev=[1.0, 1.0], control_cost_coeff=[0.01, 0.01]
+        ),
+        num_timesteps=T, num_rollouts=K, num_iters=1, kernel="pallas",
+    )
+    cs = ctrl.init_state(jax.random.PRNGKey(1))
+    res, _ = ctrl.solve(x0, cs)
+    assert bool(jnp.isfinite(res.baseline))
