@@ -359,21 +359,27 @@ class RobustMPPI(ControllerBase):
             # distribution updates (= the written-back nominal control).
             U = self._shard_samples(U)
             U_c = self._clamp_controls(U)
-            if self.kernel in ("pallas", "pallas_fused"):
+            use_fused_aug = self.kernel in ("pallas", "pallas_fused")
+            if use_fused_aug:
                 from mppi_generic_tpu.ops import pallas_rollout
 
-                s_nom, j_real_state, s_fb, crash, Ur = (
-                    pallas_rollout.fused_rmppi_rollout(
-                        self.dynamics, self.cost, nominal_state, state, U,
-                        ctrl_state.feedback_state.gains,
-                        self.sampler._sigma(T, 0),
-                        self.sampler.control_cost_coeff,
-                        self.dt, self.lam, self.alpha,
-                        sharding=self.sample_sharding,
-                        tile_k=self.pallas_tile_k,
+                try:
+                    s_nom, j_real_state, s_fb, crash, Ur = (
+                        pallas_rollout.fused_rmppi_rollout(
+                            self.dynamics, self.cost, nominal_state, state, U,
+                            ctrl_state.feedback_state.gains,
+                            self.sampler._sigma(T, 0),
+                            self.sampler.control_cost_coeff,
+                            self.dt, self.lam, self.alpha,
+                            sharding=self.sample_sharding,
+                            tile_k=self.pallas_tile_k,
+                        )
                     )
-                )
-            else:
+                except pallas_rollout.PallasIncompatible:
+                    # e.g. a horizon whose (T, C*S) gain table exceeds the
+                    # SMEM budget — fall back to the XLA augmented scan
+                    use_fused_aug = False
+            if not use_fused_aug:
                 s_nom, j_real_state, s_fb, Yn, Yr, Ur, crash = (
                     self._augmented_rollout(
                         nominal_state, state, U, ctrl_state.feedback_state

@@ -197,3 +197,31 @@ def test_rmppi_closed_loop_with_disturbances():
         if not (1.5 < r < 2.5):
             crashes += 1
     assert crashes < 10, f"left the track {crashes}/60 steps"
+
+
+def test_rmppi_long_horizon_falls_back_from_fused_kernel():
+    """A horizon whose (T, C*S) feedback-gain table exceeds the fused
+    kernel's SMEM budget must fall back to the XLA augmented scan instead
+    of failing to compile."""
+    from mppi_generic_tpu.controllers import RobustMPPI
+    from mppi_generic_tpu.feedback import DDPFeedback
+
+    dyn = DoubleIntegratorDynamics.create(control_ranges=[[-3, 3], [-3, 3]])
+    T = 512  # gains table 512*2*4*4B = 16 KB > the 13 KB budget
+    ctrl = RobustMPPI(
+        dynamics=dyn,
+        cost=DoubleIntegratorCircleCost(),
+        sampler=GaussianDistribution.create(std_dev=[1.0, 1.0]),
+        num_timesteps=T,
+        num_rollouts=64,
+        num_candidates=3,
+        samples_per_condition=16,
+        value_function_threshold=jnp.float32(50.0),
+        feedback=DDPFeedback.create(dyn, 0.02),
+        kernel="pallas",
+    )
+    cs = ctrl.init_state(jax.random.PRNGKey(0))
+    x0 = jnp.array([2.0, 0.0, 0.0, 1.0])
+    res, _ = ctrl.solve(x0, cs)
+    assert bool(jnp.isfinite(res.real.baseline))
+    assert bool(jnp.isfinite(res.nominal.baseline))
