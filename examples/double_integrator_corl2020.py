@@ -171,12 +171,16 @@ def run_robust(steps, key, noise_scale):
 
 
 def main():
+    global K
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=1000,
                     help="closed-loop steps (reference: 5000)")
+    ap.add_argument("--rollouts", type=int, default=K,
+                    help="samples per solve (reference: 1024)")
     ap.add_argument("--large-noise", type=float, default=100.0)
     ap.add_argument("--out", default="corl2020_out")
     args = ap.parse_args()
+    K = args.rollouts
     os.makedirs(args.out, exist_ok=True)
     key = jax.random.PRNGKey(7)
 

@@ -33,6 +33,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=800)
     ap.add_argument("--rollouts", type=int, default=1024)
+    ap.add_argument("--allow-incomplete", action="store_true",
+                    help="exit 0 even if not all gates are reached "
+                         "(tiny-scale smoke runs)")
     args = ap.parse_args()
 
     dyn = QuadrotorDynamics.create(
@@ -102,7 +105,8 @@ def main():
           f"({wall / max(step + 1, 1) * 1e3:.1f} ms/step incl. dispatch)")
     if len(arrivals) < len(waypoints):
         print("WARNING: mission incomplete")
-        sys.exit(1)
+        if not args.allow_incomplete:
+            sys.exit(1)
 
 
 if __name__ == "__main__":

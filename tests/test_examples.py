@@ -38,3 +38,20 @@ def test_double_integrator_example_smoke():
               "--steps", "5"])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "distance to goal" in r.stdout
+
+
+def test_quadrotor_waypoint_example_smoke():
+    r = _run([os.path.join(REPO, "examples", "quadrotor_waypoint_example.py"),
+              "--steps", "5", "--rollouts", "64", "--allow-incomplete"],
+             timeout=360)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "mission:" in r.stdout
+
+
+def test_corl2020_example_smoke(tmp_path):
+    r = _run([os.path.join(REPO, "examples", "double_integrator_corl2020.py"),
+              "--steps", "4", "--rollouts", "64",
+              "--out", str(tmp_path)], timeout=360)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "traces saved" in r.stdout
+    assert (tmp_path / "robust_free_energy_bounds.npy").exists()
