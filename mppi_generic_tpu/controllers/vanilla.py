@@ -35,6 +35,7 @@ from mppi_generic_tpu.controllers.base import (
     SolveResult,
 )
 from mppi_generic_tpu.ops import pallas_rollout
+from mppi_generic_tpu.ops import pallas_solve
 from mppi_generic_tpu.ops import rollout as rollout_ops
 from mppi_generic_tpu.ops import weights as weight_ops
 from mppi_generic_tpu.ops.weights import FreeEnergyStats
@@ -140,6 +141,36 @@ class VanillaMPPI(ControllerBase):
         return costs, Y, crash
 
     def _iteration(self, x0, mean, samp_state, key, iteration, optimization_stride):
+        if (
+            self.kernel == "pallas_fused"
+            and self.weight_transform == "exp"
+            and self.shaping_function is None
+        ):
+            # the fully-fused SOLVE kernel: sampling + rollout + normExp
+            # weights + weighted mean update in ONE launch — the (K, T, C)
+            # sample tensor never leaves VMEM (ops/pallas_solve.py). The
+            # per-sample weights for SolveResult are recomputed in XLA from
+            # the kernel's costs/baseline (K elementwise exps).
+            seed = jax.random.randint(
+                key, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+            )
+            try:
+                costs, crash, new_mean, baseline, eta, U = (
+                    pallas_solve.fused_solve_iteration(
+                        self.dynamics, self.cost, self.sampler, x0, mean,
+                        seed, self.dt, self.lam, self.alpha,
+                        self.num_rollouts, iteration=iteration,
+                        optimization_stride=optimization_stride,
+                        tile_k=self.pallas_tile_k,
+                        sharding=self.sample_sharding,
+                        return_samples=self.return_samples,
+                    )
+                )
+                w = weight_ops.norm_exp_weights(costs, self.lam, baseline)
+                return new_mean, samp_state, (U, costs, w, baseline, eta,
+                                              crash)
+            except pallas_rollout.PallasIncompatible:
+                pass
         if self.kernel == "pallas_fused":
             # one kernel: hardware-PRNG sampling + carve-outs + clamp +
             # rollout + likelihood-ratio cost (the combined rolloutKernel

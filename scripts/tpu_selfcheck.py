@@ -398,6 +398,75 @@ def check_quadrotor_and_suspension_fused_kernel():
 CHECKS.append(check_quadrotor_and_suspension_fused_kernel)
 
 
+def check_fused_solve_iteration():
+    """The fully-fused solve-iteration kernel (ops/pallas_solve.py):
+    in-kernel normExp weights + flash weighted-mean epilogue must agree
+    with the XLA epilogue re-scoring the kernel's own emitted samples —
+    exact epilogue parity given identical U, plus carve-out and cost
+    self-consistency, for Gaussian and NLN generation."""
+    from mppi_generic_tpu.ops.pallas_solve import fused_solve_iteration
+    from mppi_generic_tpu.ops.weights import norm_exp_weights
+
+    dyn, cost, x0, dt = _fixtures()
+    lam = 1.0
+    for samp, tag in (
+        (GaussianDistribution.create(
+            std_dev=[1.0, 0.7], control_cost_coeff=[0.01, 0.02],
+            pure_noise_percentage=0.1), "gaussian"),
+        (NLNDistribution.create(
+            std_dev=[0.4, 0.4], control_cost_coeff=[0.01, 0.02],
+            pure_noise_percentage=0.1), "nln"),
+    ):
+        mean = jnp.tile(jnp.array([0.3, -0.2]), (T, 1))
+        costs, crash, new_mean, baseline, eta, U = fused_solve_iteration(
+            dyn, cost, samp, x0, mean, jnp.int32(1234), dt, lam, 0.0, K,
+            optimization_stride=3, return_samples=True,
+        )
+        # carve-outs: sample 0 == mean, frozen head for all samples
+        np.testing.assert_allclose(np.asarray(U[0]), np.asarray(mean),
+                                   atol=1e-6, err_msg=tag)
+        np.testing.assert_allclose(np.asarray(U[5, :3]),
+                                   np.asarray(mean[:3]), atol=1e-6,
+                                   err_msg=tag)
+        # cost self-consistency: XLA re-score of the emitted samples
+        c_r, _, cr_r = rollout_combined(dyn, cost, x0, U, dt)
+        lr = samp.likelihood_ratio_cost(U, mean, lam, 0.0)
+        np.testing.assert_allclose(np.asarray(costs),
+                                   np.asarray(c_r + lr / T),
+                                   rtol=1e-3, atol=1e-3, err_msg=tag)
+        assert bool(jnp.all(crash == cr_r)), tag
+        # epilogue parity: baseline / eta / weighted mean vs XLA given the
+        # SAME costs + samples (flash online-softmax must be exact)
+        base_r = float(jnp.min(costs))
+        w_r = norm_exp_weights(costs, lam, base_r)
+        eta_r = float(jnp.sum(w_r))
+        mean_r = jnp.sum((w_r / eta_r)[:, None, None] * U, axis=0)
+        np.testing.assert_allclose(float(baseline), base_r, rtol=1e-6,
+                                   err_msg=tag)
+        np.testing.assert_allclose(float(eta), eta_r, rtol=1e-4,
+                                   err_msg=tag)
+        np.testing.assert_allclose(np.asarray(new_mean), np.asarray(mean_r),
+                                   rtol=1e-4, atol=1e-5, err_msg=tag)
+
+    # the controller route: one full pallas_fused solve must run finite and
+    # its SolveResult must be self-consistent (weights from kernel costs)
+    samp = GaussianDistribution.create(std_dev=[1.0, 1.0])
+    ctrl = VanillaMPPI(
+        dynamics=dyn, cost=cost, sampler=samp,
+        dt=dt, lam=jnp.float32(1.0), alpha=jnp.float32(0.0),
+        num_timesteps=T, num_rollouts=K, num_iters=1, kernel="pallas_fused",
+    )
+    cs = ctrl.init_state(jax.random.PRNGKey(0))
+    res, _ = jax.jit(ctrl.solve)(x0, cs)
+    assert bool(jnp.all(jnp.isfinite(res.control_mean)))
+    assert bool(jnp.all(jnp.isfinite(res.costs)))
+    np.testing.assert_allclose(float(res.normalizer),
+                               float(jnp.sum(res.weights)), rtol=1e-4)
+
+
+CHECKS.append(check_fused_solve_iteration)
+
+
 # keep this at the very END of the file: checks appended above must be
 # registered before the standalone script runs them
 if __name__ == "__main__":

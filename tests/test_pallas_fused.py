@@ -74,6 +74,52 @@ def test_fused_sampling_accepts_nln_type():
         )
 
 
+def test_fused_solve_refuses_on_cpu():
+    """The fully-fused solve-iteration kernel (ops/pallas_solve.py) needs
+    the TPU hardware PRNG; off-TPU it must refuse so VanillaMPPI falls
+    through to the fused-rollout / XLA routes."""
+    from mppi_generic_tpu.ops.pallas_solve import fused_solve_iteration
+
+    dyn = DoubleIntegratorDynamics.create()
+    samp = GaussianDistribution.create(std_dev=[1.0, 1.0])
+    with pytest.raises(PallasIncompatible, match="hardware PRNG"):
+        fused_solve_iteration(
+            dyn, DoubleIntegratorCircleCost(), samp, jnp.zeros(4),
+            jnp.zeros((8, 2)), jnp.int32(0), 0.02, 1.0, 0.0, 128,
+        )
+
+
+def test_fused_solve_refuses_non_gaussian():
+    from mppi_generic_tpu.ops.pallas_solve import fused_solve_iteration
+
+    dyn = DoubleIntegratorDynamics.create()
+    samp = ColoredNoiseDistribution.create(
+        std_dev=[1.0, 1.0], exponents=[1.0, 1.0]
+    )
+    with pytest.raises(PallasIncompatible, match="Gaussian or NLN"):
+        fused_solve_iteration(
+            dyn, DoubleIntegratorCircleCost(), samp, jnp.zeros(4),
+            jnp.zeros((8, 2)), jnp.int32(0), 0.02, 1.0, 0.0, 128,
+        )
+
+
+def test_pallas_fused_controller_falls_back_on_cpu():
+    """kernel='pallas_fused' with a non-exp weight transform must skip the
+    fused-solve route entirely (its online softmax is exp-only) and the
+    whole controller path still raises the fused-sample refusal on CPU —
+    i.e. the gating never silently produces wrong weights."""
+    ctrl = VanillaMPPI(
+        dynamics=DoubleIntegratorDynamics.create(),
+        cost=DoubleIntegratorCircleCost(),
+        sampler=GaussianDistribution.create(std_dev=[1.0, 1.0]),
+        num_timesteps=16, num_rollouts=128, kernel="pallas_fused",
+        weight_transform="tsallis",
+    )
+    cs = ctrl.init_state(jax.random.PRNGKey(0))
+    with pytest.raises(PallasIncompatible):
+        ctrl.solve(jnp.array([2.0, 0.0, 0.0, 1.0]), cs)
+
+
 def test_autotune_skips_fused_on_cpu():
     ctrl = VanillaMPPI(
         dynamics=DoubleIntegratorDynamics.create(),
