@@ -439,6 +439,22 @@ def suite():
     except (subprocess.TimeoutExpired, OSError) as e:
         print(json.dumps({"config": "scaling_cpu_mesh",
                           "error": type(e).__name__}))
+
+    # 7. analytic ICI-traffic rows (parallel/ici_model.py): the predicted
+    # multi-chip weak-scaling efficiency from the exact cross-shard
+    # payloads and published ICI figures, anchored on THIS run's measured
+    # single-chip solve times (configs 1 and 5).
+    from mppi_generic_tpu.parallel import ici_model
+
+    solve_us = {"vanilla": results[0]["steady_state_solve_ms"] * 1e3}
+    rmppi = next((r for r in results
+                  if r["config"].startswith("rmppi")), None)
+    if rmppi:
+        solve_us["robust"] = rmppi["steady_state_solve_ms"] * 1e3
+    for row in ici_model.traffic_table(100, 2, solve_us, sizes=(4, 8, 32)):
+        row["config"] = "ici_model_predicted"
+        results.append(row)
+        print(json.dumps(row))
     return results
 
 

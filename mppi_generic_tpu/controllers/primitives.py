@@ -32,6 +32,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from mppi_generic_tpu.controllers.base import ControllerState, SolveResult
@@ -45,7 +46,9 @@ from mppi_generic_tpu.utils import math_utils
 # reference's sentinel, primitives_controller.cu:132). With hysteresis 0 the
 # final comparison mppi_baseline < sentinel is then (almost) always false,
 # so the stopping trajectory stays in force once issued.
-_FLOAT_MIN = jnp.float32(1.17549435e-38)
+# numpy, not jnp: module-scope jnp would initialize the XLA backend at
+# import, breaking later jax.distributed.initialize() (multi-host bring-up)
+_FLOAT_MIN = np.float32(1.17549435e-38)
 
 
 class PrimitivesControllerState(ControllerState):

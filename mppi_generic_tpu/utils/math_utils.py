@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 TWO_PI = 2.0 * jnp.pi
 
@@ -195,7 +196,11 @@ def quat_to_euler(q):
 # controllers/controller.cuh:557-586 ([-3, 12, 17, 12, -3] / 35).
 # ---------------------------------------------------------------------------
 
-SG_FILTER_5 = jnp.array([-3.0, 12.0, 17.0, 12.0, -3.0]) / 35.0
+# numpy (not jnp) on purpose: a module-scope jnp.array would initialize the
+# XLA backend at import time, which forbids a later
+# jax.distributed.initialize() (multi-host bring-up imports this package
+# before calling parallel.mesh.distributed_init). jnp ops convert it lazily.
+SG_FILTER_5 = np.array([-3.0, 12.0, 17.0, 12.0, -3.0], np.float32) / 35.0
 
 
 def savitzky_golay_smooth(u_seq, history=None):

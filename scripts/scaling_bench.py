@@ -107,12 +107,42 @@ def main():
 
     results = run_curve(args.rollouts, args.timesteps, args.scan,
                         kernel=args.kernel, weak=args.weak)
+
+    # Analytic ICI-traffic table (parallel/ici_model.py): the virtual-CPU
+    # curve above cannot show physical speedup, so the artifact also
+    # records the *predicted* multi-chip efficiency from the exact
+    # cross-shard payloads + published link figures — a model, not a hope.
+    from mppi_generic_tpu.parallel import ici_model
+
+    solve_us = results[0]["solve_ms"] * 1e3  # 1-device row, per-chip K
+    C = 2  # double-integrator bench controller
+    ici_rows = ici_model.traffic_table(
+        args.timesteps, C,
+        {"vanilla": solve_us, "tube": 2 * solve_us, "robust": 2.2 * solve_us},
+    )
+    for row in ici_rows:
+        print(json.dumps(row))
+
     if args.out:
         with open(args.out, "w") as f:
             json.dump({
                 "backend": jax.default_backend(),
                 "device_kind": jax.devices()[0].device_kind,
                 "results": results,
+                "ici_model": {
+                    "note": (
+                        "predicted weak-scaling efficiency from exact "
+                        "cross-shard payloads (baseline pmin/pmax 4 B, "
+                        "normalizer psum 4 B, weighted-mean psum 4*T*C B "
+                        "per iteration; 2 dependent collective phases) and "
+                        "published TPU v4 ICI figures (45 GB/s/link, ~1 us "
+                        "hop). Payloads are KBs -> latency-bound; "
+                        "efficiency depends on per-chip solve time only. "
+                        "solve_us rows use the measured 1-device time "
+                        "from this run (tube/robust scaled analytically)."
+                    ),
+                    "rows": ici_rows,
+                },
             }, f, indent=1)
     return results
 
