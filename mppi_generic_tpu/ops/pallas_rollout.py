@@ -56,23 +56,65 @@ _MAX_U_TILE_BYTES = 4 * 1024 * 1024
 # Budget for the per-timestep SMEM parameter tables (mean/sigma/aux/gains,
 # each (T, C)-shaped): scalar memory is small, and T=512 C=2 with three
 # tables compiles while T=1024 does not — horizons whose tables exceed
-# this raise PallasIncompatible and fall back to the XLA paths.
+# this switch to the sublane-stacked VMEM table layout below.
 _MAX_SMEM_TABLE_BYTES = 13 * 1024
+# Budget for the stacked VMEM table (T, R8, LANES): every timestep costs
+# one (8, 128) f32 tile (4 KB) per 8 table rows regardless of how many
+# logical (T, C) tables stack into it, so T=1024 with 8 rows is 4 MB.
+_MAX_VMEM_TABLE_BYTES = 4 * 1024 * 1024
 
 
-def _check_smem_tables(*tables):
-    total = 0
+def _table_mode(*tables):
+    """Pick where the per-timestep parameter tables live.
+
+    "smem" — each (T, C) table is a separate SMEM scalar array (the fast
+    path: scalar reads are free inside the horizon loop). "vmem" — all
+    tables stack into ONE lane-broadcast (T, R8, LANES) VMEM array read one
+    sublane-block per timestep (the reference's per-timestep parameter
+    reads in rolloutKernel, core/mppi_common.cu:98-137, have no such
+    ceiling because CUDA shared memory is 48-96 KB; TPU SMEM is ~16 KB, so
+    long horizons ride VMEM instead). Raises PallasIncompatible only when
+    even the VMEM layout exceeds its budget.
+    """
+    smem_total = 0
+    rows = 0
+    T = int(tables[0][0])
     for shp in tables:
         n = 1
         for d in shp:
             n *= int(d)
-        total += n * 4
-    if total > _MAX_SMEM_TABLE_BYTES:
-        raise PallasIncompatible(
-            f"per-timestep SMEM parameter tables need {total} bytes "
-            f"(> {_MAX_SMEM_TABLE_BYTES}); horizon too long for the fused "
-            "kernel — use the XLA paths"
-        )
+        smem_total += n * 4
+        rows += int(shp[1])
+    if smem_total <= _MAX_SMEM_TABLE_BYTES:
+        return "smem"
+    vmem_total = T * _round_up(rows, 8) * LANES * 4
+    if vmem_total <= _MAX_VMEM_TABLE_BYTES:
+        return "vmem"
+    raise PallasIncompatible(
+        f"per-timestep parameter tables need {vmem_total} bytes of VMEM "
+        f"(> {_MAX_VMEM_TABLE_BYTES}); horizon too long for the fused "
+        "kernel — use the XLA paths"
+    )
+
+
+def _stack_time_tables(*tables):
+    """Stack per-timestep (T, Ci) parameter tables into one lane-broadcast
+    (T, R8, LANES) f32 array: logical row j of table i lands on sublane
+    (sum of earlier Ci) + j, padded to a multiple of 8 sublanes so each
+    timestep is exactly ceil(R/8) (8, 128) tiles. In-kernel a timestep's
+    whole row set loads as ONE block; rows come out as static (1, LANES)
+    sublane slices that broadcast against (rows, LANES) sample blocks."""
+    cols = []
+    for tab in tables:
+        t32 = jnp.asarray(tab, jnp.float32)
+        for ch in range(t32.shape[1]):
+            cols.append(t32[:, ch])
+    R = len(cols)
+    R8 = _round_up(R, 8)
+    stk = jnp.stack(cols, axis=1)  # (T, R)
+    if R8 != R:
+        stk = jnp.pad(stk, ((0, 0), (0, R8 - R)))
+    return jnp.broadcast_to(stk[:, :, None], stk.shape + (LANES,))
 
 
 class PallasIncompatible(Exception):
@@ -212,12 +254,13 @@ def _broadcast_rec(rec, rows):
     jax.jit,
     static_argnames=("dynamics_static", "cost_static", "T", "C", "S",
                      "tile_k", "interpret", "treedef", "per_sample_x0",
-                     "recurrent", "with_lr", "state_dtype"),
+                     "recurrent", "with_lr", "state_dtype", "table_mode"),
 )
 def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_tck,
                 dt, T, C, S, tile_k, interpret, per_sample_x0=False,
                 recurrent=False, with_lr=False, lr_mean=None, lr_sigma=None,
-                lr_coeff=None, lr_scal=None, state_dtype="float32"):
+                lr_coeff=None, lr_scal=None, state_dtype="float32",
+                table_mode="smem"):
     del dynamics_static, cost_static  # only part of the jit cache key
     K_pad = U_tck.shape[-1]
     rows = tile_k // LANES
@@ -305,9 +348,20 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_tck,
             c = c.astype(jnp.float32)
             if with_lr:
                 lr_t = jnp.zeros((rows, LANES), jnp.float32)
+                if table_mode == "vmem":
+                    # mean/sigma ride the stacked (T, R8, LANES) VMEM
+                    # table: one sublane-block load per timestep, rows as
+                    # static (1, LANES) slices (sublanes [0,C) = mean,
+                    # [C,2C) = sigma)
+                    r8 = mean_ref.shape[1]
+                    blk = mean_ref[pl.ds(t, 1)].reshape(r8, LANES)
                 for ch in range(C):
-                    m_c = mean_ref[t, ch]
-                    s_c = sigma_ref[t, ch]
+                    if table_mode == "vmem":
+                        m_c = blk[ch: ch + 1]
+                        s_c = blk[C + ch: C + ch + 1]
+                    else:
+                        m_c = mean_ref[t, ch]
+                        s_c = sigma_ref[t, ch]
                     mu_c = jnp.where(pure, 0.0, m_c)
                     lr_t = lr_t + coeff_ref[0, ch] * mu_c * (
                         mu_c - 2.0 * u[ch]
@@ -336,8 +390,11 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_tck,
         pl.BlockSpec((T, C, tile_k), lambda i: (0, 0, i),
                      memory_space=pltpu.VMEM),  # U tile
         pl.BlockSpec(memory_space=pltpu.SMEM),  # dt (1, 1)
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # lr mean (T, C)
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # lr sigma (T, C)
+        # lr mean: (T, C) SMEM scalars, or the stacked (T, R8, LANES)
+        # VMEM table holding BOTH mean and sigma rows (long horizons)
+        pl.BlockSpec(memory_space=(
+            pltpu.VMEM if table_mode == "vmem" else pltpu.SMEM)),
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # lr sigma (T, C) | dummy
         pl.BlockSpec(memory_space=pltpu.SMEM),  # lr coeff (1, C)
         pl.BlockSpec(memory_space=pltpu.SMEM),  # lr scalars (1, 4)
     ]
@@ -465,8 +522,9 @@ def fused_rollout_costs(
     leaves = [jnp.asarray(l) for l in leaves]
     recurrent = dynamics.init_recurrent_state() is not None
     _check_compatible(dynamics, leaves, allow_recurrent=True)
+    table_mode = "smem"
     if lr_params is not None:
-        _check_smem_tables((T, C), (T, C))
+        table_mode = _table_mode((T, C), (T, C))
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -492,10 +550,15 @@ def fused_rollout_costs(
         lr_kw = dict(with_lr=False)
     else:
         m_, s_, c_, lam_, al_, pt_ = lr_params
+        if table_mode == "vmem":
+            lr_mean_arg = _stack_time_tables(m_, s_)  # (T, R8, LANES)
+            lr_sigma_arg = jnp.ones((1, 1), jnp.float32)  # unused dummy
+        else:
+            lr_mean_arg, lr_sigma_arg = m_, s_
         lr_kw = dict(
             with_lr=True,
-            lr_mean=m_,
-            lr_sigma=s_,
+            lr_mean=lr_mean_arg,
+            lr_sigma=lr_sigma_arg,
             lr_coeff=c_,
             lr_scal=jnp.stack([
                 jnp.asarray(lam_, jnp.float32),
@@ -503,6 +566,7 @@ def fused_rollout_costs(
                 jnp.asarray(pt_, jnp.float32),
                 jnp.asarray(_idx_offset, jnp.float32),
             ]).reshape(1, 4),
+            table_mode=table_mode,
         )
     costs, crash = _fused_call(
         leaves, treedef, type(dynamics).__name__, type(cost).__name__,
@@ -529,13 +593,14 @@ def fused_rollout_costs(
     jax.jit,
     static_argnames=("dynamics_static", "cost_static", "T", "C", "S", "K",
                      "K_pad", "tile_k", "interpret", "treedef",
-                     "noise_kind"),
+                     "noise_kind", "table_mode"),
 )
 def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
                        x0, mean, sigma, aux_tab, coeff, constraints, seed,
                        dt, lam, alpha, stride, pure_threshold, dt_smooth,
                        T, C, S, K, K_pad, tile_k, interpret,
-                       noise_kind="gaussian", idx_offset=0):
+                       noise_kind="gaussian", idx_offset=0,
+                       table_mode="smem"):
     del dynamics_static, cost_static
     rows = tile_k // LANES
     grid = K_pad // tile_k
@@ -593,33 +658,50 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
             f = pltpu.bitcast(b >> 8, jnp.int32).astype(jnp.float32)
             return f[:C], f[C:]
 
+        def tab_rows(t):
+            """Per-timestep (mean, sigma, aux) channel rows. SMEM mode:
+            free scalar reads. VMEM mode: mean_ref is the stacked
+            (T, R8, LANES) table — one sublane-block load, rows as static
+            (1, LANES) slices (sublanes [0,C)=mean, [C,2C)=sigma,
+            [2C,3C)=aux) that broadcast against (rows, LANES) blocks."""
+            if table_mode == "vmem":
+                r8 = mean_ref.shape[1]
+                blk = mean_ref[pl.ds(t, 1)].reshape(r8, LANES)
+                return ([blk[ch: ch + 1] for ch in range(C)],
+                        [blk[C + ch: C + ch + 1] for ch in range(C)],
+                        [blk[2 * C + ch: 2 * C + ch + 1] for ch in range(C)])
+            return ([mean_ref[t, ch] for ch in range(C)],
+                    [sigma_ref[t, ch] for ch in range(C)],
+                    [aux_ref[t, ch] for ch in range(C)])
+
         def do_step(t, eps, carry):
             """One timestep given its N(0,1) draws: carve-outs, per-channel
             constraint clamp, likelihood-ratio + running cost, dynamics."""
             x, crash, acc, _ = carry
             # --- setGaussianControls carve-outs (gaussian.cu:101-121) ---
-            # mean/sigma/coeff live in SMEM; channels unroll to scalar
-            # broadcasts (lane-transposing reshapes are not lowerable)
+            # channels unroll to scalar/row broadcasts (lane-transposing
+            # reshapes are not lowerable)
+            m_cs, s_cs, a_cs = tab_rows(t)
             pin_mean = is_zero | (t < stride_k)
             u_cs = []
             w_cs = []
             lr_t = jnp.zeros((rows, LANES), jnp.float32)
             for ch in range(C):
-                m_c = mean_ref[t, ch]
-                s_c = sigma_ref[t, ch]
-                noise_c = s_c * eps[ch]
+                m_c = m_cs[ch]
+                noise_c = s_cs[ch] * eps[ch]
                 if noise_kind == "smooth":
                     # derivative-space carve-outs around the deriv mean,
                     # then u = mean + W*dt_smooth (integrateNoise,
                     # smooth-MPPI.cu:16-32)
-                    dm_c = aux_ref[t, ch]
+                    dm_c = a_cs[ch]
                     w_c = jnp.where(pure, noise_c, dm_c + noise_c)
                     w_c = jnp.where(pin_mean, dm_c, w_c)
-                    w_cs.append(w_c)
+                    w_cs.append(jnp.broadcast_to(w_c, (rows, LANES)))
                     u_c = m_c + w_c * dts_k
                 else:
                     u_c = jnp.where(pure, noise_c, m_c + noise_c)
                     u_c = jnp.where(pin_mean, m_c, u_c)
+                u_c = jnp.broadcast_to(u_c, (rows, LANES))
                 u_cs.append(_clamp_channel(u_c, cons_ref, ch))
             u = jnp.stack(u_cs)
             u_out_ref[pl.ds(t, 1)] = u.reshape(1, C, tile_k)
@@ -628,8 +710,8 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
 
             # --- likelihood-ratio cost on the clamped sample ---
             for ch in range(C):
-                m_c = mean_ref[t, ch]
-                s_c = sigma_ref[t, ch]
+                m_c = m_cs[ch]
+                s_c = s_cs[ch]
                 mu_c = jnp.where(pure, 0.0, m_c)
                 lr_t = lr_t + coeff_ref[0, ch] * mu_c * (
                     mu_c - 2.0 * u[ch]
@@ -652,8 +734,9 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
                 theta = TWO_PI * u2
                 z1 = r * jnp.cos(theta)
                 z2 = r * jnp.sin(theta)
+                a_cs = tab_rows(t)[2]
                 eps = jnp.stack([
-                    z1[ch] * jnp.exp(aux_ref[t, ch] * z2[ch])
+                    z1[ch] * jnp.exp(a_cs[ch] * z2[ch])
                     for ch in range(C)
                 ])
                 return do_step(t, eps, carry)
@@ -714,9 +797,12 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
 
     in_specs = leaf_specs + [
         pl.BlockSpec(memory_space=pltpu.VMEM),  # x0 (S, 1)
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # mean (T, C) scalars
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # sigma (T, C) scalars
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # aux (T, C): NLN lognormal sigma / smooth deriv mean
+        # mean: (T, C) SMEM scalars, or the stacked (T, R8, LANES) VMEM
+        # table holding mean+sigma+aux rows (long horizons)
+        pl.BlockSpec(memory_space=(
+            pltpu.VMEM if table_mode == "vmem" else pltpu.SMEM)),
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # sigma (T, C) | dummy
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # aux (T, C): NLN lognormal sigma / smooth deriv mean | dummy
         pl.BlockSpec(memory_space=pltpu.SMEM),  # coeff (1, C) scalars
         pl.BlockSpec(memory_space=pltpu.SMEM),  # constraints (4, C) scalars
         pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1, 1) int32
@@ -765,12 +851,13 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
 @functools.partial(
     jax.jit,
     static_argnames=("dynamics_static", "cost_static", "T", "C", "S", "K",
-                     "K_pad", "tile_k", "interpret", "treedef"),
+                     "K_pad", "tile_k", "interpret", "treedef",
+                     "table_mode"),
 )
 def _fused_rmppi_call(leaves, treedef, dynamics_static, cost_static,
                       x0_nom, x0_real, U_tck, gains, sigma, coeff,
                       constraints, dt, lam, alpha, T, C, S, K, K_pad,
-                      tile_k, interpret):
+                      tile_k, interpret, table_mode="smem"):
     del dynamics_static, cost_static
     rows = tile_k // LANES
     grid = K_pad // tile_k
@@ -815,17 +902,28 @@ def _fused_rmppi_call(leaves, treedef, dynamics_static, cost_static,
             u_raw = u_ref[pl.ds(t, 1)].reshape(C, rows, LANES)
             u_nom = clamp(u_raw)
             # feedback u_fb = K[t] (x_real - x_nom), gains as SMEM scalars
+            # or — past the scalar-memory budget — static sublane slices of
+            # the stacked (T, R8, LANES) VMEM table (sublanes [0, C*S) =
+            # gains, [C*S, C*S+C) = sigma)
             # (rolloutRMPPIDynamicsKernel feedback-in-loop,
             # core/rmppi_kernels.cu:441-443)
+            if table_mode == "vmem":
+                r8 = gains_ref.shape[1]
+                blk = gains_ref[pl.ds(t, 1)].reshape(r8, LANES)
+                g_read = lambda ch, s: blk[ch * S + s: ch * S + s + 1]
+                sg_read = lambda ch: blk[C * S + ch: C * S + ch + 1]
+            else:
+                g_read = lambda ch, s: gains_ref[t, ch * S + s]
+                sg_read = lambda ch: sigma_ref[t, ch]
             dx = [x_real[s] - x_nom[s] for s in range(S)]
             u_fb = []
             fb_cost = jnp.zeros((rows, LANES), jnp.float32)
             for ch in range(C):
                 acc_fb = jnp.zeros((rows, LANES), jnp.float32)
                 for s in range(S):
-                    acc_fb = acc_fb + gains_ref[t, ch * S + s] * dx[s]
+                    acc_fb = acc_fb + g_read(ch, s) * dx[s]
                 u_fb.append(acc_fb)
-                s_c = sigma_ref[t, ch]
+                s_c = sg_read(ch)
                 fb_cost = fb_cost + coeff_ref[0, ch] * acc_fb * acc_fb / (
                     s_c * s_c
                 )
@@ -865,8 +963,11 @@ def _fused_rmppi_call(leaves, treedef, dynamics_static, cost_static,
         pl.BlockSpec(memory_space=pltpu.VMEM),  # x0_real (S, 1)
         pl.BlockSpec((T, C, tile_k), lambda i: (0, 0, i),
                      memory_space=pltpu.VMEM),  # U tile
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # gains (T, C*S)
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # sigma (T, C)
+        # gains: (T, C*S) SMEM scalars, or the stacked (T, R8, LANES)
+        # VMEM table holding gains+sigma rows (long horizons)
+        pl.BlockSpec(memory_space=(
+            pltpu.VMEM if table_mode == "vmem" else pltpu.SMEM)),
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # sigma (T, C) | dummy
         pl.BlockSpec(memory_space=pltpu.SMEM),  # coeff (1, C)
         pl.BlockSpec(memory_space=pltpu.SMEM),  # constraints (4, C)
         pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars (1, 3)
@@ -967,7 +1068,7 @@ def fused_rmppi_rollout(
     leaves, treedef = jax.tree_util.tree_flatten((dynamics, cost))
     leaves = [jnp.asarray(l) for l in leaves]
     _check_compatible(dynamics, leaves)
-    _check_smem_tables((T, C * S), (T, C))  # gains / sigma
+    table_mode = _table_mode((T, C * S), (T, C))  # gains / sigma
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -981,11 +1082,22 @@ def fused_rmppi_rollout(
         U_tck = jnp.pad(U_tck, ((0, 0), (0, 0), (0, K_pad - K)))
     constraints = _constraint_rows(dynamics)
 
+    gains_2d = gains.reshape(T, C * S)
+    sigma_2d = jnp.broadcast_to(
+        jnp.asarray(sigma, jnp.float32).reshape(-1, C), (T, C)
+    )
+    if table_mode == "vmem":
+        gains_arg = _stack_time_tables(gains_2d, sigma_2d)
+        sigma_arg = jnp.ones((1, 1), jnp.float32)  # unused dummy
+    else:
+        gains_arg, sigma_arg = gains_2d, sigma_2d
+
     return _fused_rmppi_call(
         leaves, treedef, type(dynamics).__name__, type(cost).__name__,
-        x0_nom, x0_real, U_tck, gains.reshape(T, C * S),
-        jnp.asarray(sigma, jnp.float32), jnp.asarray(coeff, jnp.float32),
+        x0_nom, x0_real, U_tck, gains_arg,
+        sigma_arg, jnp.asarray(coeff, jnp.float32),
         constraints, dt, lam, alpha, T, C, S, K, K_pad, tile_k, interpret,
+        table_mode=table_mode,
     )
 
 
@@ -1057,7 +1169,7 @@ def fused_sample_rollout_costs(
     leaves, treedef = jax.tree_util.tree_flatten((dynamics, cost))
     leaves = [jnp.asarray(l) for l in leaves]
     _check_compatible(dynamics, leaves)
-    _check_smem_tables((T, C), (T, C), (T, C))  # mean / sigma / aux
+    table_mode = _table_mode((T, C), (T, C), (T, C))  # mean / sigma / aux
 
     # the hardware-PRNG path is compiled-TPU-only (guarded above); the
     # interpret parameter is accepted for signature symmetry
@@ -1085,6 +1197,16 @@ def fused_sample_rollout_costs(
     pure_threshold = (1.0 - sampler.pure_noise_percentage) * K
     constraints = _constraint_rows(dynamics)
 
+    sigma = jnp.broadcast_to(
+        jnp.asarray(sigma, jnp.float32).reshape(-1, C), (T, C)
+    )
+    if table_mode == "vmem":
+        mean_arg = _stack_time_tables(mean, sigma, aux_tab)
+        sigma_arg = jnp.ones((1, 1), jnp.float32)  # unused dummies
+        aux_arg = jnp.zeros((1, 1), jnp.float32)
+    else:
+        mean_arg, sigma_arg, aux_arg = mean, sigma, aux_tab
+
     mesh, axis, n_shards = _mesh_axis(sharding)
     if mesh is not None:
         from jax.sharding import PartitionSpec as P
@@ -1109,7 +1231,7 @@ def fused_sample_rollout_costs(
                 seed_v + ax * grid_local, dt_v, lam_v, alpha_v,
                 stride_v, pure_v, dts_v, T, C, S, K_local, K_pad_local,
                 tile_local, False, noise_kind=noise_kind,
-                idx_offset=ax * K_local,
+                idx_offset=ax * K_local, table_mode=table_mode,
             )
 
         return jax.shard_map(
@@ -1119,7 +1241,8 @@ def fused_sample_rollout_costs(
             out_specs=(P(axis), P(axis), P(axis),
                        P(axis) if noise_kind == "smooth" else None),
             check_vma=False,
-        )(x0, mean, sigma, aux_tab, sampler.control_cost_coeff, constraints,
+        )(x0, mean_arg, sigma_arg, aux_arg, sampler.control_cost_coeff,
+          constraints,
           jnp.asarray(seed, jnp.int32), jnp.asarray(dt, jnp.float32),
           jnp.asarray(lam, jnp.float32), jnp.asarray(alpha, jnp.float32),
           jnp.asarray(optimization_stride, jnp.int32),
@@ -1128,9 +1251,11 @@ def fused_sample_rollout_costs(
 
     return _fused_sample_call(
         leaves, treedef, type(dynamics).__name__, type(cost).__name__,
-        x0, mean, sigma, aux_tab, sampler.control_cost_coeff, constraints,
+        x0, mean_arg, sigma_arg, aux_arg, sampler.control_cost_coeff,
+        constraints,
         jnp.asarray(seed, jnp.int32), dt, lam, alpha,
         jnp.asarray(optimization_stride, jnp.int32),
         jnp.asarray(pure_threshold, jnp.float32), dt_smooth,
         T, C, S, K, K_pad, tile_k, interpret, noise_kind=noise_kind,
+        table_mode=table_mode,
     )

@@ -467,6 +467,68 @@ def check_fused_solve_iteration():
 CHECKS.append(check_fused_solve_iteration)
 
 
+def check_vmem_table_long_horizon():
+    """Long horizons keep the fused kernels via the sublane-stacked
+    (T, R8, LANES) VMEM parameter table (VERDICT r2 item 4): compiled
+    T=1024 in-kernel-LR parity and T=512 fused-RMPPI solve parity, both
+    past the ~13 KB SMEM scalar budget that used to force the XLA
+    fallback (reference per-timestep parameter reads in rolloutKernel,
+    core/mppi_common.cu:98-137, have no horizon ceiling; now neither
+    does this kernel until the 4 MB VMEM table budget)."""
+    from mppi_generic_tpu.controllers import RobustMPPI
+    from mppi_generic_tpu.feedback import DDPFeedback
+    from mppi_generic_tpu.ops.pallas_rollout import _table_mode
+
+    dyn, cost, x0, dt = _fixtures()
+    K2, T2 = 256, 1024
+    assert _table_mode((T2, 2), (T2, 2)) == "vmem"
+    samp = GaussianDistribution.create(
+        std_dev=[1.0, 0.7], control_cost_coeff=[0.02, 0.01],
+        pure_noise_percentage=0.25,
+    )
+    mean = jnp.tile(jnp.array([0.3, -0.2]), (T2, 1))
+    U = mean[None] + 0.3 * jax.random.normal(jax.random.PRNGKey(0),
+                                             (K2, T2, 2))
+    lam, alpha = jnp.float32(1.3), jnp.float32(0.2)
+    base, crash0 = fused_rollout_costs(dyn, cost, x0, U, dt)
+    lr = samp.likelihood_ratio_cost(U, mean, lam, alpha)
+    fused, crash1 = fused_rollout_costs(
+        dyn, cost, x0, U, dt,
+        lr_params=(mean, samp._sigma(T2, 0), samp.control_cost_coeff,
+                   lam, alpha, (1.0 - samp.pure_noise_percentage) * K2),
+    )
+    np.testing.assert_allclose(np.asarray(fused),
+                               np.asarray(base + lr / T2),
+                               rtol=1e-4, atol=1e-5)
+    assert bool(jnp.all(crash0 == crash1))
+
+    # fused RMPPI at T=512: the (T, C*S) gains table is 16 KB > SMEM
+    T3 = 512
+    assert _table_mode((T3, 2 * 4), (T3, 2)) == "vmem"
+
+    def rctrl(kernel):
+        return RobustMPPI(
+            dynamics=dyn, cost=cost,
+            sampler=GaussianDistribution.create(std_dev=[1.0, 1.0]),
+            num_timesteps=T3, num_rollouts=256,
+            num_candidates=3, samples_per_condition=16,
+            value_function_threshold=jnp.float32(50.0),
+            feedback=DDPFeedback.create(dyn, 0.02), kernel=kernel,
+        )
+
+    cs = rctrl("combined").init_state(jax.random.PRNGKey(1))
+    x0r = jnp.array([2.0, 0.0, 0.0, 1.0])
+    res_p, _ = jax.jit(rctrl("pallas").solve)(x0r, cs)
+    res_c, _ = jax.jit(rctrl("combined").solve)(x0r, cs)
+    assert bool(jnp.isfinite(res_p.real.baseline))
+    np.testing.assert_allclose(np.asarray(res_p.real.control_mean),
+                               np.asarray(res_c.real.control_mean),
+                               rtol=1e-3, atol=1e-4)
+
+
+CHECKS.append(check_vmem_table_long_horizon)
+
+
 # keep this at the very END of the file: checks appended above must be
 # registered before the standalone script runs them
 if __name__ == "__main__":

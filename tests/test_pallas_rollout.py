@@ -270,33 +270,48 @@ def test_fused_rollout_bf16_state_option():
     assert np.all(np.isfinite(np.asarray(c16)))
 
 
-def test_long_horizon_smem_table_gates():
-    """Horizons whose (T, C) SMEM parameter tables exceed the scalar-memory
-    budget raise PallasIncompatible (graceful fallback) instead of failing
-    Mosaic compilation; the table-free fused rollout still works (verified
-    compiled at T=1024 on hardware — the dummies shrank to (1, 1))."""
+def test_long_horizon_vmem_tables():
+    """Horizons whose (T, C) parameter tables exceed the ~13 KB SMEM
+    scalar-memory budget switch to the sublane-stacked (T, R8, LANES) VMEM
+    table layout instead of losing the fused kernel: at T=1024 the
+    in-kernel-LR path still runs and matches the XLA LR decomposition
+    (the reference's per-timestep parameter reads, core/mppi_common.cu:
+    98-137, have no horizon ceiling; now neither does this kernel)."""
+    from mppi_generic_tpu.ops.pallas_rollout import _table_mode
     from mppi_generic_tpu.sampling import GaussianDistribution
 
     dyn = DoubleIntegratorDynamics.create(control_ranges=[[-3, 3], [-3, 3]])
     cost = DoubleIntegratorCircleCost()
     x0 = jnp.array([2.0, 0.0, 0.0, 1.0])
     K, T = 128, 1024
-    U = 0.3 * jax.random.normal(jax.random.PRNGKey(0), (K, T, 2))
+    samp = GaussianDistribution.create(
+        std_dev=[1.0, 0.7], control_cost_coeff=[0.02, 0.01],
+        pure_noise_percentage=0.25,
+    )
+    mean = jnp.tile(jnp.array([0.3, -0.2]), (T, 1))
+    U = mean[None] + 0.3 * jax.random.normal(jax.random.PRNGKey(0),
+                                             (K, T, 2))
+    lam, alpha = jnp.float32(1.3), jnp.float32(0.2)
+
+    assert _table_mode((T, 2), (T, 2)) == "vmem"
 
     # table-free fused rollout: fine at long T (interpret mode here)
-    c_p, _ = fused_rollout_costs(dyn, cost, x0, U, jnp.float32(0.02))
-    assert np.all(np.isfinite(np.asarray(c_p)))
+    base, crash0 = fused_rollout_costs(dyn, cost, x0, U, jnp.float32(0.02))
+    assert np.all(np.isfinite(np.asarray(base)))
 
-    # in-kernel LR tables: over budget -> PallasIncompatible
-    with pytest.raises(PallasIncompatible):
-        fused_rollout_costs(
-            dyn, cost, x0, U, jnp.float32(0.02),
-            lr_params=(jnp.zeros((T, 2)), jnp.ones((T, 2)), jnp.ones(2),
-                       1.0, 0.0, float(K)),
-        )
+    # in-kernel LR via the stacked VMEM table == XLA LR added outside
+    lr = samp.likelihood_ratio_cost(U, mean, lam, alpha)
+    fused, crash1 = fused_rollout_costs(
+        dyn, cost, x0, U, jnp.float32(0.02),
+        lr_params=(mean, samp._sigma(T, 0), samp.control_cost_coeff,
+                   lam, alpha, (1.0 - samp.pure_noise_percentage) * K),
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(base + lr / T), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(crash0), np.asarray(crash1))
 
-    # the controller's in-kernel-LR branch falls back to XLA LR + fused
-    # rollout and still solves
+    # the controller's in-kernel-LR branch keeps the fused kernel too
     ctrl = VanillaMPPI(
         dynamics=dyn, cost=cost,
         sampler=GaussianDistribution.create(
@@ -307,3 +322,7 @@ def test_long_horizon_smem_table_gates():
     cs = ctrl.init_state(jax.random.PRNGKey(1))
     res, _ = ctrl.solve(x0, cs)
     assert bool(jnp.isfinite(res.baseline))
+
+    # only past the VMEM budget (~4 MB stacked) does the fused path gate
+    with pytest.raises(PallasIncompatible):
+        _table_mode((20000, 2), (20000, 2))

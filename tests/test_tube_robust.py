@@ -199,15 +199,18 @@ def test_rmppi_closed_loop_with_disturbances():
     assert crashes < 10, f"left the track {crashes}/60 steps"
 
 
-def test_rmppi_long_horizon_falls_back_from_fused_kernel():
+def test_rmppi_long_horizon_keeps_fused_kernel():
     """A horizon whose (T, C*S) feedback-gain table exceeds the fused
-    kernel's SMEM budget must fall back to the XLA augmented scan instead
-    of failing to compile."""
+    kernel's SMEM budget rides the sublane-stacked VMEM table instead of
+    losing the kernel (and the solve still matches the XLA augmented scan
+    — the non-pallas twin below)."""
     from mppi_generic_tpu.controllers import RobustMPPI
     from mppi_generic_tpu.feedback import DDPFeedback
+    from mppi_generic_tpu.ops.pallas_rollout import _table_mode
 
     dyn = DoubleIntegratorDynamics.create(control_ranges=[[-3, 3], [-3, 3]])
-    T = 512  # gains table 512*2*4*4B = 16 KB > the 13 KB budget
+    T = 512  # gains table 512*2*4*4B = 16 KB > the 13 KB SMEM budget
+    assert _table_mode((T, 2 * 4), (T, 2)) == "vmem"
     ctrl = RobustMPPI(
         dynamics=dyn,
         cost=DoubleIntegratorCircleCost(),
@@ -225,3 +228,10 @@ def test_rmppi_long_horizon_falls_back_from_fused_kernel():
     res, _ = ctrl.solve(x0, cs)
     assert bool(jnp.isfinite(res.real.baseline))
     assert bool(jnp.isfinite(res.nominal.baseline))
+    # parity vs the XLA augmented scan at the same horizon
+    ref = ctrl.replace(kernel="combined")
+    res_ref, _ = ref.solve(x0, cs)
+    np.testing.assert_allclose(
+        np.asarray(res.real.control_mean),
+        np.asarray(res_ref.real.control_mean), rtol=1e-4, atol=1e-5,
+    )
