@@ -373,10 +373,19 @@ class BufferedPlant(BasePlant):
     def get_smoothed_buffer(self, end_time):
         return self.buffer.smoothed(end_time, self.buffer_dt, self.buffer_steps)
 
+    _warm_start_jit = None
+
     def _buffer_hook(self, state_time):
         dyn = self.controller.dynamics
         if dyn.requires_buffer and len(self.buffer) > 0:
             buf = jnp.asarray(self.get_smoothed_buffer(state_time))
+            # jit the init-network forward (it runs every solve iteration;
+            # eagerly it is hundreds of small dispatches) — dynamics is a
+            # pytree argument, so hot-swaps recompile only on treedef change
+            if BufferedPlant._warm_start_jit is None:
+                BufferedPlant._warm_start_jit = jax.jit(
+                    lambda d, b: d.update_from_buffer(b)
+                )
             self.controller = self.controller.replace(
-                dynamics=dyn.update_from_buffer(buf)
+                dynamics=BufferedPlant._warm_start_jit(dyn, buf)
             )

@@ -1,0 +1,222 @@
+"""Live RACER mission smoke — the hardest integration path as ONE closed
+loop (VERDICT r2 item 5): BufferedPlant sensor buffer -> LSTM-LSTM
+warm-start -> elevation + track maps -> colored-noise solve -> native
+actuation publisher, with a 50 Hz estimator thread feeding states while
+the solver loop runs.
+
+Pieces under test together (each is unit-tested alone elsewhere):
+
+* ``RacerDubinsElevationLSTMSteering`` with an ``LSTMLSTM`` init network —
+  the plant's ``_buffer_hook`` must resample the sensor buffer to fixed dt
+  and warm-start the rollout LSTM's (h0, c0) every solve (reference hook
+  ``base_plant.hpp:477-482`` + ``buffered_plant.hpp:11-84`` +
+  ``lstm_lstm_helper.cuh``);
+* ``ARStandardCost`` with a straight-corridor track texture and the
+  elevation ramp map on the dynamics (texture_helper pipeline);
+* ``ColoredNoiseDistribution`` sampling inside the solve;
+* the native ``RtSolution`` actuation fast path publishing at ESTIMATOR
+  rate (50 Hz) while solves land at their own rate.
+
+Run:  python scripts/tpu_racer_mission_smoke.py
+(~2-3 min through the relay; also wrapped by the TPU pytest tier,
+tests/test_tpu_plant.py. ``--cpu --tiny`` runs a seconds-scale logic
+check on the CPU backend — the environment's sitecustomize registers the
+TPU plugin at startup, so the flag flips ``jax_platforms`` after import,
+same dance as tests/conftest.py.)
+"""
+
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if "--cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+
+from mppi_generic_tpu.controllers import VanillaMPPI
+from mppi_generic_tpu.costs import ARStandardCost
+from mppi_generic_tpu.maps import MapTexture2D
+from mppi_generic_tpu.models import RacerDubinsElevationLSTMSteering
+from mppi_generic_tpu.nn import LSTM, LSTMLSTM
+from mppi_generic_tpu.runtime.plant import BufferedPlant
+from mppi_generic_tpu.sampling import ColoredNoiseDistribution
+
+STATE_DIM = 9
+BUFFER_STEPS = 10
+
+
+class MissionPlant(BufferedPlant):
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        self.n_pub = 0
+        self.last_u = None
+
+    def pub_control(self, u):
+        self.n_pub += 1
+        self.last_u = np.asarray(u)
+
+
+def build_controller(key, num_rollouts=512, num_timesteps=64):
+    """RACER steering-LSTM vehicle with warm-start init net, elevation
+    ramp, corridor track map, colored noise."""
+    k1, k2 = jax.random.split(key)
+    # gentle ramp along +x (settling kinematics exercise the map reads)
+    W = H = 64
+    xs = np.linspace(0, 63, W)[None, :] * 0.02
+    elev = MapTexture2D.create(
+        np.tile(xs, (H, 1)).astype(np.float32),
+        origin=(-32.0, -32.0, 0.0), resolution=1.0,
+    )
+    dyn = RacerDubinsElevationLSTMSteering.create(
+        elevation_map=elev, key=k1,
+        control_ranges=[[-1.0, 1.0], [-1.0, 1.0]],
+    )
+    # init-LSTM over the smoothed (BUFFER_STEPS, 9) state window emits the
+    # prediction LSTM's [h0; c0]
+    H_pred = dyn.lstm.hidden_dim
+    ll = LSTMLSTM(
+        init_model=LSTM.create(
+            STATE_DIM, 12, output_layers=[12 + STATE_DIM, 16, 2 * H_pred],
+            key=k2,
+        ),
+        pred_model=dyn.lstm,
+        init_len=BUFFER_STEPS,
+    )
+    dyn = dyn.replace(lstm_lstm=ll)
+    assert dyn.requires_buffer
+
+    # straight corridor along +x: track cost grows off the centerline
+    ys = np.abs(np.linspace(-1, 1, 32))[:, None]
+    track = np.tile(ys, (1, 64)).astype(np.float32)
+    tex = MapTexture2D.create(
+        track, origin=(-10.0, -8.0, 0.0), resolution=(1.0, 0.5, 1.0)
+    )
+    cost = ARStandardCost(
+        costmap=tex, desired_speed=jnp.float32(2.0),
+        track_coeff=jnp.float32(40.0), crash_coeff=jnp.float32(1000.0),
+        output_indices=(2, 3, 5, 6, 0, 1),
+    )
+    return VanillaMPPI(
+        dynamics=dyn,
+        cost=cost,
+        sampler=ColoredNoiseDistribution.create(
+            exponents=[1.0, 2.0], std_dev=[0.4, 0.4],
+            control_cost_coeff=[0.01, 0.01],
+        ),
+        dt=jnp.float32(0.02),
+        lam=jnp.float32(1.0),
+        alpha=jnp.float32(0.0),
+        num_timesteps=num_timesteps,
+        num_rollouts=num_rollouts,
+        num_iters=1,
+        kernel="combined",
+    )
+
+
+def run_mission(duration_s=6.0, estimator_hz=50.0, solver_hz=20.0,
+                num_rollouts=512, num_timesteps=64):
+    ctrl = build_controller(jax.random.PRNGKey(0),
+                            num_rollouts=num_rollouts,
+                            num_timesteps=num_timesteps)
+    cs = ctrl.init_state(jax.random.key(0, impl="rbg"))
+    plant = MissionPlant(
+        ctrl, cs, hz=solver_hz,
+        buffer_dim=STATE_DIM, buffer_tau=2.0,
+        buffer_dt=0.02, buffer_steps=BUFFER_STEPS,
+    )
+    dyn0 = ctrl.dynamics
+    x = np.zeros(STATE_DIM, np.float32)
+    x[0] = 1.5  # rolling start down the corridor
+
+    # seed the buffer + pre-warm the solve compile outside the timed loop
+    for i in range(BUFFER_STEPS):
+        plant.add_buffer_entry(0.01 * i, x)
+    plant.update_state(x, 0.1)
+    assert plant.run_control_iteration(timeout=10.0)
+    # the buffer hook must have warm-started the rollout LSTM
+    warm = plant.controller.dynamics
+    h_norm = float(jnp.linalg.norm(warm.warm_hidden))
+    assert h_norm > 0, "buffer hook did not warm-start the LSTM"
+
+    stop = threading.Event()
+
+    def solver():
+        while not stop.is_set():
+            plant.run_control_iteration(timeout=0.1)
+
+    th = threading.Thread(target=solver)
+    th.start()
+
+    t0 = time.monotonic()
+    n_est = 0
+    period = 1.0 / estimator_hz
+    while time.monotonic() - t0 < duration_s:
+        t = 0.2 + time.monotonic() - t0
+        plant.update_state(x, t)
+        plant.add_buffer_entry(t, x)
+        n_est += 1
+        if plant.last_u is not None:
+            u = jnp.asarray(plant.last_u)
+            x = np.asarray(
+                dyn0.step(jnp.asarray(x), u, 0.0, ctrl.dt)[0], np.float32
+            )
+        time.sleep(period)
+    stop.set()
+    th.join(timeout=10)
+    return plant, x, n_est
+
+
+def main():
+    tiny = "--tiny" in sys.argv
+    plant, x, n_est = run_mission(
+        duration_s=8.0 if tiny else 6.0,  # tiny CPU: eager-dispatch heavy
+        num_rollouts=64 if tiny else 512,
+        num_timesteps=24 if tiny else 64,
+    )
+    print(f"iterations: {plant.stats.num_iterations}  "
+          f"published: {plant.n_pub} / {n_est} estimator updates  "
+          f"avg optimize ms: {plant.stats.avg_optimize_ms:.2f}  "
+          f"final x: {x[2]:.2f} y: {x[3]:.2f}")
+
+    assert plant.stats.num_iterations > (2 if tiny else 5)
+    # the native fast path publishes at estimator rate once solutions flow
+    assert plant.n_pub > (0.2 if tiny else 0.5) * n_est, (plant.n_pub, n_est)
+    assert plant.last_u is not None and np.all(np.isfinite(plant.last_u))
+    assert np.all(np.abs(plant.last_u) <= 1.0 + 1e-5)
+    # the car made forward progress and held the corridor centerline
+    assert x[2] > (0.05 if tiny else 1.0), f"no forward progress: x={x[2]}"
+    assert abs(x[3]) < 3.0, f"left the corridor: y={x[3]}"
+
+    # warm-started hidden states must actually change the solve: same
+    # state + key, warm vs zeroed (h0, c0). The steering-LSTM correction
+    # perturbs the rollout trajectories (and hence the nominal trajectory
+    # the plant publishes, pub_nominal_state); at smoke scale the cost
+    # difference can sit below f32 epsilon, so the trajectory — which the
+    # solve re-rolls through the warm dynamics — is the robust observable.
+    ctrl_w = plant.controller
+    dyn_w = ctrl_w.dynamics
+    assert float(jnp.linalg.norm(dyn_w.warm_hidden)) > 0
+    ctrl_c = ctrl_w.replace(dynamics=dyn_w.replace(
+        warm_hidden=jnp.zeros_like(dyn_w.warm_hidden),
+        warm_cell=jnp.zeros_like(dyn_w.warm_cell),
+    ))
+    cs0 = ctrl_w.init_state(jax.random.key(7, impl="rbg"))
+    xj = jnp.asarray(x)
+    res_w, _ = jax.jit(ctrl_w.solve)(xj, cs0)
+    res_c, _ = jax.jit(ctrl_c.solve)(xj, cs0)
+    dtraj = float(jnp.max(jnp.abs(
+        res_w.state_trajectory - res_c.state_trajectory
+    )))
+    assert dtraj > 1e-5, "warm-start has no effect on the solve"
+    print(f"warm-vs-cold max |dX|: {dtraj:.2e}")
+    print("RACER MISSION SMOKE PASSED")
+
+
+if __name__ == "__main__":
+    main()
