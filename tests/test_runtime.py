@@ -239,6 +239,52 @@ def test_buffered_plant_warm_start_hook():
     assert plant.run_control_iteration()
 
 
+def test_buffered_plant_lstm_warm_start_flows_into_solve():
+    """With an LSTM-LSTM-equipped model the buffer hook must run the jitted
+    init-network forward every solve iteration and the warm (h0, c0) must
+    reach the rollout dynamics (buffered_plant.hpp:11-84 +
+    lstm_lstm_helper.cuh warm-start contract)."""
+    from mppi_generic_tpu.costs import ARStandardCost
+    from mppi_generic_tpu.maps import MapTexture2D
+    from mppi_generic_tpu.models import RacerDubinsElevationLSTMSteering
+    from mppi_generic_tpu.nn import LSTM, LSTMLSTM
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    dyn = RacerDubinsElevationLSTMSteering.create(key=k1)
+    H = dyn.lstm.hidden_dim
+    dyn = dyn.replace(lstm_lstm=LSTMLSTM(
+        init_model=LSTM.create(9, 8, output_layers=[8 + 9, 2 * H], key=k2),
+        pred_model=dyn.lstm, init_len=4,
+    ))
+    assert dyn.requires_buffer
+    tex = MapTexture2D.create(np.zeros((8, 8), np.float32),
+                              origin=(-4.0, -4.0, 0.0), resolution=1.0)
+    ctrl = VanillaMPPI(
+        dynamics=dyn,
+        cost=ARStandardCost(costmap=tex,
+                            output_indices=(2, 3, 5, 6, 0, 1)),
+        sampler=GaussianDistribution.create(std_dev=[0.3, 0.3]),
+        num_timesteps=8, num_rollouts=64,
+    )
+    plant = BufferedPlant(ctrl, ctrl.init_state(jax.random.PRNGKey(0)),
+                          buffer_dim=9, buffer_steps=4, buffer_dt=0.05)
+    plant.pub_control = lambda u: None
+    for t in np.linspace(0, 0.5, 6):
+        plant.add_buffer_entry(float(t),
+                               np.full(9, 0.1 * t, np.float32))
+    x = np.zeros(9, np.float32)
+    x[0] = 1.0
+    plant.update_state(x, 0.6)
+    assert plant.run_control_iteration(timeout=5.0)
+    warm = plant.controller.dynamics
+    assert float(jnp.linalg.norm(warm.warm_hidden)) > 0
+    assert float(jnp.linalg.norm(warm.warm_cell)) > 0
+    # the warm state IS the rollout's initial recurrent state
+    h0, c0 = warm.init_recurrent_state()
+    np.testing.assert_array_equal(np.asarray(h0),
+                                  np.asarray(warm.warm_hidden))
+
+
 def test_buffer_quaternion_nlerp():
     """Quaternion segments interpolate on the unit sphere with hemisphere
     correction (buffer.hpp slerps quats; nlerp is its small-angle twin)."""
