@@ -458,9 +458,37 @@ def suite():
     return results
 
 
+def _backend_watchdog(timeout_s=180.0):
+    """Fail fast — with a diagnostic JSON line — if backend init wedges.
+
+    The axon PJRT client retries forever when the relay's chip grant never
+    arrives (observed: tunnel outage leaves ``jax.devices()`` sleeping in a
+    retry loop with zero network activity). A silent hang gives the driver
+    nothing; one parseable error line is strictly better."""
+    import os
+    import threading
+
+    done = threading.Event()
+
+    def watch():
+        if not done.wait(timeout_s):
+            print(json.dumps({
+                "metric": "rollouts/s", "value": 0, "unit": "rollouts/s",
+                "vs_baseline": 0.0,
+                "error": f"backend init exceeded {timeout_s:.0f}s — TPU "
+                         "relay unreachable (jax.devices() wedged)",
+            }), flush=True)
+            os._exit(2)
+
+    threading.Thread(target=watch, daemon=True).start()
+    jax.devices()  # blocks here if the relay is wedged
+    done.set()
+
+
 if __name__ == "__main__":
     import sys
 
+    _backend_watchdog()
     if "--suite" in sys.argv:
         suite()
     else:
