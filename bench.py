@@ -425,6 +425,12 @@ def suite():
         for line in proc.stdout.splitlines():
             if line.startswith("{"):
                 entry = json.loads(line)
+                if "devices" not in entry:
+                    # scaling_bench also prints its own analytic ici_model
+                    # rows (anchored on the CPU-mesh solve) — item 7 below
+                    # emits the TPU-anchored predictions; don't mislabel
+                    # the CPU-anchored ones as measured scaling rows
+                    continue
                 entry["config"] = "scaling_cpu_mesh"
                 results.append(entry)
                 print(json.dumps(entry))
@@ -446,15 +452,20 @@ def suite():
     # single-chip solve times (configs 1 and 5).
     from mppi_generic_tpu.parallel import ici_model
 
-    solve_us = {"vanilla": results[0]["steady_state_solve_ms"] * 1e3}
+    # each variant's payload is computed at ITS OWN measured config's
+    # horizon (vanilla config 1: T=100; rmppi config 5: T=50)
+    variant_t = {"vanilla":
+                 (100, results[0]["steady_state_solve_ms"] * 1e3)}
     rmppi = next((r for r in results
                   if r["config"].startswith("rmppi")), None)
     if rmppi:
-        solve_us["robust"] = rmppi["steady_state_solve_ms"] * 1e3
-    for row in ici_model.traffic_table(100, 2, solve_us, sizes=(4, 8, 32)):
-        row["config"] = "ici_model_predicted"
-        results.append(row)
-        print(json.dumps(row))
+        variant_t["robust"] = (50, rmppi["steady_state_solve_ms"] * 1e3)
+    for variant, (T_v, us) in variant_t.items():
+        for row in ici_model.traffic_table(T_v, 2, {variant: us},
+                                           sizes=(4, 8, 32)):
+            row["config"] = "ici_model_predicted"
+            results.append(row)
+            print(json.dumps(row))
     return results
 
 

@@ -92,11 +92,12 @@ class VanillaMPPI(ControllerBase):
         sampler = self.sampler if sampler is None else sampler
         if self.kernel == "pallas" and self._gaussian_lr(sampler):
             # Gaussian-family LR accumulates inside the fused kernel from
-            # SMEM scalars (lr_params below) — no separate XLA LR pass.
-            # This is how colored-noise solves stay on the fused path: FFT
-            # generation in XLA, everything after in one kernel. Horizons
-            # whose (T, C) tables exceed the SMEM budget fall through to
-            # the XLA-LR + fused-rollout combination below.
+            # per-timestep parameter tables (lr_params below) — no separate
+            # XLA LR pass. This is how colored-noise solves stay on the
+            # fused path: FFT generation in XLA, everything after in one
+            # kernel. Tables past the SMEM scalar budget ride the stacked
+            # VMEM layout; only past the 4 MB VMEM table budget does this
+            # fall through to the XLA-LR + fused-rollout combination below.
             K = U.shape[0]
             lr_params = (
                 mean,

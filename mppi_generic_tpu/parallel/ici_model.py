@@ -41,7 +41,6 @@ latency-dominated by design.
 
 from __future__ import annotations
 
-from typing import Optional
 
 # Published per-chip interconnect figures (TPU v4-class: 6 ICI links/chip,
 # ~45 GB/s per direction each; DCN via host NIC). Override per chip.

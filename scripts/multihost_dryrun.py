@@ -185,8 +185,11 @@ def run_worker(port, pid, nprocs, outdir):
     tube = _build_tube(K_XLA)
     tube_sh = shard_controller(tube, mesh)
     ts = jax.device_put(tube.init_state(jax.random.PRNGKey(1)), replicated)
+    tube_solve = jax.jit(tube_sh.solve)
+    tres, _ = tube_solve(x0, ts)  # warmup: keep compile out of solve_ms
+    jax.block_until_ready(tres.real.control_mean)
     t0 = time.perf_counter()
-    tres, _ = jax.jit(tube_sh.solve)(x0, ts)
+    tres, _ = tube_solve(x0, ts)
     jax.block_until_ready(tres.real.control_mean)
     dt_ms = (time.perf_counter() - t0) * 1e3
     if pid == 0:

@@ -13,7 +13,6 @@ Usage: python scripts/solve_breakdown.py [--rollouts 1024] [--timesteps 100]
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -109,16 +108,11 @@ def main():
               jax.random.PRNGKey(0), cs.control_history)
     results = {}
     prev = None
+    from bench import time_fn  # one timing convention across harnesses
+
     for stage in STAGES:
         f = make(stage)
-        out = f(carry0)
-        jax.block_until_ready(out[1])
-        ts = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            out = f(carry0)
-            jax.block_until_ready(out[1])
-            ts.append(time.perf_counter() - t0)
+        ts = time_fn(lambda c: f(c)[1], (carry0,), n_warmup=1, n_timed=5)
         ms = float(np.median(ts)) / S * 1e3
         delta = ms - prev if prev is not None else 0.0
         results[stage] = ms
