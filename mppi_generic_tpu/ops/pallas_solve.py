@@ -297,6 +297,25 @@ def _fused_solve_call(leaves, treedef, dynamics_static, cost_static,
     return costs, crash, num[:T, :, 0, 0], md[0, 0], md[0, 1], U
 
 
+def flash_combine(m, d, num, axis):
+    """Cross-chip merge of per-shard online-softmax carries: one pmax + two
+    psums — 8 B of scalars + one (T, C) row per solve over ICI.
+
+    Per-shard carries follow the flash-attention rescaling convention the
+    kernel accumulates with: ``m = max_k s_k`` (``s_k = -J_k / lambda``),
+    ``d = sum_k exp(s_k - m)``, ``num = sum_k exp(s_k - m) * U_k``. The
+    merged ``(m_g, d_g, num_g)`` satisfy ``num_g / d_g == softmax-weighted
+    mean over ALL shards'' samples`` exactly (not approximately) — tested
+    against a NumPy oracle on the CPU mesh in
+    tests/test_sharding.py::test_flash_combine_matches_global_softmax,
+    since the kernel that produces the carries is TPU-only."""
+    m_g = jax.lax.pmax(m, axis)
+    sc = jnp.exp(m - m_g)
+    d_g = jax.lax.psum(d * sc, axis)
+    num_g = jax.lax.psum(num * sc, axis)
+    return m_g, d_g, num_g
+
+
 def fused_solve_iteration(
     dynamics: Dynamics,
     cost: Cost,
@@ -427,12 +446,7 @@ def fused_solve_iteration(
                 T, Tp, Tc, C, S, K_local, K_pad_local, tile_local,
                 noise_kind=noise_kind, emit_samples=return_samples,
             )
-            # cross-chip flash combine: one pmax + two psums — 8 B of
-            # scalars + one (T, C) row per solve over ICI
-            m_g = jax.lax.pmax(m, axis)
-            sc = jnp.exp(m - m_g)
-            d_g = jax.lax.psum(d * sc, axis)
-            num_g = jax.lax.psum(num * sc, axis)
+            m_g, d_g, num_g = flash_combine(m, d, num, axis)
             outs = (costs, crash, num_g / d_g, -lamv * m_g, d_g)
             return outs + ((U,) if return_samples else ())
 

@@ -269,3 +269,51 @@ def test_sharded_pallas_ddp_ladder_replicated():
         np.asarray(r_sh.real.control_mean),
         np.asarray(r_ref.real.control_mean), rtol=1e-3, atol=1e-4,
     )
+
+
+def test_flash_combine_matches_global_softmax():
+    """The sharded fused-solve epilogue's cross-chip merge
+    (ops/pallas_solve.flash_combine: pmax + two rescaled psums) must
+    reproduce the GLOBAL normExp-weighted mean exactly from per-shard
+    online-softmax carries. The kernel producing the carries is TPU-only,
+    so this runs the actual collective lines on the CPU mesh with carries
+    built the way the kernel builds them (flash-attention convention:
+    m = max s, d = sum exp(s - m), num = sum exp(s - m) * U)."""
+    from jax.sharding import PartitionSpec as P
+
+    from mppi_generic_tpu.ops.pallas_solve import flash_combine
+
+    n, K_loc, T, C = 8, 64, 5, 2
+    lam = 1.3
+    rng = np.random.RandomState(0)
+    J = rng.uniform(0.5, 40.0, size=(n, K_loc)).astype(np.float32)
+    U = rng.randn(n, K_loc, T, C).astype(np.float32)
+
+    # per-shard carries exactly as the kernel accumulates them
+    s = -J / lam
+    m_sh = s.max(axis=1)                                   # (n,)
+    e = np.exp(s - m_sh[:, None])                          # (n, K_loc)
+    d_sh = e.sum(axis=1)                                   # (n,)
+    num_sh = np.einsum("nk,nktc->ntc", e, U)               # (n, T, C)
+
+    mesh = make_sample_mesh(n)
+    out = jax.jit(jax.shard_map(
+        lambda m, d, num: flash_combine(m[0], d[0], num[0], "samples"),
+        mesh=mesh,
+        in_specs=(P("samples"), P("samples"), P("samples")),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    ))(jnp.asarray(m_sh), jnp.asarray(d_sh), jnp.asarray(num_sh))
+    m_g, d_g, num_g = (np.asarray(o) for o in out)
+
+    # oracle: plain global softmax over all n*K_loc samples
+    w = np.exp((s - s.max()).reshape(-1))
+    mean_ref = np.einsum("k,ktc->tc", w / w.sum(),
+                         U.reshape(-1, T, C))
+    np.testing.assert_allclose(m_g, s.max(), rtol=0, atol=0)
+    np.testing.assert_allclose(num_g / d_g, mean_ref, rtol=1e-5, atol=1e-6)
+    # baseline and eta come from the same carries
+    np.testing.assert_allclose(-lam * m_g, J.min(), rtol=1e-6)
+    np.testing.assert_allclose(
+        d_g, np.exp(-(J.reshape(-1) - J.min()) / lam).sum(), rtol=1e-5
+    )
