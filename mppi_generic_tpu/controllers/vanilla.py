@@ -39,6 +39,7 @@ from mppi_generic_tpu.ops import pallas_solve
 from mppi_generic_tpu.ops import rollout as rollout_ops
 from mppi_generic_tpu.ops import weights as weight_ops
 from mppi_generic_tpu.ops.weights import FreeEnergyStats
+from mppi_generic_tpu.sampling import base as sampling_base
 
 
 class VanillaMPPI(ControllerBase):
@@ -205,6 +206,43 @@ class VanillaMPPI(ControllerBase):
         )
         U = self._clamp_controls(U)
         U = self._shard_samples(U)
+        if (
+            self.kernel == "pallas"
+            and self.weight_transform == "exp"
+            and self.shaping_function is None
+            and aux is None
+            and self._gaussian_lr(self.sampler)
+            and type(self.sampler).update_mean
+            is sampling_base.SamplingDistribution.update_mean
+        ):
+            # precomputed-noise fused solve: rollout + in-kernel LR +
+            # normExp weights + flash weighted mean in ONE launch
+            # (ops/pallas_rollout.fused_weighted_rollout). This is how
+            # colored-noise / decayed-sigma solves keep the whole epilogue
+            # on-chip; per-sample weights for SolveResult are recomputed
+            # from costs/baseline in XLA (K elementwise exps).
+            K = U.shape[0]
+            lr_params = (
+                mean,
+                self.sampler._sigma(self.num_timesteps, iteration),
+                self.sampler.control_cost_coeff,
+                self.lam,
+                self.alpha,
+                (1.0 - self.sampler.pure_noise_percentage) * K,
+            )
+            try:
+                costs, crash, new_mean, baseline, eta = (
+                    pallas_rollout.fused_weighted_rollout(
+                        self.dynamics, self.cost, x0, U, self.dt, self.lam,
+                        lr_params=lr_params, tile_k=self.pallas_tile_k,
+                        sharding=self.sample_sharding,
+                    )
+                )
+                w = weight_ops.norm_exp_weights(costs, self.lam, baseline)
+                return new_mean, samp_state, (U, costs, w, baseline, eta,
+                                              crash)
+            except pallas_rollout.PallasIncompatible:
+                pass
         costs, Y, crash = self._rollout_costs(x0, U, mean, iteration=iteration)
         baseline = weight_ops.baseline_cost(costs)
         w = self._transform_weights(costs, baseline)

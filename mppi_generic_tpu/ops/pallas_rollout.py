@@ -254,13 +254,14 @@ def _broadcast_rec(rec, rows):
     jax.jit,
     static_argnames=("dynamics_static", "cost_static", "T", "C", "S",
                      "tile_k", "interpret", "treedef", "per_sample_x0",
-                     "recurrent", "with_lr", "state_dtype", "table_mode"),
+                     "recurrent", "with_lr", "state_dtype", "table_mode",
+                     "epilogue"),
 )
 def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_tck,
                 dt, T, C, S, tile_k, interpret, per_sample_x0=False,
                 recurrent=False, with_lr=False, lr_mean=None, lr_sigma=None,
                 lr_coeff=None, lr_scal=None, state_dtype="float32",
-                table_mode="smem"):
+                table_mode="smem", epilogue=False):
     del dynamics_static, cost_static  # only part of the jit cache key
     K_pad = U_tck.shape[-1]
     rows = tile_k // LANES
@@ -274,13 +275,17 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_tck,
         lr_mean = jnp.zeros((1, 1), jnp.float32)
         lr_sigma = jnp.ones((1, 1), jnp.float32)
         lr_coeff = jnp.zeros((1, C), jnp.float32)
-        lr_scal = jnp.zeros((1, 4), jnp.float32)
+        if lr_scal is None:
+            lr_scal = jnp.zeros((1, 6), jnp.float32)
 
     def kernel(*refs):
         leaf_refs = refs[: len(leaves)]
         (x0_ref, u_ref, dt_ref, mean_ref, sigma_ref, coeff_ref,
          lrs_ref) = refs[len(leaves): len(leaves) + 7]
-        costs_ref, crash_ref = refs[len(leaves) + 7:]
+        if epilogue:
+            costs_ref, crash_ref, num_ref, md_ref = refs[len(leaves) + 7:]
+        else:
+            costs_ref, crash_ref = refs[len(leaves) + 7:]
 
         cd = jnp.dtype(state_dtype)
         n_dyn = treedef.children()[0].num_leaves  # dynamics' leaf count
@@ -373,8 +378,53 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_tck,
             0, T, body, (x, rec0, crash0, acc0, y0)
         )
         term = cost.terminal_cost(y_last.astype(jnp.float32))
-        costs_ref[...] = ((acc + term) / T)[None]
+        J = (acc + term) / T
+        costs_ref[...] = J[None]
         crash_ref[...] = crash[None]
+
+        if epilogue:
+            # ---- flash (online-softmax) normExp weight + weighted-mean
+            # epilogue over the VMEM-resident U tile: the in-kernel analog
+            # of fullGPUcomputeWeights + weightedReductionKernel
+            # (mppi_common.cu:902-1053,710-765) for PRECOMPUTED samples
+            # (colored noise, piecewise, ...). Identical carry convention
+            # to ops/pallas_solve.py — merged across chips by
+            # pallas_solve.flash_combine.
+            lam_w = lrs_ref[0, 4]
+            k_loc = lrs_ref[0, 5].astype(jnp.int32)
+            ii = pl.program_id(0)
+            lane_e = (
+                jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0) * LANES
+                + jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+            )
+            valid = (ii * tile_k + lane_e) < k_loc
+            s = jnp.where(valid, -J / lam_w, -1e30)
+            tmax = jnp.max(s)
+            u4 = u_ref[...].reshape(T, C, rows, LANES).astype(jnp.float32)
+
+            def weighted_sum(w):
+                # staged lane-then-sublane reduction (Mosaic requires the
+                # trailing axis of a trailing-dims reduction to stay 1)
+                lanes = jnp.sum(u4 * w[None, None], axis=3, keepdims=True)
+                return jnp.sum(lanes, axis=2, keepdims=True)
+
+            @pl.when(ii == 0)
+            def _init():
+                w = jnp.exp(s - tmax)
+                num_ref[...] = weighted_sum(w)
+                md_ref[0, 0] = tmax
+                md_ref[0, 1] = jnp.sum(w)
+
+            @pl.when(ii > 0)
+            def _accum():
+                m_old = md_ref[0, 0]
+                d_old = md_ref[0, 1]
+                m_new = jnp.maximum(m_old, tmax)
+                scale = jnp.exp(m_old - m_new)
+                w = jnp.exp(s - m_new)
+                num_ref[...] = num_ref[...] * scale + weighted_sum(w)
+                md_ref[0, 0] = m_new
+                md_ref[0, 1] = d_old * scale + jnp.sum(w)
 
     leaf_shapes, leaf_specs = _prepare_leaves(leaves)
 
@@ -398,22 +448,31 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_tck,
         pl.BlockSpec(memory_space=pltpu.SMEM),  # lr coeff (1, C)
         pl.BlockSpec(memory_space=pltpu.SMEM),  # lr scalars (1, 4)
     ]
-    out_specs = (
+    out_specs = [
         pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-    )
-    out_shape = (
+    ]
+    out_shape = [
         jax.ShapeDtypeStruct((grid, rows, LANES), jnp.float32),
         jax.ShapeDtypeStruct((grid, rows, LANES), jnp.int32),
-    )
-    costs2d, crash2d = pl.pallas_call(
+    ]
+    if epilogue:
+        out_specs += [
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # num (T, C, 1, 1)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # [m, d] (1, 2)
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((T, C, 1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 2), jnp.float32),
+        ]
+    outs = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=40 * K_pad * T * (S + C),
@@ -425,7 +484,11 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_tck,
       jnp.asarray(lr_mean, jnp.float32),
       jnp.asarray(lr_sigma, jnp.float32),
       jnp.asarray(lr_coeff, jnp.float32).reshape(1, C),
-      jnp.asarray(lr_scal, jnp.float32).reshape(1, 4))
+      jnp.asarray(lr_scal, jnp.float32).reshape(1, -1))
+    costs2d, crash2d = outs[0], outs[1]
+    if epilogue:
+        return (costs2d.reshape(-1), crash2d.reshape(-1),
+                outs[2][:, :, 0, 0], outs[3])
     return costs2d.reshape(-1), crash2d.reshape(-1)
 
 
@@ -575,6 +638,157 @@ def fused_rollout_costs(
         state_dtype=state_dtype, **lr_kw,
     )
     return costs[:K], crash[:K]
+
+
+def fused_weighted_rollout(
+    dynamics: Dynamics,
+    cost: Cost,
+    x0: jnp.ndarray,
+    U: jnp.ndarray,
+    dt,
+    lam,
+    lr_params=None,
+    tile_k: int | None = None,
+    interpret: bool | None = None,
+    sharding=None,
+    state_dtype="float32",
+    _idx_offset=0,
+    _raw=False,
+):
+    """Fused rollout + in-kernel normExp weights + flash weighted-mean for
+    PRECOMPUTED control samples ``U`` (K, T, C). Returns ``(costs (K,),
+    crash (K,), new_mean (T, C), baseline (), eta ())`` — the whole MPPI
+    iteration epilogue (``fullGPUcomputeWeights`` +
+    ``weightedReductionKernel``, mppi_common.cu:902-1053,710-765) runs as
+    an online softmax over the VMEM-resident U tiles, so the cost vector
+    is the only per-sample tensor XLA touches afterwards.
+
+    This is the precomputed-noise complement of
+    ``pallas_solve.fused_solve_iteration``: it admits every sampler whose
+    noise generates in XLA (colored 1/f^beta via inverse-DFT, piecewise
+    linear, ...) to the fully-fused epilogue path. Exact only for the
+    normExp transform. ``lr_params`` as in :func:`fused_rollout_costs`;
+    when given, ``costs`` already include the likelihood-ratio term, which
+    the weights must see (combined-kernel semantics).
+
+    ``sharding``: sample-axis ``NamedSharding`` — per-shard kernels plus
+    one pmax + two psums merge the flash carries across chips
+    (``pallas_solve.flash_combine``: 8 B + one (T, C) row of ICI traffic).
+    """
+    K, T, C = U.shape
+    lam_f = jnp.asarray(lam, jnp.float32)
+    mesh, axis, n_shards = _mesh_axis(sharding)
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        from mppi_generic_tpu.ops.pallas_solve import flash_combine
+
+        if K % n_shards:
+            raise PallasIncompatible(
+                f"K={K} not divisible by mesh axis '{axis}'={n_shards}"
+            )
+        leaves, treedef = jax.tree_util.tree_flatten((dynamics, cost))
+        leaves = [jnp.asarray(l) for l in leaves]
+        per_sample_x0 = x0.ndim == 2
+        K_local = K // n_shards
+        if lr_params is None:
+            lr_pack = (jnp.zeros((T, C)), jnp.ones((T, C)), jnp.zeros((C,)),
+                       jnp.float32(0), jnp.float32(0), jnp.float32(0))
+            with_lr = False
+        else:
+            lr_pack = tuple(jnp.asarray(v, jnp.float32) for v in lr_params)
+            with_lr = True
+
+        def body(x0_l, U_l, dt_l, lam_l, lrp, *leaf_vals):
+            d, c = jax.tree_util.tree_unflatten(treedef, leaf_vals)
+            off = jax.lax.axis_index(axis) * K_local
+            costs, crash, num, md = fused_weighted_rollout(
+                d, c, x0_l, U_l, dt_l, lam_l,
+                lr_params=lrp if with_lr else None,
+                tile_k=tile_k, interpret=interpret,
+                state_dtype=state_dtype, _idx_offset=off, _raw=True,
+            )
+            m_g, d_g, num_g = flash_combine(md[0, 0], md[0, 1], num, axis)
+            return costs, crash, num_g / d_g, -lam_l * m_g, d_g
+
+        return jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(axis) if per_sample_x0 else P(), P(axis), P(), P(),
+                      (P(),) * 6) + _replicated(len(leaves)),
+            out_specs=(P(axis), P(axis), P(), P(), P()),
+            check_vma=False,
+        )(x0, U, jnp.asarray(dt, jnp.float32), lam_f, lr_pack, *leaves)
+
+    S = dynamics.STATE_DIM
+    leaves, treedef = jax.tree_util.tree_flatten((dynamics, cost))
+    leaves = [jnp.asarray(l) for l in leaves]
+    recurrent = dynamics.init_recurrent_state() is not None
+    _check_compatible(dynamics, leaves, allow_recurrent=True)
+    table_mode = "smem"
+    if lr_params is not None:
+        table_mode = _table_mode((T, C), (T, C))
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if tile_k is None:
+        tile_k = default_tile_k(K, T, C)
+    if tile_k % LANES:
+        raise ValueError(f"tile_k must be a multiple of {LANES}")
+
+    K_pad = _round_up(K, tile_k)
+    U_tck = jnp.transpose(U, (1, 2, 0))
+    if K_pad != K:
+        U_tck = jnp.pad(U_tck, ((0, 0), (0, 0), (0, K_pad - K)))
+
+    per_sample_x0 = x0.ndim == 2
+    if per_sample_x0:
+        x0 = jnp.transpose(x0, (1, 0))
+        if K_pad != K:
+            x0 = jnp.pad(x0, ((0, 0), (0, K_pad - K)))
+
+    # lr_scal rows 4-5 carry the epilogue's weighting lambda + this
+    # shard's valid sample count (the padded tail must not enter the
+    # softmax: exp(-inf - max) = 0 keeps it out exactly)
+    if lr_params is None:
+        lr_kw = dict(
+            with_lr=False,
+            lr_scal=jnp.stack([
+                jnp.float32(0), jnp.float32(0), jnp.float32(0),
+                jnp.float32(0), lam_f, jnp.float32(K),
+            ]).reshape(1, 6),
+        )
+    else:
+        m_, s_, c_, lam_, al_, pt_ = lr_params
+        if table_mode == "vmem":
+            lr_mean_arg = _stack_time_tables(m_, s_)
+            lr_sigma_arg = jnp.ones((1, 1), jnp.float32)
+        else:
+            lr_mean_arg, lr_sigma_arg = m_, s_
+        lr_kw = dict(
+            with_lr=True,
+            lr_mean=lr_mean_arg,
+            lr_sigma=lr_sigma_arg,
+            lr_coeff=c_,
+            lr_scal=jnp.stack([
+                jnp.asarray(lam_, jnp.float32),
+                jnp.asarray(al_, jnp.float32),
+                jnp.asarray(pt_, jnp.float32),
+                jnp.asarray(_idx_offset, jnp.float32),
+                lam_f, jnp.float32(K),
+            ]).reshape(1, 6),
+            table_mode=table_mode,
+        )
+    costs, crash, num, md = _fused_call(
+        leaves, treedef, type(dynamics).__name__, type(cost).__name__,
+        x0, U_tck, dt, T, C, S, tile_k, interpret,
+        per_sample_x0=per_sample_x0, recurrent=recurrent,
+        state_dtype=state_dtype, epilogue=True, **lr_kw,
+    )
+    costs, crash = costs[:K], crash[:K]
+    if _raw:
+        return costs, crash, num, md
+    return costs, crash, num / md[0, 1], -lam_f * md[0, 0], md[0, 1]
 
 
 # ---------------------------------------------------------------------------

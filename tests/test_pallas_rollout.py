@@ -326,3 +326,81 @@ def test_long_horizon_vmem_tables():
     # only past the VMEM budget (~4 MB stacked) does the fused path gate
     with pytest.raises(PallasIncompatible):
         _table_mode((20000, 2), (20000, 2))
+
+
+def test_fused_weighted_rollout_matches_xla_epilogue():
+    """fused_weighted_rollout: the in-kernel flash (online-softmax) normExp
+    weights + weighted mean equal the XLA epilogue (baseline_cost /
+    norm_exp_weights / update_mean) on the same precomputed U — incl. a
+    ragged K that exercises the padded-tail valid mask."""
+    from mppi_generic_tpu.ops import weights as weight_ops
+    from mppi_generic_tpu.ops.pallas_rollout import fused_weighted_rollout
+    from mppi_generic_tpu.sampling import GaussianDistribution
+
+    dyn = DoubleIntegratorDynamics.create(control_ranges=[[-3, 3], [-3, 3]])
+    cost = DoubleIntegratorCircleCost()
+    samp = GaussianDistribution.create(
+        std_dev=[1.0, 0.7], control_cost_coeff=[0.02, 0.01],
+        pure_noise_percentage=0.25,
+    )
+    T, C = 24, 2
+    x0 = jnp.array([2.0, 0.0, 0.0, 1.0])
+    mean = jnp.tile(jnp.array([0.3, -0.2]), (T, 1))
+    lam, alpha = jnp.float32(1.3), jnp.float32(0.2)
+
+    for K in (256, 300):  # 300: K_pad=384 > K — padded lanes must not enter
+        U = mean[None] + 0.5 * jax.random.normal(
+            jax.random.PRNGKey(3), (K, T, C)
+        )
+        lr_params = (mean, samp._sigma(T, 0), samp.control_cost_coeff,
+                     lam, alpha, (1.0 - samp.pure_noise_percentage) * K)
+        costs, crash, new_mean, baseline, eta = fused_weighted_rollout(
+            dyn, cost, x0, U, jnp.float32(0.02), lam,
+            lr_params=lr_params, tile_k=128,
+        )
+        # XLA oracle on the same costs
+        c_ref, crash_ref = fused_rollout_costs(
+            dyn, cost, x0, U, jnp.float32(0.02), lr_params=lr_params,
+            tile_k=128,
+        )
+        np.testing.assert_allclose(np.asarray(costs), np.asarray(c_ref),
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_array_equal(np.asarray(crash),
+                                      np.asarray(crash_ref))
+        bl_ref = weight_ops.baseline_cost(c_ref)
+        w_ref = weight_ops.norm_exp_weights(c_ref, lam, bl_ref)
+        eta_ref = weight_ops.normalizer(w_ref)
+        mean_ref, _ = samp.update_mean(U, None, w_ref, eta_ref, mean)
+        np.testing.assert_allclose(float(baseline), float(bl_ref),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(float(eta), float(eta_ref),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(new_mean),
+                                   np.asarray(mean_ref),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_fused_weighted_rollout_no_lr():
+    """lr_params=None: pure state-cost weighting still matches XLA."""
+    from mppi_generic_tpu.ops import weights as weight_ops
+    from mppi_generic_tpu.ops.pallas_rollout import fused_weighted_rollout
+
+    dyn, cost, x0 = _cases()[0]
+    K, T, C = 256, 16, 2
+    U = 0.4 * jax.random.normal(jax.random.PRNGKey(5), (K, T, C))
+    lam = jnp.float32(0.8)
+    costs, crash, new_mean, baseline, eta = fused_weighted_rollout(
+        dyn, cost, x0, U, jnp.float32(0.02), lam, tile_k=128,
+    )
+    c_ref, _, _ = rollout_combined(dyn, cost, x0, U, jnp.float32(0.02))
+    np.testing.assert_allclose(np.asarray(costs), np.asarray(c_ref),
+                               rtol=1e-5, atol=1e-6)
+    bl = weight_ops.baseline_cost(c_ref)
+    w = weight_ops.norm_exp_weights(c_ref, lam, bl)
+    np.testing.assert_allclose(float(eta), float(weight_ops.normalizer(w)),
+                               rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(new_mean),
+        np.asarray(jnp.sum((w / jnp.sum(w))[:, None, None] * U, axis=0)),
+        rtol=1e-5, atol=1e-6,
+    )
