@@ -210,3 +210,39 @@ def test_piecewise_linear_frozen_head():
     np.testing.assert_allclose(
         U[:, :4], jnp.broadcast_to(mean[None, :4], (32, 4, 1)), atol=1e-6
     )
+
+
+def test_colored_solve_pallas_epilogue_matches_combined():
+    """ColoredMPPI with kernel='pallas' (noise in XLA, rollout + in-kernel
+    LR + flash weights/mean in ONE Pallas launch via
+    fused_weighted_rollout) matches the all-XLA combined kernel end to end
+    — same key, same samples, same update."""
+    from mppi_generic_tpu.controllers import ColoredMPPI
+    from mppi_generic_tpu.costs import DoubleIntegratorCircleCost
+    from mppi_generic_tpu.models import DoubleIntegratorDynamics
+
+    dyn = DoubleIntegratorDynamics.create(control_ranges=[[-2, 2], [-2, 2]])
+    kw = dict(
+        dynamics=dyn,
+        cost=DoubleIntegratorCircleCost(),
+        sampler=ColoredNoiseDistribution.create(
+            std_dev=[1.0, 0.7], exponents=[1.0, 2.0],
+            control_cost_coeff=[0.02, 0.01], pure_noise_percentage=0.1,
+        ),
+        num_timesteps=16,
+        num_rollouts=256,
+        lam=jnp.float32(1.2),
+    )
+    x0 = jnp.array([2.0, 0.0, 0.0, 1.0])
+    cs = ColoredMPPI(kernel="combined", **kw).init_state(
+        jax.random.PRNGKey(7)
+    )
+    res_p, _ = jax.jit(ColoredMPPI(kernel="pallas", **kw).solve)(x0, cs)
+    res_c, _ = jax.jit(ColoredMPPI(kernel="combined", **kw).solve)(x0, cs)
+    np.testing.assert_allclose(
+        np.asarray(res_p.control_mean), np.asarray(res_c.control_mean),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        float(res_p.baseline), float(res_c.baseline), rtol=1e-5, atol=1e-5
+    )
