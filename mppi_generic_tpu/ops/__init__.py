@@ -2,6 +2,7 @@ from mppi_generic_tpu.ops.autotune import choose_appropriate_kernel
 from mppi_generic_tpu.ops.pallas_rollout import (
     PallasIncompatible,
     fused_rollout_costs,
+    fused_weighted_rollout,
 )
 from mppi_generic_tpu.ops.rollout import (
     rollout_combined,
@@ -24,6 +25,7 @@ __all__ = [
     "PallasIncompatible",
     "choose_appropriate_kernel",
     "fused_rollout_costs",
+    "fused_weighted_rollout",
     "rollout_combined",
     "rollout_outputs",
     "trajectory_state_costs",
