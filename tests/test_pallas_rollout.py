@@ -404,3 +404,48 @@ def test_fused_weighted_rollout_no_lr():
         np.asarray(jnp.sum((w / jnp.sum(w))[:, None, None] * U, axis=0)),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_fused_weighted_rollout_long_horizon_vmem_tables():
+    # NOTE: mean parity at T=1024 uses atol=2e-5 — f32 flash-rescaled tile
+    # accumulation vs XLA's single-pass sum differ in summation order
+    """The flash epilogue composes with the sublane-stacked VMEM parameter
+    tables: T past the ~13 KB SMEM scalar budget keeps BOTH the in-kernel
+    LR and the in-kernel weights/mean."""
+    from mppi_generic_tpu.ops import weights as weight_ops
+    from mppi_generic_tpu.ops.pallas_rollout import (
+        _table_mode,
+        fused_weighted_rollout,
+    )
+    from mppi_generic_tpu.sampling import GaussianDistribution
+
+    dyn = DoubleIntegratorDynamics.create(control_ranges=[[-3, 3], [-3, 3]])
+    cost = DoubleIntegratorCircleCost()
+    samp = GaussianDistribution.create(
+        std_dev=[1.0, 0.7], control_cost_coeff=[0.02, 0.01],
+    )
+    K, T, C = 128, 1024, 2
+    assert _table_mode((T, C), (T, C)) == "vmem"
+    x0 = jnp.array([2.0, 0.0, 0.0, 1.0])
+    mean = jnp.tile(jnp.array([0.3, -0.2]), (T, 1))
+    lam = jnp.float32(1.3)
+    U = mean[None] + 0.3 * jax.random.normal(jax.random.PRNGKey(0), (K, T, C))
+    lr_params = (mean, samp._sigma(T, 0), samp.control_cost_coeff,
+                 lam, jnp.float32(0.2), jnp.float32(K))
+    costs, crash, new_mean, baseline, eta = fused_weighted_rollout(
+        dyn, cost, x0, U, jnp.float32(0.02), lam, lr_params=lr_params,
+        tile_k=128,
+    )
+    c_ref, _ = fused_rollout_costs(
+        dyn, cost, x0, U, jnp.float32(0.02), lr_params=lr_params, tile_k=128
+    )
+    np.testing.assert_allclose(np.asarray(costs), np.asarray(c_ref),
+                               rtol=1e-6, atol=1e-7)
+    bl = weight_ops.baseline_cost(c_ref)
+    w = weight_ops.norm_exp_weights(c_ref, lam, bl)
+    np.testing.assert_allclose(float(baseline), float(bl), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(new_mean),
+        np.asarray(jnp.sum((w / jnp.sum(w))[:, None, None] * U, axis=0)),
+        rtol=1e-4, atol=2e-5,
+    )
