@@ -446,7 +446,9 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_tck,
             pltpu.VMEM if table_mode == "vmem" else pltpu.SMEM)),
         pl.BlockSpec(memory_space=pltpu.SMEM),  # lr sigma (T, C) | dummy
         pl.BlockSpec(memory_space=pltpu.SMEM),  # lr coeff (1, C)
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # lr scalars (1, 4)
+        # lr scalars: (1, 4) [lam, alpha, pure_thresh, idx_off]; the
+        # epilogue variant appends [4]=weighting lambda, [5]=valid K (1, 6)
+        pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
     out_specs = [
         pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
@@ -548,19 +550,7 @@ def fused_rollout_costs(
         leaves = [jnp.asarray(l) for l in leaves]
         per_sample_x0 = x0.ndim == 2
         K_local = K // n_shards
-        if lr_params is None:
-            lr_pack = (jnp.zeros((T, C)), jnp.ones((T, C)), jnp.zeros((C,)),
-                       jnp.float32(0), jnp.float32(0), jnp.float32(0))
-            with_lr = False
-        else:
-            m_, s_, c_, lam_, al_, pt_ = lr_params
-            lr_pack = (jnp.asarray(m_, jnp.float32),
-                       jnp.asarray(s_, jnp.float32),
-                       jnp.asarray(c_, jnp.float32),
-                       jnp.asarray(lam_, jnp.float32),
-                       jnp.asarray(al_, jnp.float32),
-                       jnp.asarray(pt_, jnp.float32))
-            with_lr = True
+        lr_pack, with_lr = _lr_pack(lr_params, T, C)
 
         def body(x0_l, U_l, dt_l, lrp, *leaf_vals):
             d, c = jax.tree_util.tree_unflatten(treedef, leaf_vals)
@@ -580,6 +570,38 @@ def fused_rollout_costs(
             out_specs=(P(axis), P(axis)),
             check_vma=False,
         )(x0, U, jnp.asarray(dt, jnp.float32), lr_pack, *leaves)
+    prep = _prep_fused_rollout(dynamics, cost, x0, U, lr_params, tile_k,
+                               interpret, _idx_offset)
+    (leaves, treedef, x0, U_tck, S, tile_k, interpret, per_sample_x0,
+     recurrent, lr_kw) = prep
+    costs, crash = _fused_call(
+        leaves, treedef, type(dynamics).__name__, type(cost).__name__,
+        x0, U_tck, dt, T, C, S, tile_k, interpret,
+        per_sample_x0=per_sample_x0, recurrent=recurrent,
+        state_dtype=state_dtype, **lr_kw,
+    )
+    return costs[:K], crash[:K]
+
+
+def _lr_pack(lr_params, T, C):
+    """(replicated-operand tuple, with_lr) for a shard_map body — the
+    6-slot LR parameter pack both precomputed-U fused paths replicate."""
+    if lr_params is None:
+        return (jnp.zeros((T, C)), jnp.ones((T, C)), jnp.zeros((C,)),
+                jnp.float32(0), jnp.float32(0), jnp.float32(0)), False
+    return tuple(jnp.asarray(v, jnp.float32) for v in lr_params), True
+
+
+def _prep_fused_rollout(dynamics, cost, x0, U, lr_params, tile_k, interpret,
+                        _idx_offset, epilogue_scal=None):
+    """Shared single-chip pre-kernel plumbing for the two precomputed-U
+    fused paths (`fused_rollout_costs`, `fused_weighted_rollout`): leaf
+    flatten + compatibility check, LR table-mode pick, tile sizing, the
+    time-major lane-major U transpose+pad (XLA fuses the transpose into
+    U's producer), per-sample-x0 transpose+pad, and the LR operand
+    packing. ``epilogue_scal``: optional ``(weighting lambda, valid K)``
+    appended as ``lr_scal[4:6]`` for the flash-epilogue variant."""
+    K, T, C = U.shape
     S = dynamics.STATE_DIM
     leaves, treedef = jax.tree_util.tree_flatten((dynamics, cost))
     leaves = [jnp.asarray(l) for l in leaves]
@@ -597,8 +619,6 @@ def fused_rollout_costs(
         raise ValueError(f"tile_k must be a multiple of {LANES}")
 
     K_pad = _round_up(K, tile_k)
-    # time-major lane-major layout; XLA fuses the transpose into the
-    # producer of U (the sampler's noise write).
     U_tck = jnp.transpose(U, (1, 2, 0))
     if K_pad != K:
         U_tck = jnp.pad(U_tck, ((0, 0), (0, 0), (0, K_pad - K)))
@@ -609,8 +629,14 @@ def fused_rollout_costs(
         if K_pad != K:
             x0 = jnp.pad(x0, ((0, 0), (0, K_pad - K)))
 
+    tail = ([jnp.asarray(v, jnp.float32) for v in epilogue_scal]
+            if epilogue_scal is not None else [])
     if lr_params is None:
         lr_kw = dict(with_lr=False)
+        if tail:
+            lr_kw["lr_scal"] = jnp.stack(
+                [jnp.float32(0)] * 4 + tail
+            ).reshape(1, 6)
     else:
         m_, s_, c_, lam_, al_, pt_ = lr_params
         if table_mode == "vmem":
@@ -618,26 +644,22 @@ def fused_rollout_costs(
             lr_sigma_arg = jnp.ones((1, 1), jnp.float32)  # unused dummy
         else:
             lr_mean_arg, lr_sigma_arg = m_, s_
+        scal = [
+            jnp.asarray(lam_, jnp.float32),
+            jnp.asarray(al_, jnp.float32),
+            jnp.asarray(pt_, jnp.float32),
+            jnp.asarray(_idx_offset, jnp.float32),
+        ] + tail
         lr_kw = dict(
             with_lr=True,
             lr_mean=lr_mean_arg,
             lr_sigma=lr_sigma_arg,
             lr_coeff=c_,
-            lr_scal=jnp.stack([
-                jnp.asarray(lam_, jnp.float32),
-                jnp.asarray(al_, jnp.float32),
-                jnp.asarray(pt_, jnp.float32),
-                jnp.asarray(_idx_offset, jnp.float32),
-            ]).reshape(1, 4),
+            lr_scal=jnp.stack(scal).reshape(1, len(scal)),
             table_mode=table_mode,
         )
-    costs, crash = _fused_call(
-        leaves, treedef, type(dynamics).__name__, type(cost).__name__,
-        x0, U_tck, dt, T, C, S, tile_k, interpret,
-        per_sample_x0=per_sample_x0, recurrent=recurrent,
-        state_dtype=state_dtype, **lr_kw,
-    )
-    return costs[:K], crash[:K]
+    return (leaves, treedef, x0, U_tck, S, tile_k, interpret,
+            per_sample_x0, recurrent, lr_kw)
 
 
 def fused_weighted_rollout(
@@ -691,13 +713,7 @@ def fused_weighted_rollout(
         leaves = [jnp.asarray(l) for l in leaves]
         per_sample_x0 = x0.ndim == 2
         K_local = K // n_shards
-        if lr_params is None:
-            lr_pack = (jnp.zeros((T, C)), jnp.ones((T, C)), jnp.zeros((C,)),
-                       jnp.float32(0), jnp.float32(0), jnp.float32(0))
-            with_lr = False
-        else:
-            lr_pack = tuple(jnp.asarray(v, jnp.float32) for v in lr_params)
-            with_lr = True
+        lr_pack, with_lr = _lr_pack(lr_params, T, C)
 
         def body(x0_l, U_l, dt_l, lam_l, lrp, *leaf_vals):
             d, c = jax.tree_util.tree_unflatten(treedef, leaf_vals)
@@ -720,65 +736,14 @@ def fused_weighted_rollout(
             check_vma=False,
         )(x0, U, jnp.asarray(dt, jnp.float32), lam_f, lr_pack, *leaves)
 
-    S = dynamics.STATE_DIM
-    leaves, treedef = jax.tree_util.tree_flatten((dynamics, cost))
-    leaves = [jnp.asarray(l) for l in leaves]
-    recurrent = dynamics.init_recurrent_state() is not None
-    _check_compatible(dynamics, leaves, allow_recurrent=True)
-    table_mode = "smem"
-    if lr_params is not None:
-        table_mode = _table_mode((T, C), (T, C))
-
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    if tile_k is None:
-        tile_k = default_tile_k(K, T, C)
-    if tile_k % LANES:
-        raise ValueError(f"tile_k must be a multiple of {LANES}")
-
-    K_pad = _round_up(K, tile_k)
-    U_tck = jnp.transpose(U, (1, 2, 0))
-    if K_pad != K:
-        U_tck = jnp.pad(U_tck, ((0, 0), (0, 0), (0, K_pad - K)))
-
-    per_sample_x0 = x0.ndim == 2
-    if per_sample_x0:
-        x0 = jnp.transpose(x0, (1, 0))
-        if K_pad != K:
-            x0 = jnp.pad(x0, ((0, 0), (0, K_pad - K)))
-
     # lr_scal rows 4-5 carry the epilogue's weighting lambda + this
     # shard's valid sample count (the padded tail must not enter the
     # softmax: exp(-inf - max) = 0 keeps it out exactly)
-    if lr_params is None:
-        lr_kw = dict(
-            with_lr=False,
-            lr_scal=jnp.stack([
-                jnp.float32(0), jnp.float32(0), jnp.float32(0),
-                jnp.float32(0), lam_f, jnp.float32(K),
-            ]).reshape(1, 6),
-        )
-    else:
-        m_, s_, c_, lam_, al_, pt_ = lr_params
-        if table_mode == "vmem":
-            lr_mean_arg = _stack_time_tables(m_, s_)
-            lr_sigma_arg = jnp.ones((1, 1), jnp.float32)
-        else:
-            lr_mean_arg, lr_sigma_arg = m_, s_
-        lr_kw = dict(
-            with_lr=True,
-            lr_mean=lr_mean_arg,
-            lr_sigma=lr_sigma_arg,
-            lr_coeff=c_,
-            lr_scal=jnp.stack([
-                jnp.asarray(lam_, jnp.float32),
-                jnp.asarray(al_, jnp.float32),
-                jnp.asarray(pt_, jnp.float32),
-                jnp.asarray(_idx_offset, jnp.float32),
-                lam_f, jnp.float32(K),
-            ]).reshape(1, 6),
-            table_mode=table_mode,
-        )
+    prep = _prep_fused_rollout(dynamics, cost, x0, U, lr_params, tile_k,
+                               interpret, _idx_offset,
+                               epilogue_scal=(lam_f, jnp.float32(K)))
+    (leaves, treedef, x0, U_tck, S, tile_k, interpret, per_sample_x0,
+     recurrent, lr_kw) = prep
     costs, crash, num, md = _fused_call(
         leaves, treedef, type(dynamics).__name__, type(cost).__name__,
         x0, U_tck, dt, T, C, S, tile_k, interpret,
