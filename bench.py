@@ -340,6 +340,23 @@ def suite():
     report("bicycle_slip_colored_trackmap", ctrl,
            jnp.zeros(ctrl.dynamics.STATE_DIM), 1920)
 
+    # 3b. colored noise, flat ground: the round-3 precomputed-noise fused
+    # path (inverse-DFT generation in XLA, then rollout + in-kernel LR +
+    # flash normExp weights/mean in ONE Pallas launch,
+    # ops/pallas_rollout.fused_weighted_rollout)
+    ctrl = VanillaMPPI(
+        dynamics=DoubleIntegratorDynamics.create(),
+        cost=DoubleIntegratorCircleCost(),
+        sampler=ColoredNoiseDistribution.create(
+            std_dev=[1.0, 1.0], exponents=[1.0, 2.0]
+        ),
+        dt=jnp.float32(0.02), lam=jnp.float32(1.0), alpha=jnp.float32(0.0),
+        num_timesteps=100, num_rollouts=8192, num_iters=1,
+        kernel="pallas" if on_tpu else "combined",
+    )
+    report("colored_flatground_fused_epilogue_K8192", ctrl,
+           jnp.array([2.0, 0.0, 0.0, 1.0]), 8192)
+
     # 4. autorally NN dynamics at the 50 Hz real-time budget
     ctrl = VanillaMPPI(
         dynamics=AutorallyNNDynamics.create(key=jax.random.PRNGKey(0)),
