@@ -262,8 +262,13 @@ def _steady_state_ms(ctrl, x0, key=None, S1=60, S2=240):
     return dev * 1e3
 
 
-def suite():
-    """The BASELINE.json benchmark configs, one JSON line each."""
+def suite(tiny=False):
+    """The BASELINE.json benchmark configs, one JSON line each.
+
+    ``tiny``: shrink every config to seconds-scale shapes (K=128, T=16,
+    short scans, no scaling subprocess) — a CPU construction/solve smoke
+    of the exact code the driver runs on hardware (tests/test_scripts.py).
+    """
     _np = np
 
     from mppi_generic_tpu.controllers import RobustMPPI, VanillaMPPI
@@ -289,8 +294,12 @@ def suite():
     fast = "pallas_fused" if on_tpu else "combined"
     results = []
 
+    def kt(K, T):
+        return (128, 16) if tiny else (K, T)
+
     def report(name, ctrl, x0, K, note=""):
-        ms = _steady_state_ms(ctrl, x0)
+        ms = (_steady_state_ms(ctrl, x0, S1=4, S2=8) if tiny
+              else _steady_state_ms(ctrl, x0))
         entry = {
             "config": name,
             "steady_state_solve_ms": ms,
@@ -305,9 +314,10 @@ def suite():
         print(json.dumps(entry))
 
     # 1. double integrator, H=100, K=1024
+    K_, T_ = kt(1024, 100)
     report("double_integrator_example_K1024",
-           build_controller(K=1024, T=100, kernel=fast),
-           jnp.array([2.0, 0.0, 0.0, 1.0]), 1024)
+           build_controller(K=K_, T=T_, kernel=fast),
+           jnp.array([2.0, 0.0, 0.0, 1.0]), K_)
 
     # 2. cartpole swing-up, K=8192
     ctrl = VanillaMPPI(
@@ -315,9 +325,10 @@ def suite():
         cost=CartpoleQuadraticCost(coeffs=jnp.array([100.0, 10.0, 200.0, 20.0])),
         sampler=GaussianDistribution.create(std_dev=[5.0]),
         dt=jnp.float32(0.02), lam=jnp.float32(1.0), alpha=jnp.float32(0.0),
-        num_timesteps=100, num_rollouts=8192, num_iters=1, kernel=fast,
+        num_timesteps=kt(8192, 100)[1], num_rollouts=kt(8192, 100)[0],
+        num_iters=1, kernel=fast,
     )
-    report("cartpole_example_K8192", ctrl, jnp.zeros(4), 8192)
+    report("cartpole_example_K8192", ctrl, jnp.zeros(4), kt(8192, 100)[0])
 
     # 3. bicycle slip + colored noise + track-map texture cost
     tex = MapTexture2D.create(
@@ -334,11 +345,12 @@ def suite():
             std_dev=[0.3, 0.5], exponents=[1.0, 1.0]
         ),
         dt=jnp.float32(0.02), lam=jnp.float32(1.0), alpha=jnp.float32(0.0),
-        num_timesteps=100, num_rollouts=1920, num_iters=1,
+        num_timesteps=kt(1920, 100)[1], num_rollouts=kt(1920, 100)[0],
+        num_iters=1,
         kernel="combined",  # map gathers are XLA-path (see docs/design.md)
     )
     report("bicycle_slip_colored_trackmap", ctrl,
-           jnp.zeros(ctrl.dynamics.STATE_DIM), 1920)
+           jnp.zeros(ctrl.dynamics.STATE_DIM), kt(1920, 100)[0])
 
     # 3b. colored noise, flat ground: the round-3 precomputed-noise fused
     # path (inverse-DFT generation in XLA, then rollout + in-kernel LR +
@@ -351,11 +363,11 @@ def suite():
             std_dev=[1.0, 1.0], exponents=[1.0, 2.0]
         ),
         dt=jnp.float32(0.02), lam=jnp.float32(1.0), alpha=jnp.float32(0.0),
-        num_timesteps=100, num_rollouts=8192, num_iters=1,
-        kernel="pallas" if on_tpu else "combined",
+        num_timesteps=kt(8192, 100)[1], num_rollouts=kt(8192, 100)[0],
+        num_iters=1, kernel="pallas" if on_tpu else "combined",
     )
     report("colored_flatground_fused_epilogue_K8192", ctrl,
-           jnp.array([2.0, 0.0, 0.0, 1.0]), 8192)
+           jnp.array([2.0, 0.0, 0.0, 1.0]), kt(8192, 100)[0])
 
     # 4. autorally NN dynamics at the 50 Hz real-time budget
     ctrl = VanillaMPPI(
@@ -363,10 +375,11 @@ def suite():
         cost=ARStandardCost(costmap=tex),
         sampler=GaussianDistribution.create(std_dev=[0.3, 0.5]),
         dt=jnp.float32(0.02), lam=jnp.float32(1.0), alpha=jnp.float32(0.0),
-        num_timesteps=150, num_rollouts=1920, num_iters=1, kernel="combined",
+        num_timesteps=kt(1920, 150)[1], num_rollouts=kt(1920, 150)[0],
+        num_iters=1, kernel="combined",
     )
     report("autorally_nn_K1920_T150", ctrl,
-           jnp.zeros(7).at[4].set(3.0), 1920)
+           jnp.zeros(7).at[4].set(3.0), kt(1920, 150)[0])
 
     # 4b. racer LSTM-steering dynamics with an elevation map (the
     # lstm_lstm_steering real-vehicle configuration)
@@ -384,10 +397,11 @@ def suite():
                             output_indices=(2, 3, 5, 6, 0, 1)),
         sampler=GaussianDistribution.create(std_dev=[0.3, 0.5]),
         dt=jnp.float32(0.02), lam=jnp.float32(1.0), alpha=jnp.float32(0.0),
-        num_timesteps=100, num_rollouts=1920, num_iters=1, kernel="combined",
+        num_timesteps=kt(1920, 100)[1], num_rollouts=kt(1920, 100)[0],
+        num_iters=1, kernel="combined",
     )
     report("racer_lstm_steering_elevation_K1920", ctrl,
-           jnp.zeros(9).at[0].set(3.0), 1920)
+           jnp.zeros(9).at[0].set(3.0), kt(1920, 100)[0])
 
     # 4c. the 26-state LSTM-uncertainty model through the fused kernel
     # (flat ground; round-2 capability — the mapped variant is 4b-style XLA)
@@ -398,11 +412,12 @@ def suite():
         cost=ARStandardCost(output_indices=(2, 3, 5, 6, 0, 1)),
         sampler=GaussianDistribution.create(std_dev=[0.3, 0.5]),
         dt=jnp.float32(0.02), lam=jnp.float32(1.0), alpha=jnp.float32(0.0),
-        num_timesteps=150, num_rollouts=1920, num_iters=1,
+        num_timesteps=kt(1920, 150)[1], num_rollouts=kt(1920, 150)[0],
+        num_iters=1,
         kernel="pallas" if on_tpu else "combined",
     )
     report("racer_lstm_unc_flat_K1920", ctrl,
-           jnp.zeros(26).at[0].set(3.0), 1920)
+           jnp.zeros(26).at[0].set(3.0), kt(1920, 150)[0])
 
     # 5. RMPPI with DDP feedback on the DI CoRL scenario
     dyn = DoubleIntegratorDynamics.create()
@@ -410,16 +425,21 @@ def suite():
         dynamics=dyn, cost=DoubleIntegratorCircleCost(),
         sampler=GaussianDistribution.create(std_dev=[1.0, 1.0]),
         dt=jnp.float32(0.02), lam=jnp.float32(2.0), alpha=jnp.float32(0.0),
-        num_timesteps=50, num_rollouts=2560,
-        num_candidates=9, samples_per_condition=256,
+        num_timesteps=kt(2560, 50)[1], num_rollouts=kt(2560, 50)[0],
+        num_candidates=9, samples_per_condition=16 if tiny else 256,
         value_function_threshold=jnp.float32(20.0),
         feedback=DDPFeedback.create(dyn, 0.02),
         kernel="pallas" if on_tpu else "combined",
     )
     report("rmppi_ddp_di_corl2020_K2560", ctrl,
-           jnp.array([2.0, 0.0, 0.0, 1.0]), 2560,
+           jnp.array([2.0, 0.0, 0.0, 1.0]), kt(2560, 50)[0],
            note="single-chip; multi-host sharding exercised by "
                 "scripts/scaling_bench.py + dryrun_multichip")
+
+    if tiny:
+        # construction/solve smoke only — skip the scaling subprocess and
+        # the analytic ICI rows (covered by their own tests)
+        return results
 
     # 6. multi-device scaling curve (virtual 8-device CPU mesh when no
     # multi-chip slice is attached; see SCALING_r02.json for the recorded
@@ -518,6 +538,6 @@ if __name__ == "__main__":
 
     _backend_watchdog()
     if "--suite" in sys.argv:
-        suite()
+        suite(tiny="--tiny" in sys.argv)
     else:
         main()
