@@ -41,5 +41,24 @@ class Cost(struct.PyTreeNode):
         c_state, crash = self.state_cost(y, t, crash)
         return c_state + self.control_cost(u, t, crash), crash
 
+    def time_parallel_cost(self) -> bool:
+        """True when this cost is safe to evaluate with the time axis
+        vectorized instead of inside the sequential rollout loop — the
+        eligibility condition of the reference's split ``rolloutCostKernel``,
+        which tiles time across threads (core/mppi_common.cu:148-267):
+
+        * ``state_cost``/``control_cost`` neither read nor mutate ``crash``
+          (crash propagation is inherently sequential in time), and
+        * they trace correctly with one extra leading time axis on every
+          component block and a broadcastable float ``t`` array (no
+          data-dependent indexing by ``t``).
+
+        Costs that satisfy this let the fused Pallas solve kernel run its
+        horizon loop dynamics-only and evaluate the cost in tall
+        time-vectorized VPU ops (ops/pallas_solve.py). Default False —
+        opting in is a per-cost correctness statement.
+        """
+        return False
+
     def terminal_cost(self, y):
         raise NotImplementedError

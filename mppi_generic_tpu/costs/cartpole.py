@@ -34,6 +34,10 @@ class CartpoleQuadraticCost(Cost):
         ]
         return sum(terms[1:], terms[0])
 
+    def time_parallel_cost(self) -> bool:
+        # pure quadratic: no crash usage, no t usage
+        return True
+
     def state_cost(self, y, t, crash):
         return self._quad(y), crash
 

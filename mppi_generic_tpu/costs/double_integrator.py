@@ -36,6 +36,11 @@ class DoubleIntegratorCircleCost(Cost):
         default_factory=lambda: jnp.float32(4.0)
     )
 
+    def time_parallel_cost(self) -> bool:
+        # crash is never read or written; t enters only through the
+        # elementwise discount factor
+        return True
+
     def state_cost(self, y, t, crash):
         radial2 = y[0] * y[0] + y[1] * y[1]
         speed = jnp.sqrt(y[2] * y[2] + y[3] * y[3])

@@ -35,6 +35,11 @@ class QuadraticCost(Cost):
             terminal_scale=jnp.float32(terminal_scale),
         )
 
+    def time_parallel_cost(self) -> bool:
+        # a goal *trajectory* indexes by t (a gather under a vectorized time
+        # axis — not Mosaic-lowerable); the fixed-goal form is elementwise
+        return self.goal.ndim == 1
+
     def _goal_at(self, t):
         if self.goal.ndim == 1:
             return self.goal

@@ -69,6 +69,11 @@ class QuadrotorQuadraticCost(Cost):
             + self.yaw_coeff * yw**2
         )
 
+    def time_parallel_cost(self) -> bool:
+        # crash is never read or written; t is unused; every term is
+        # elementwise over component blocks y[i]
+        return True
+
     def state_cost(self, y, t, crash):
         g = self.s_goal
         pos = sum((y[i] - g[i]) ** 2 for i in range(0, 3))

@@ -31,6 +31,17 @@ Parameter tables (mean/sigma/LR coefficients) ride in lane-replicated VMEM
 rows instead of SMEM scalars, so this path has no (T, C) SMEM-table horizon
 ceiling (VERDICT r2 item 4): T=1024 tables cost ~1 MB of VMEM.
 
+A third structural win is optional (``split_cost``): for costs that declare
+``time_parallel_cost()`` — no crash propagation, no data-dependent time
+indexing — the sequential horizon loop shrinks to dynamics only (the true
+loop-carried dependency), streaming outputs to VMEM scratch, and the cost
+evaluates afterwards in tall time-vectorized VPU ops. This is the in-kernel
+analog of the reference's split-kernel choice (rolloutDynamicsKernel +
+time-tiled rolloutCostKernel, mppi_common.cu:148-362), applied where it
+matters on TPU: the issue-latency-bound sequential loop. Layout consequence:
+the sample/output scratch and all parameter tables are channel-major
+(C, Tp, ...) so component slices feed ``cost.running_cost`` directly.
+
 Sharding: under a sample-axis ``shard_map`` each chip runs the kernel on
 its K/n slice (disjoint PRNG streams, global carve-out indices) and the
 flash carries combine with one pmax + two psums — cross-chip traffic is
@@ -61,6 +72,14 @@ from mppi_generic_tpu.ops.pallas_rollout import (
 )
 
 _NEG_INF = -1e30
+# VMEM budget for the split-cost variant's per-tile scratch working set
+# (sample tensor + output trajectory, (C + O) * Tp * tile_k f32): past this
+# the combined loop is used instead — headroom below the ~16 MB/core VMEM
+# for the parameter tables, output blocks and Mosaic temporaries.
+_SPLIT_SCRATCH_BYTES = 11 * 1024 * 1024
+# default-tile target for the split variant's scratch working set (see the
+# tile heuristic in fused_solve_iteration)
+_SPLIT_TILE_TARGET = 6 * 1024 * 1024
 
 
 def _lane_rep(tab):
@@ -75,13 +94,14 @@ def _lane_rep(tab):
     jax.jit,
     static_argnames=("treedef", "dynamics_static", "cost_static", "T", "Tp",
                      "Tc", "C", "S", "K", "K_pad", "tile_k", "noise_kind",
-                     "emit_samples"),
+                     "emit_samples", "split_cost", "out_dim"),
 )
 def _fused_solve_call(leaves, treedef, dynamics_static, cost_static,
                       x0, mean_b, sigma_b, aux_b, lrc_b, tpin_b,
                       lo_b, hi_b, db_b, zc_b,
                       seed, scal, T, Tp, Tc, C, S, K, K_pad, tile_k,
-                      noise_kind="gaussian", emit_samples=False):
+                      noise_kind="gaussian", emit_samples=False,
+                      split_cost=False, out_dim=0):
     del dynamics_static, cost_static
     rows = tile_k // LANES
     grid = K_pad // tile_k
@@ -103,6 +123,8 @@ def _fused_solve_call(leaves, treedef, dynamics_static, cost_static,
             u_out_ref = outs[idx]
             idx += 1
         u_scr, lr_scr = outs[idx], outs[idx + 1]
+        if split_cost:
+            y_scr = outs[idx + 2]
 
         vals = [_read_leaf(r, nd) for r, nd in zip(leaf_refs, leaf_ndims)]
         dynamics, cost = jax.tree_util.tree_unflatten(treedef, vals)
@@ -144,23 +166,24 @@ def _fused_solve_call(leaves, treedef, dynamics_static, cost_static,
         def gen_chunk(ci, _):
             """Vectorized sample generation for Tc timesteps: eps -> carve
             -outs -> clamp -> scratch write + LR accumulation, all on
-            (Tc, C, rows, LANES) blocks (no per-timestep dependency
-            chains)."""
+            channel-major (C, Tc, rows, LANES) blocks (no per-timestep
+            dependency chains; channel-major so the split cost pass can
+            hand component slices straight to ``cost.running_cost``)."""
             t0 = ci * Tc
-            z = draw_normals(half)[: Tc * C].reshape(Tc, C, rows, LANES)
+            z = draw_normals(half)[: Tc * C].reshape(C, Tc, rows, LANES)
             if noise_kind == "nln":
                 # log-MPPI: eps = z1 * exp(ln_sigma * z2) (nln.cu:12-24)
-                z2 = draw_normals(half)[: Tc * C].reshape(Tc, C, rows, LANES)
-                z = z * jnp.exp(aux_ref[pl.ds(t0, Tc)] * z2)
-            mean_c = mean_ref[pl.ds(t0, Tc)]    # (Tc, C, 1, LANES)
-            sigma_c = sigma_ref[pl.ds(t0, Tc)]
+                z2 = draw_normals(half)[: Tc * C].reshape(C, Tc, rows, LANES)
+                z = z * jnp.exp(aux_ref[:, pl.ds(t0, Tc)] * z2)
+            mean_c = mean_ref[:, pl.ds(t0, Tc)]    # (C, Tc, 1, LANES)
+            sigma_c = sigma_ref[:, pl.ds(t0, Tc)]
             noise = sigma_c * z
             mu = jnp.where(pure4, 0.0, jnp.broadcast_to(
-                mean_c, (Tc, C, rows, LANES)))
+                mean_c, (C, Tc, rows, LANES)))
             u = noise + mu
-            pin4 = zero4 | (tpin_ref[pl.ds(t0, Tc)] > 0.5)
+            pin4 = zero4 | (tpin_ref[:, pl.ds(t0, Tc)] > 0.5)
             u = jnp.where(pin4, jnp.broadcast_to(mean_c,
-                                                 (Tc, C, rows, LANES)), u)
+                                                 (C, Tc, rows, LANES)), u)
             # enforceConstraints (dynamics.cuh:250-264)
             lo, hi = lo_ref[...], hi_ref[...]
             db, zc = db_ref[...], zc_ref[...]
@@ -169,16 +192,16 @@ def _fused_solve_call(leaves, treedef, dynamics_static, cost_static,
             u = jnp.clip(u, lo, hi)
             # likelihood-ratio cost on the clamped sample, mu = 0 for the
             # pure-noise tail (gaussian.cu:481-568); lrc = coeff / sigma^2
-            lr = jnp.sum(lrc_ref[pl.ds(t0, Tc)] * mu * (mu - 2.0 * u),
+            lr = jnp.sum(lrc_ref[:, pl.ds(t0, Tc)] * mu * (mu - 2.0 * u),
                          axis=(0, 1))
-            u_scr[pl.ds(t0, Tc)] = u
+            u_scr[:, pl.ds(t0, Tc)] = u
             lr_scr[...] = lr_scr[...] + lr
             return 0
 
         lr_scr[...] = jnp.zeros((rows, LANES), jnp.float32)
         jax.lax.fori_loop(0, n_chunks, gen_chunk, 0)
 
-        # ---- sequential horizon loop: dynamics + running cost only ----
+        # ---- sequential horizon loop ----
         x = jnp.broadcast_to(x0_ref[...].reshape(S, 1, 1), (S, rows, LANES))
         crash0 = jnp.zeros((rows, LANES), jnp.int32)
         acc0 = jnp.zeros((rows, LANES), jnp.float32)
@@ -187,21 +210,59 @@ def _fused_solve_call(leaves, treedef, dynamics_static, cost_static,
             (dynamics.OUTPUT_DIM, rows, LANES),
         )
 
-        def body(t, carry):
-            x, crash, acc, _ = carry
-            u = u_scr[pl.ds(t, 1)].reshape(C, rows, LANES)
-            x_next, y = dynamics.step(x, u, t.astype(jnp.float32), dt_k)
-            c, crash = cost.running_cost(y, u, t, crash)
-            return (x_next, crash, acc + c, y)
+        if split_cost:
+            # in-kernel split-kernel analog (rolloutDynamicsKernel +
+            # time-tiled rolloutCostKernel, mppi_common.cu:148-362): the
+            # sequential loop keeps ONLY the dynamics — the truly
+            # loop-carried part — writing outputs to VMEM scratch; the cost
+            # then evaluates over (Tc, rows, LANES) time blocks in tall VPU
+            # ops. Eligibility (cost.time_parallel_cost()) guarantees crash
+            # is unused and t enters only elementwise.
+            def body_dyn(t, x):
+                u = u_scr[:, pl.ds(t, 1)].reshape(C, rows, LANES)
+                x_next, y = dynamics.step(x, u, t.astype(jnp.float32), dt_k)
+                y_scr[:, pl.ds(t, 1)] = y.reshape(out_dim, 1, rows, LANES)
+                return x_next
 
-        _, crash, acc, y_last = jax.lax.fori_loop(
-            0, T, body, (x, crash0, acc0, y0)
-        )
+            jax.lax.fori_loop(0, T, body_dyn, x)
+            if Tp != T:
+                # the padded tail is never written by the loop; zero it so
+                # the masked cost pass sees finite values
+                y_scr[:, pl.ds(T, Tp - T)] = jnp.zeros(
+                    (out_dim, Tp - T, rows, LANES), jnp.float32
+                )
+
+            def cost_chunk(ci, acc):
+                t0 = ci * Tc
+                yb = y_scr[:, pl.ds(t0, Tc)]   # (O, Tc, rows, LANES)
+                ub = u_scr[:, pl.ds(t0, Tc)]   # (C, Tc, rows, LANES)
+                tb = (jax.lax.broadcasted_iota(jnp.int32, (Tc, 1, 1), 0)
+                      .astype(jnp.float32) + t0.astype(jnp.float32))
+                c, _ = cost.running_cost(yb, ub, tb, jnp.int32(0))
+                c = jnp.broadcast_to(c, (Tc, rows, LANES))
+                if Tp != T:
+                    c = jnp.where(tb < float(T), c, 0.0)
+                return acc + jnp.sum(c, axis=0)
+
+            acc = jax.lax.fori_loop(0, n_chunks, cost_chunk, acc0)
+            crash = jnp.zeros((rows, LANES), jnp.int32)
+            y_last = y_scr[:, pl.ds(T - 1, 1)].reshape(out_dim, rows, LANES)
+        else:
+            def body(t, carry):
+                x, crash, acc, _ = carry
+                u = u_scr[:, pl.ds(t, 1)].reshape(C, rows, LANES)
+                x_next, y = dynamics.step(x, u, t.astype(jnp.float32), dt_k)
+                c, crash = cost.running_cost(y, u, t, crash)
+                return (x_next, crash, acc + c, y)
+
+            _, crash, acc, y_last = jax.lax.fori_loop(
+                0, T, body, (x, crash0, acc0, y0)
+            )
         J = (acc + cost.terminal_cost(y_last) + lr_gain * lr_scr[...]) / T
         costs_ref[...] = J[None]
         crash_ref[...] = crash[None]
         if emit_samples:
-            u_out_ref[...] = u_scr[...].reshape(Tp, C, tile_k)
+            u_out_ref[...] = u_scr[...].reshape(C, Tp, tile_k)
 
         # ---- flash (online-softmax) weight + mean-update epilogue ----
         # s = -J/lam; running max m == -baseline/lam EXACTLY (normExp's
@@ -213,7 +274,7 @@ def _fused_solve_call(leaves, treedef, dynamics_static, cost_static,
         tmax = jnp.max(s)
 
         def weighted_sum(w):
-            """sum_k w_k * U_k over the tile -> (Tp, C, 1, 1); staged
+            """sum_k w_k * U_k over the tile -> (C, Tp, 1, 1); staged
             lane-then-sublane reduction (Mosaic requires the trailing axis
             of a trailing-dims reduction to stay size 1)."""
             lanes = jnp.sum(u_scr[...] * w[None, None], axis=3,
@@ -242,15 +303,15 @@ def _fused_solve_call(leaves, treedef, dynamics_static, cost_static,
 
     in_specs = leaf_specs + [
         pl.BlockSpec(memory_space=pltpu.VMEM),  # x0 (S, 1)
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # mean (Tp, C, 1, LANES)
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # sigma (Tp, C, 1, LANES)
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # aux (Tp, C, 1, LANES)
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # lr coeff (Tp, C, 1, LANES)
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # t-pin (Tp, 1, 1, LANES)
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # lo (1, C, 1, LANES)
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # hi (1, C, 1, LANES)
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # deadband (1, C, 1, LANES)
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # zero-ctrl (1, C, 1, LANES)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # mean (C, Tp, 1, LANES)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # sigma (C, Tp, 1, LANES)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # aux (C, Tp, 1, LANES)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # lr coeff (C, Tp, 1, LANES)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # t-pin (1, Tp, 1, LANES)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # lo (C, 1, 1, LANES)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # hi (C, 1, 1, LANES)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # deadband (C, 1, 1, LANES)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # zero-ctrl (C, 1, 1, LANES)
         pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1, 1) int32
         pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars (1, 6)
     ]
@@ -259,23 +320,27 @@ def _fused_solve_call(leaves, treedef, dynamics_static, cost_static,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # num (Tp, C, 1, 1)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # num (C, Tp, 1, 1)
         pl.BlockSpec(memory_space=pltpu.SMEM),  # [m, d] (1, 2)
     ]
     out_shape = [
         jax.ShapeDtypeStruct((grid, rows, LANES), jnp.float32),
         jax.ShapeDtypeStruct((grid, rows, LANES), jnp.int32),
-        jax.ShapeDtypeStruct((Tp, C, 1, 1), jnp.float32),
+        jax.ShapeDtypeStruct((C, Tp, 1, 1), jnp.float32),
         jax.ShapeDtypeStruct((1, 2), jnp.float32),
     ]
     if emit_samples:
-        out_specs.append(pl.BlockSpec((Tp, C, tile_k), lambda i: (0, 0, i),
+        out_specs.append(pl.BlockSpec((C, Tp, tile_k), lambda i: (0, 0, i),
                                       memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((Tp, C, K_pad), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((C, Tp, K_pad), jnp.float32))
     scratch = [
-        pltpu.VMEM((Tp, C, rows, LANES), jnp.float32),  # sample scratch
+        pltpu.VMEM((C, Tp, rows, LANES), jnp.float32),  # sample scratch
         pltpu.VMEM((rows, LANES), jnp.float32),         # LR accumulator
     ]
+    if split_cost:
+        scratch.append(
+            pltpu.VMEM((out_dim, Tp, rows, LANES), jnp.float32)  # outputs
+        )
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -293,8 +358,9 @@ def _fused_solve_call(leaves, treedef, dynamics_static, cost_static,
     costs3d, crash3d, num, md = outs[:4]
     costs = costs3d.reshape(-1)[:K]
     crash = crash3d.reshape(-1)[:K]
-    U = (jnp.transpose(outs[4], (2, 0, 1))[:K, :T] if emit_samples else None)
-    return costs, crash, num[:T, :, 0, 0], md[0, 0], md[0, 1], U
+    U = (jnp.transpose(outs[4], (2, 1, 0))[:K, :T] if emit_samples else None)
+    return (costs, crash, jnp.transpose(num[:, :T, 0, 0], (1, 0)),
+            md[0, 0], md[0, 1], U)
 
 
 def flash_combine(m, d, num, axis):
@@ -333,6 +399,7 @@ def fused_solve_iteration(
     sharding=None,
     return_samples: bool = False,
     chunk_t: int | None = None,
+    split_cost: bool | None = None,
 ):
     """One fully-fused MPPI optimization iteration. Returns
     ``(costs (K,), crash (K,), new_mean (T, C), baseline (), eta (),
@@ -345,6 +412,16 @@ def fused_solve_iteration(
     Eligibility: Gaussian or NLN sampler (their noise generates in-kernel),
     normExp weights (the online-softmax trick is exact only for exp),
     TPU backend. Raises :class:`PallasIncompatible` otherwise.
+
+    ``split_cost``: in-kernel analog of the reference's split-kernel choice
+    (rolloutDynamicsKernel + time-tiled rolloutCostKernel,
+    mppi_common.cu:148-362) — the sequential horizon loop runs dynamics
+    only (the loop-carried minimum), outputs stream to VMEM scratch, and
+    the cost evaluates in tall time-vectorized VPU ops. Identical samples
+    and (up to summation order) identical costs to the combined form.
+    ``None`` auto-enables it when ``cost.time_parallel_cost()`` holds and
+    the extra (O, Tp, tile_k) output scratch fits the VMEM budget; ``True``
+    forces it (raising if the cost is ineligible); ``False`` disables.
     """
     from mppi_generic_tpu.sampling.gaussian import GaussianDistribution
     from mppi_generic_tpu.sampling.nln import NLNDistribution
@@ -370,6 +447,7 @@ def fused_solve_iteration(
     leaves = [jnp.asarray(l) for l in leaves]
     _check_compatible(dynamics, leaves)
 
+    tile_was_default = tile_k is None
     if tile_k is None:
         tile_k = default_tile_k(K, T, C)
     if tile_k % LANES:
@@ -401,22 +479,54 @@ def fused_solve_iteration(
         return jnp.pad(tab, ((0, Tp - T),) + ((0, 0),) * (tab.ndim - 1),
                        constant_values=fill)
 
-    mean_b = _lane_rep(pad_t(mean_f))
-    sigma_b = _lane_rep(pad_t(sigma, fill=1.0))
-    aux_b = _lane_rep(pad_t(aux))
-    lrc_b = _lane_rep(pad_t(lrc))
-    tpin_b = _lane_rep(pad_t(tpin))[:, None]  # (Tp, 1, 1, LANES)
+    # channel-major (C, Tp, 1, LANES) tables: the kernel's sample scratch is
+    # channel-major so the split cost pass can index components on axis 0
+    mean_b = _lane_rep(pad_t(mean_f).T)
+    sigma_b = _lane_rep(pad_t(sigma, fill=1.0).T)
+    aux_b = _lane_rep(pad_t(aux).T)
+    lrc_b = _lane_rep(pad_t(lrc).T)
+    tpin_b = _lane_rep(pad_t(tpin))[None]  # (1, Tp, 1, LANES)
 
     from mppi_generic_tpu.ops.pallas_rollout import _constraint_rows
 
     cons = _constraint_rows(dynamics)  # (4, C)
-    lo_b, hi_b, db_b, zc_b = (_lane_rep(cons[r: r + 1]) for r in range(4))
+    lo_b, hi_b, db_b, zc_b = (
+        _lane_rep(cons[r][:, None]) for r in range(4)  # (C, 1, 1, LANES)
+    )
 
     pure_threshold = (1.0 - sampler.pure_noise_percentage) * K
     lr_gain = 0.5 * jnp.asarray(lam, jnp.float32) * (
         1.0 - jnp.asarray(alpha, jnp.float32)
     )
     dyn_name, cost_name = type(dynamics).__name__, type(cost).__name__
+
+    out_dim = int(dynamics.OUTPUT_DIM)
+    eligible = bool(cost.time_parallel_cost())
+    if split_cost is True and not eligible:
+        raise PallasIncompatible(
+            f"{cost_name}.time_parallel_cost() is False — the split cost "
+            "pass requires a crash-free, time-broadcastable cost"
+        )
+    if split_cost is None:
+        # auto: only when the (C + O, Tp, tile_k) f32 scratch working set —
+        # plus the double-buffered sample-emission output block when samples
+        # are returned — leaves VMEM headroom (the non-split form is always
+        # available; both fit/overflow boundaries verified on the bench
+        # chip, scripts/split_cost_probe.py)
+        scratch_bytes = (C + out_dim) * Tp * tile_k * 4
+        if return_samples:
+            scratch_bytes += 2 * C * Tp * tile_k * 4
+        split_cost = eligible and scratch_bytes <= _SPLIT_SCRATCH_BYTES
+    if split_cost and tile_was_default:
+        # split prefers smaller sample tiles than the combined default: the
+        # (C + O, Tp, tile) scratch crowds VMEM and more grid programs
+        # pipeline the dyn-loop/cost-pass phases better (measured on the
+        # bench chip: K=8192/T=100 DI is 64 µs at tile 2048 vs 74 µs at
+        # 4096, scripts/split_cost_probe.py); a caller-chosen tile (e.g.
+        # the auto-tuner sweep) is left alone
+        while (tile_k > LANES
+               and (C + out_dim) * Tp * tile_k * 4 > _SPLIT_TILE_TARGET):
+            tile_k //= 2
 
     mesh, axis, n_shards = _mesh_axis(sharding)
     if mesh is not None:
@@ -445,6 +555,7 @@ def fused_solve_iteration(
                 seed_v + ax * grid_local, scal,
                 T, Tp, Tc, C, S, K_local, K_pad_local, tile_local,
                 noise_kind=noise_kind, emit_samples=return_samples,
+                split_cost=split_cost, out_dim=out_dim,
             )
             m_g, d_g, num_g = flash_combine(m, d, num, axis)
             outs = (costs, crash, num_g / d_g, -lamv * m_g, d_g)
@@ -482,6 +593,7 @@ def fused_solve_iteration(
         jnp.asarray(seed, jnp.int32), scal,
         T, Tp, Tc, C, S, K, K_pad, tile_k,
         noise_kind=noise_kind, emit_samples=return_samples,
+        split_cost=split_cost, out_dim=out_dim,
     )
     lam_f = jnp.asarray(lam, jnp.float32)
     return costs, crash, num / d, -lam_f * m, d, U

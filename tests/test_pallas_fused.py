@@ -132,3 +132,52 @@ def test_autotune_skips_fused_on_cpu():
         candidates=("combined", "pallas_fused"),
     )
     assert tuned.kernel == "combined"
+
+
+def test_time_parallel_cost_declarations():
+    """time_parallel_cost() is a per-cost correctness statement the split
+    fused-solve variant relies on (ops/pallas_solve.py): crash-free +
+    time-broadcastable costs opt in; crash-bearing or t-indexed costs must
+    stay False. The declaration is also checked semantically: an eligible
+    cost evaluated with a vectorized leading time axis must reproduce the
+    per-timestep scalar evaluation."""
+    import numpy as np
+
+    from mppi_generic_tpu.costs.cartpole import CartpoleQuadraticCost
+    from mppi_generic_tpu.costs.quadratic import QuadraticCost
+
+    from mppi_generic_tpu.costs.double_integrator import (
+        DoubleIntegratorRobustCost,
+    )
+    from mppi_generic_tpu.costs.quadrotor import QuadrotorQuadraticCost
+
+    di = DoubleIntegratorCircleCost()
+    assert di.time_parallel_cost()
+    dir_ = DoubleIntegratorRobustCost()
+    assert dir_.time_parallel_cost()
+    cp = CartpoleQuadraticCost()
+    assert cp.time_parallel_cost()
+    qq = QuadrotorQuadraticCost()
+    assert qq.time_parallel_cost()
+    assert QuadraticCost.create(goal=jnp.zeros(4)).time_parallel_cost()
+    assert not QuadraticCost.create(goal=jnp.zeros((7, 4))).time_parallel_cost()
+    # base default is conservative
+    from mppi_generic_tpu.costs.base import Cost
+
+    assert not Cost().time_parallel_cost()
+
+    # semantic check: vectorized-time evaluation == per-t evaluation
+    Tc = 6
+    key = jax.random.PRNGKey(3)
+    for cost, O, C in ((di, 4, 2), (cp, 4, 1), (dir_, 4, 2), (qq, 13, 4)):
+        y = jax.random.normal(key, (O, Tc))
+        u = jax.random.normal(key, (C, Tc))
+        tb = jnp.arange(Tc, dtype=jnp.float32).reshape(Tc)
+        c_vec, _ = cost.running_cost(y, u, tb, jnp.int32(0))
+        c_seq = jnp.stack([
+            cost.running_cost(y[:, t], u[:, t], jnp.float32(t),
+                              jnp.int32(0))[0]
+            for t in range(Tc)
+        ])
+        np.testing.assert_allclose(np.asarray(c_vec), np.asarray(c_seq),
+                                   rtol=1e-6, atol=1e-6)
