@@ -97,6 +97,14 @@ class ControllerBase(struct.PyTreeNode):
     # auto-tuner sweeps this empirically, the way the reference sweeps its
     # kernel block dims
     pallas_tile_k: Optional[int] = struct.field(pytree_node=False, default=None)
+    # split-cost variant of the fused Pallas kernels (dynamics-only
+    # sequential loop + time-vectorized cost pass): None = the traced
+    # op-weight heuristic decides (ops/pallas_rollout._split_profitable);
+    # the auto-tuner measures both and overrides. Only meaningful for costs
+    # declaring time_parallel_cost().
+    pallas_split_cost: Optional[bool] = struct.field(
+        pytree_node=False, default=None
+    )
 
     # ------------------------------------------------------------------
     def init_state(self, key=None, initial_mean=None) -> ControllerState:

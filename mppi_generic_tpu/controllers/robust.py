@@ -203,7 +203,7 @@ class RobustMPPI(ControllerBase):
                 # the big batch would pad it several-fold
                 costs, _ = pallas_rollout.fused_rollout_costs(
                     self.dynamics, self.cost, x0_all, U_flat, self.dt,
-                    sharding=sh,
+                    sharding=sh, split_cost=self.pallas_split_cost,
                 )
                 cand_costs = costs.reshape(n, S_per) + lr / T
             else:

@@ -113,6 +113,7 @@ class VanillaMPPI(ControllerBase):
                     self.dynamics, self.cost, x0, U, self.dt,
                     sharding=self.sample_sharding, lr_params=lr_params,
                     tile_k=self.pallas_tile_k,
+                    split_cost=self.pallas_split_cost,
                 )
                 return costs, None, crash
             except pallas_rollout.PallasIncompatible:
@@ -132,6 +133,7 @@ class VanillaMPPI(ControllerBase):
             state_costs, crash = pallas_rollout.fused_rollout_costs(
                 self.dynamics, self.cost, x0, U, self.dt,
                 sharding=self.sample_sharding, tile_k=self.pallas_tile_k,
+                split_cost=self.pallas_split_cost,
             )
             costs = state_costs + lr / T
             Y = None  # never materialized — the fused kernel's HBM win
@@ -166,6 +168,7 @@ class VanillaMPPI(ControllerBase):
                         tile_k=self.pallas_tile_k,
                         sharding=self.sample_sharding,
                         return_samples=self.return_samples,
+                        split_cost=self.pallas_split_cost,
                     )
                 )
                 w = weight_ops.norm_exp_weights(costs, self.lam, baseline)
@@ -236,6 +239,7 @@ class VanillaMPPI(ControllerBase):
                         self.dynamics, self.cost, x0, U, self.dt, self.lam,
                         lr_params=lr_params, tile_k=self.pallas_tile_k,
                         sharding=self.sample_sharding,
+                        split_cost=self.pallas_split_cost,
                     )
                 )
                 w = weight_ops.norm_exp_weights(costs, self.lam, baseline)

@@ -46,6 +46,7 @@ def _config_key(controller, candidates):
         int(controller.num_timesteps),
         controller.sample_sharding is not None,
         controller.pallas_tile_k,
+        controller.pallas_split_cost,
         jax.default_backend(),
         tuple(candidates),
         leaf_sig,
@@ -144,10 +145,11 @@ def choose_appropriate_kernel(
     """
     key = _config_key(controller, candidates)
     if key in _CACHE:
-        cached_kernel, cached_tile = _CACHE[key]
+        cached_kernel, cached_tile, cached_split = _CACHE[key]
         if _kernel_supported(controller, cached_kernel):
             return controller.replace(
-                kernel=cached_kernel, pallas_tile_k=cached_tile
+                kernel=cached_kernel, pallas_tile_k=cached_tile,
+                pallas_split_cost=cached_split,
             )
 
     if ctrl_state is None:
@@ -215,5 +217,32 @@ def choose_appropriate_kernel(
             if t < best_tile_t:
                 best_tile, best_tile_t = tile, t
 
-    _CACHE[key] = (best, best_tile)
-    return controller.replace(kernel=best, pallas_tile_k=best_tile)
+    # split-cost sweep for the winning Pallas kernel: the op-weight
+    # heuristic (ops/pallas_rollout._split_profitable) only PREDICTS the
+    # split-vs-combined outcome — here it is measured, the same way the
+    # reference times its single-kernel vs split-kernel variants
+    # (mppi_controller.cu:45-143). TPU-only: interpret-mode timings are
+    # meaningless and slow.
+    best_split = controller.pallas_split_cost
+    if (best.startswith("pallas")
+            and best_split is None
+            and jax.default_backend() == "tpu"
+            and controller.cost.time_parallel_cost()):
+        timed_split = {}
+        for split in (False, True):
+            cand = controller.replace(
+                kernel=best, pallas_tile_k=best_tile,
+                pallas_split_cost=split,
+            )
+            try:
+                timed_split[split] = time_solve(
+                    cand, x0, ctrl_state, num_evaluations
+                )
+            except Exception:
+                continue
+        if len(timed_split) == 2:
+            best_split = timed_split[True] < timed_split[False]
+
+    _CACHE[key] = (best, best_tile, best_split)
+    return controller.replace(kernel=best, pallas_tile_k=best_tile,
+                              pallas_split_cost=best_split)

@@ -62,6 +62,20 @@ _MAX_SMEM_TABLE_BYTES = 13 * 1024
 # one (8, 128) f32 tile (4 KB) per 8 table rows regardless of how many
 # logical (T, C) tables stack into it, so T=1024 with 8 rows is 4 MB.
 _MAX_VMEM_TABLE_BYTES = 4 * 1024 * 1024
+# VMEM budget for the split-cost variant's per-tile scratch working set
+# (control tile + output trajectory, (C + O) * T * tile_k f32): past this
+# the combined loop is used instead — headroom below the ~16 MB/core VMEM
+# for parameter tables, output blocks and Mosaic temporaries (both the
+# fit and overflow boundaries verified on the bench chip,
+# scripts/split_cost_probe.py).
+_SPLIT_SCRATCH_BYTES = 11 * 1024 * 1024
+# default-tile target for the split variant's scratch working set: split
+# prefers smaller sample tiles than the combined default — the scratch
+# crowds VMEM and more grid programs pipeline the dyn-loop/cost-pass
+# phases better (measured: K=8192/T=100 DI is 64 µs at tile 2048 vs 74 µs
+# at 4096) — so a DEFAULT tile shrinks until the working set fits this;
+# a caller-chosen tile (e.g. the auto-tuner sweep) is left alone.
+_SPLIT_TILE_TARGET = 6 * 1024 * 1024
 
 
 def _table_mode(*tables):
@@ -119,6 +133,63 @@ def _stack_time_tables(*tables):
 
 class PallasIncompatible(Exception):
     """The (dynamics, cost) pair cannot run in the fused Pallas kernel."""
+
+
+# multi-pass VPU ops (transcendentals, division, roots): ~8x the issue cost
+# of an add/mul in the op-weight model below
+_TRANS_PRIMS = frozenset({
+    "sin", "cos", "tan", "exp", "exp2", "log", "log1p", "expm1", "sqrt",
+    "rsqrt", "pow", "tanh", "logistic", "atan2", "erf", "cbrt", "div",
+})
+# auto-split threshold: the removable (cost) work must DOMINATE the
+# remaining loop body, not merely match it — in an issue-latency-bound
+# loop the cost ops are independent of the loop-carried dynamics chain, so
+# much of their issue cost already hides under it; splitting them out only
+# pays once they are the bulk of the loop. Calibrated on the bench chip
+# (scripts/split_cost_probe.py, 2026-08): DI circle/robust/quadratic
+# (ratios 3.9-5.9) measure 1.1-1.5x faster split; cartpole (0.60) and
+# quadrotor quadratic (1.74) measure 0.74x / 0.51x — slower. The kernel
+# auto-tuner measures and overrides this prediction per configuration.
+_SPLIT_RATIO = 3.0
+_SPLIT_CACHE: dict = {}
+
+
+def _op_weight(jaxpr):
+    w = 0
+    for eqn in jaxpr.eqns:
+        inner = eqn.params.get("jaxpr") or eqn.params.get("call_jaxpr")
+        if inner is not None:
+            w += _op_weight(getattr(inner, "jaxpr", inner))
+            continue
+        w += 8 if eqn.primitive.name in _TRANS_PRIMS else 1
+    return w
+
+
+def _split_profitable(dynamics, cost) -> bool:
+    """Traced-op-weight prediction of whether the split-cost kernel variant
+    beats the combined loop for this (dynamics, cost) pair: True when the
+    weighted op count of ``cost.running_cost`` is at least ``_SPLIT_RATIO``
+    times that of ``dynamics.step``. Conservative on trace failure."""
+    key = (type(dynamics), type(cost))
+    hit = _SPLIT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    try:
+        S, C = int(dynamics.STATE_DIM), int(dynamics.CONTROL_DIM)
+        O = int(dynamics.OUTPUT_DIM)
+        dtf = jnp.float32(0.02)
+        dyn_j = jax.make_jaxpr(
+            lambda x, u, t: dynamics.step(x, u, t, dtf)
+        )(jnp.zeros((S,)), jnp.zeros((C,)), jnp.float32(0))
+        cost_j = jax.make_jaxpr(
+            lambda y, u, t: cost.running_cost(y, u, t, jnp.int32(0))
+        )(jnp.zeros((O,)), jnp.zeros((C,)), jnp.float32(0))
+        res = (_op_weight(cost_j.jaxpr)
+               >= _SPLIT_RATIO * _op_weight(dyn_j.jaxpr))
+    except Exception:
+        res = False
+    _SPLIT_CACHE[key] = res
+    return res
 
 
 def _check_compatible(dynamics: Dynamics, leaves, allow_recurrent=False):
@@ -255,15 +326,16 @@ def _broadcast_rec(rec, rows):
     static_argnames=("dynamics_static", "cost_static", "T", "C", "S",
                      "tile_k", "interpret", "treedef", "per_sample_x0",
                      "recurrent", "with_lr", "state_dtype", "table_mode",
-                     "epilogue"),
+                     "epilogue", "split_cost", "out_dim"),
 )
-def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_tck,
+def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_ctk,
                 dt, T, C, S, tile_k, interpret, per_sample_x0=False,
                 recurrent=False, with_lr=False, lr_mean=None, lr_sigma=None,
                 lr_coeff=None, lr_scal=None, state_dtype="float32",
-                table_mode="smem", epilogue=False):
+                table_mode="smem", epilogue=False, split_cost=False,
+                out_dim=0):
     del dynamics_static, cost_static  # only part of the jit cache key
-    K_pad = U_tck.shape[-1]
+    K_pad = U_ctk.shape[-1]
     rows = tile_k // LANES
     grid = K_pad // tile_k
     leaf_ndims = tuple(l.ndim for l in leaves)
@@ -282,10 +354,15 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_tck,
         leaf_refs = refs[: len(leaves)]
         (x0_ref, u_ref, dt_ref, mean_ref, sigma_ref, coeff_ref,
          lrs_ref) = refs[len(leaves): len(leaves) + 7]
+        n_named = len(leaves) + 7
         if epilogue:
-            costs_ref, crash_ref, num_ref, md_ref = refs[len(leaves) + 7:]
+            costs_ref, crash_ref, num_ref, md_ref = refs[n_named: n_named + 4]
+            n_named += 4
         else:
-            costs_ref, crash_ref = refs[len(leaves) + 7:]
+            costs_ref, crash_ref = refs[n_named: n_named + 2]
+            n_named += 2
+        if split_cost:
+            y_scr = refs[n_named]
 
         cd = jnp.dtype(state_dtype)
         n_dyn = treedef.children()[0].num_leaves  # dynamics' leaf count
@@ -334,49 +411,120 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_tck,
         # warm-start values ride in as ordinary parameter leaves.
         rec0 = _broadcast_rec(dynamics.init_recurrent_state(), rows)
 
-        def body(t, carry):
-            x, rec, crash, acc, _ = carry
-            u_raw = u_ref[pl.ds(t, 1)].reshape(C, rows, LANES)
-            u = u_raw.astype(cd)
-            if recurrent:
-                x_next, y, rec = dynamics.step_recurrent(
-                    x, rec, u, t.astype(cd), dt_k
+        if split_cost:
+            # in-kernel split-kernel analog (rolloutDynamicsKernel +
+            # time-tiled rolloutCostKernel, mppi_common.cu:148-362): the
+            # sequential loop keeps ONLY the dynamics (and any recurrent
+            # carry) — the truly loop-carried part — writing outputs to
+            # VMEM scratch; the cost (and the likelihood-ratio term, which
+            # is elementwise in t) then evaluates over (Tc, rows, LANES)
+            # time blocks in tall VPU ops. Eligibility
+            # (cost.time_parallel_cost()) guarantees crash is unused and t
+            # enters only elementwise; with_lr forces table_mode="vmem"
+            # so the tables read as (Tc, R8, LANES) blocks.
+            def body_dyn(t, carry):
+                x, rec = carry
+                u = u_ref[:, pl.ds(t, 1)].reshape(C, rows, LANES).astype(cd)
+                if recurrent:
+                    x_next, y, rec = dynamics.step_recurrent(
+                        x, rec, u, t.astype(cd), dt_k
+                    )
+                else:
+                    x_next, y = dynamics.step(x, u, t.astype(cd), dt_k)
+                y_scr[:, pl.ds(t, 1)] = y.astype(jnp.float32).reshape(
+                    out_dim, 1, rows, LANES
                 )
-            else:
-                x_next, y = dynamics.step(x, u, t.astype(cd), dt_k)
-            # the cost evaluates in f32 regardless of the state dtype: the
-            # weights/crash decisions ride on it, and Mosaic's bf16-derived
-            # bool masks hit relayout limits in comparison-heavy costs
-            c, crash = cost.running_cost(
-                y.astype(jnp.float32), u_raw, t, crash
-            )
-            c = c.astype(jnp.float32)
-            if with_lr:
-                lr_t = jnp.zeros((rows, LANES), jnp.float32)
-                if table_mode == "vmem":
-                    # mean/sigma ride the stacked (T, R8, LANES) VMEM
-                    # table: one sublane-block load per timestep, rows as
-                    # static (1, LANES) slices (sublanes [0,C) = mean,
-                    # [C,2C) = sigma)
-                    r8 = mean_ref.shape[1]
-                    blk = mean_ref[pl.ds(t, 1)].reshape(r8, LANES)
-                for ch in range(C):
-                    if table_mode == "vmem":
-                        m_c = blk[ch: ch + 1]
-                        s_c = blk[C + ch: C + ch + 1]
-                    else:
-                        m_c = mean_ref[t, ch]
-                        s_c = sigma_ref[t, ch]
-                    mu_c = jnp.where(pure, 0.0, m_c)
-                    lr_t = lr_t + coeff_ref[0, ch] * mu_c * (
-                        mu_c - 2.0 * u[ch]
-                    ) / (s_c * s_c)
-                c = c + lr_gain * lr_t
-            return (x_next, rec, crash, acc + c, y)
+                return (x_next, rec)
 
-        _, _, crash, acc, y_last = jax.lax.fori_loop(
-            0, T, body, (x, rec0, crash0, acc0, y0)
-        )
+            jax.lax.fori_loop(0, T, body_dyn, (x, rec0))
+
+            def cost_block(t0, tc, acc):
+                """Time-vectorized cost (+ LR) for timesteps [t0, t0+tc);
+                tc is static (full chunks via fori_loop, one static tail)."""
+                yb = y_scr[:, pl.ds(t0, tc)]       # (O, tc, rows, LANES)
+                ub = u_ref[:, pl.ds(t0, tc)].reshape(C, tc, rows, LANES)
+                tb = (jax.lax.broadcasted_iota(jnp.int32, (tc, 1, 1), 0)
+                      .astype(jnp.float32)
+                      + jnp.asarray(t0, jnp.int32).astype(jnp.float32))
+                c, _ = cost.running_cost(yb, ub.astype(jnp.float32), tb,
+                                         jnp.int32(0))
+                c = jnp.broadcast_to(c, (tc, rows, LANES)).astype(
+                    jnp.float32
+                )
+                if with_lr:
+                    blk = mean_ref[pl.ds(t0, tc)]  # (tc, R8, LANES)
+                    lr_t = jnp.zeros((tc, rows, LANES), jnp.float32)
+                    for ch in range(C):
+                        m_c = blk[:, ch: ch + 1, :]
+                        s_c = blk[:, C + ch: C + ch + 1, :]
+                        mu_c = jnp.where(
+                            pure[None], 0.0,
+                            jnp.broadcast_to(m_c, (tc, rows, LANES)),
+                        )
+                        lr_t = lr_t + coeff_ref[0, ch] * mu_c * (
+                            mu_c - 2.0 * ub[ch].astype(jnp.float32)
+                        ) / (s_c * s_c)
+                    c = c + lr_gain * lr_t
+                return acc + jnp.sum(c, axis=0)
+
+            Tcb = min(8, T)
+            acc = acc0
+            if T // Tcb:
+                acc = jax.lax.fori_loop(
+                    0, T // Tcb,
+                    lambda ci, a: cost_block(ci * Tcb, Tcb, a), acc,
+                )
+            if T % Tcb:
+                acc = cost_block((T // Tcb) * Tcb, T % Tcb, acc)
+            crash = crash0
+            y_last = y_scr[:, pl.ds(T - 1, 1)].reshape(
+                out_dim, rows, LANES
+            )
+        else:
+            def body(t, carry):
+                x, rec, crash, acc, _ = carry
+                u_raw = u_ref[:, pl.ds(t, 1)].reshape(C, rows, LANES)
+                u = u_raw.astype(cd)
+                if recurrent:
+                    x_next, y, rec = dynamics.step_recurrent(
+                        x, rec, u, t.astype(cd), dt_k
+                    )
+                else:
+                    x_next, y = dynamics.step(x, u, t.astype(cd), dt_k)
+                # the cost evaluates in f32 regardless of the state dtype:
+                # the weights/crash decisions ride on it, and Mosaic's
+                # bf16-derived bool masks hit relayout limits in
+                # comparison-heavy costs
+                c, crash = cost.running_cost(
+                    y.astype(jnp.float32), u_raw, t, crash
+                )
+                c = c.astype(jnp.float32)
+                if with_lr:
+                    lr_t = jnp.zeros((rows, LANES), jnp.float32)
+                    if table_mode == "vmem":
+                        # mean/sigma ride the stacked (T, R8, LANES) VMEM
+                        # table: one sublane-block load per timestep, rows
+                        # as static (1, LANES) slices (sublanes [0,C) =
+                        # mean, [C,2C) = sigma)
+                        r8 = mean_ref.shape[1]
+                        blk = mean_ref[pl.ds(t, 1)].reshape(r8, LANES)
+                    for ch in range(C):
+                        if table_mode == "vmem":
+                            m_c = blk[ch: ch + 1]
+                            s_c = blk[C + ch: C + ch + 1]
+                        else:
+                            m_c = mean_ref[t, ch]
+                            s_c = sigma_ref[t, ch]
+                        mu_c = jnp.where(pure, 0.0, m_c)
+                        lr_t = lr_t + coeff_ref[0, ch] * mu_c * (
+                            mu_c - 2.0 * u[ch]
+                        ) / (s_c * s_c)
+                    c = c + lr_gain * lr_t
+                return (x_next, rec, crash, acc + c, y)
+
+            _, _, crash, acc, y_last = jax.lax.fori_loop(
+                0, T, body, (x, rec0, crash0, acc0, y0)
+            )
         term = cost.terminal_cost(y_last.astype(jnp.float32))
         J = (acc + term) / T
         costs_ref[...] = J[None]
@@ -400,7 +548,7 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_tck,
             valid = (ii * tile_k + lane_e) < k_loc
             s = jnp.where(valid, -J / lam_w, -1e30)
             tmax = jnp.max(s)
-            u4 = u_ref[...].reshape(T, C, rows, LANES).astype(jnp.float32)
+            u4 = u_ref[...].reshape(C, T, rows, LANES).astype(jnp.float32)
 
             def weighted_sum(w):
                 # staged lane-then-sublane reduction (Mosaic requires the
@@ -437,8 +585,8 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_tck,
         x0_in = x0.reshape(S, 1)
     in_specs = leaf_specs + [
         x0_spec,
-        pl.BlockSpec((T, C, tile_k), lambda i: (0, 0, i),
-                     memory_space=pltpu.VMEM),  # U tile
+        pl.BlockSpec((C, T, tile_k), lambda i: (0, 0, i),
+                     memory_space=pltpu.VMEM),  # U tile (channel-major)
         pl.BlockSpec(memory_space=pltpu.SMEM),  # dt (1, 1)
         # lr mean: (T, C) SMEM scalars, or the stacked (T, R8, LANES)
         # VMEM table holding BOTH mean and sigma rows (long horizons)
@@ -462,26 +610,32 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_tck,
     ]
     if epilogue:
         out_specs += [
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # num (T, C, 1, 1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # num (C, T, 1, 1)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # [m, d] (1, 2)
         ]
         out_shape += [
-            jax.ShapeDtypeStruct((T, C, 1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((C, T, 1, 1), jnp.float32),
             jax.ShapeDtypeStruct((1, 2), jnp.float32),
         ]
+    scratch = []
+    if split_cost:
+        scratch.append(
+            pltpu.VMEM((out_dim, T, rows, LANES), jnp.float32)  # outputs
+        )
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
+        scratch_shapes=scratch,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=40 * K_pad * T * (S + C),
-            bytes_accessed=U_tck.size * 4 + K_pad * 8,
+            bytes_accessed=U_ctk.size * 4 + K_pad * 8,
             transcendentals=2 * K_pad * T,
         ),
-    )(*leaf_shapes, x0_in, U_tck,
+    )(*leaf_shapes, x0_in, U_ctk,
       jnp.asarray(dt, jnp.float32).reshape(1, 1),
       jnp.asarray(lr_mean, jnp.float32),
       jnp.asarray(lr_sigma, jnp.float32),
@@ -490,7 +644,7 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_tck,
     costs2d, crash2d = outs[0], outs[1]
     if epilogue:
         return (costs2d.reshape(-1), crash2d.reshape(-1),
-                outs[2][:, :, 0, 0], outs[3])
+                jnp.transpose(outs[2][:, :, 0, 0], (1, 0)), outs[3])
     return costs2d.reshape(-1), crash2d.reshape(-1)
 
 
@@ -506,8 +660,19 @@ def fused_rollout_costs(
     lr_params=None,
     _idx_offset=0,
     state_dtype="float32",
+    split_cost: bool | None = None,
 ):
     """Fused Pallas rollout: returns (costs (K,), crash (K,)).
+
+    ``split_cost``: in-kernel analog of the reference's split-kernel choice
+    (rolloutDynamicsKernel + time-tiled rolloutCostKernel,
+    mppi_common.cu:148-362) — the sequential horizon loop runs dynamics
+    only (the loop-carried minimum), outputs stream to VMEM scratch, and
+    the cost + likelihood-ratio terms evaluate in tall time-vectorized VPU
+    ops. Identical costs to the combined form up to summation order.
+    ``None`` auto-enables it when ``cost.time_parallel_cost()`` holds and
+    the extra (O, T, tile_k) output scratch fits the VMEM budget; ``True``
+    forces it (raising if the cost is ineligible); ``False`` disables.
 
     ``state_dtype``: "bfloat16" runs the dynamics/cost arithmetic in bf16
     (state, controls, parameters; cost accumulation stays f32) for 2x VPU
@@ -558,7 +723,7 @@ def fused_rollout_costs(
             return fused_rollout_costs(
                 d, c, x0_l, U_l, dt_l, tile_k=tile_k, interpret=interpret,
                 lr_params=lrp if with_lr else None, _idx_offset=off,
-                state_dtype=state_dtype,
+                state_dtype=state_dtype, split_cost=split_cost,
             )
 
         return jax.shard_map(
@@ -571,14 +736,16 @@ def fused_rollout_costs(
             check_vma=False,
         )(x0, U, jnp.asarray(dt, jnp.float32), lr_pack, *leaves)
     prep = _prep_fused_rollout(dynamics, cost, x0, U, lr_params, tile_k,
-                               interpret, _idx_offset)
-    (leaves, treedef, x0, U_tck, S, tile_k, interpret, per_sample_x0,
-     recurrent, lr_kw) = prep
+                               interpret, _idx_offset,
+                               split_cost=split_cost)
+    (leaves, treedef, x0, U_ctk, S, tile_k, interpret, per_sample_x0,
+     recurrent, lr_kw, split_cost, out_dim) = prep
     costs, crash = _fused_call(
         leaves, treedef, type(dynamics).__name__, type(cost).__name__,
-        x0, U_tck, dt, T, C, S, tile_k, interpret,
+        x0, U_ctk, dt, T, C, S, tile_k, interpret,
         per_sample_x0=per_sample_x0, recurrent=recurrent,
-        state_dtype=state_dtype, **lr_kw,
+        state_dtype=state_dtype, split_cost=split_cost, out_dim=out_dim,
+        **lr_kw,
     )
     return costs[:K], crash[:K]
 
@@ -593,35 +760,77 @@ def _lr_pack(lr_params, T, C):
 
 
 def _prep_fused_rollout(dynamics, cost, x0, U, lr_params, tile_k, interpret,
-                        _idx_offset, epilogue_scal=None):
+                        _idx_offset, epilogue_scal=None, split_cost=None):
     """Shared single-chip pre-kernel plumbing for the two precomputed-U
     fused paths (`fused_rollout_costs`, `fused_weighted_rollout`): leaf
-    flatten + compatibility check, LR table-mode pick, tile sizing, the
-    time-major lane-major U transpose+pad (XLA fuses the transpose into
-    U's producer), per-sample-x0 transpose+pad, and the LR operand
-    packing. ``epilogue_scal``: optional ``(weighting lambda, valid K)``
-    appended as ``lr_scal[4:6]`` for the flash-epilogue variant."""
+    flatten + compatibility check, split-cost resolution, LR table-mode
+    pick, tile sizing, the channel-major lane-major U transpose+pad (XLA
+    fuses the transpose into U's producer), per-sample-x0 transpose+pad,
+    and the LR operand packing. ``epilogue_scal``: optional ``(weighting
+    lambda, valid K)`` appended as ``lr_scal[4:6]`` for the flash-epilogue
+    variant. ``split_cost``: None = auto (see `fused_rollout_costs`)."""
     K, T, C = U.shape
     S = dynamics.STATE_DIM
+    out_dim = int(dynamics.OUTPUT_DIM)
     leaves, treedef = jax.tree_util.tree_flatten((dynamics, cost))
     leaves = [jnp.asarray(l) for l in leaves]
     recurrent = dynamics.init_recurrent_state() is not None
     _check_compatible(dynamics, leaves, allow_recurrent=True)
-    table_mode = "smem"
-    if lr_params is not None:
-        table_mode = _table_mode((T, C), (T, C))
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    tile_was_default = tile_k is None
     if tile_k is None:
         tile_k = default_tile_k(K, T, C)
     if tile_k % LANES:
         raise ValueError(f"tile_k must be a multiple of {LANES}")
 
+    eligible = bool(cost.time_parallel_cost())
+    auto_split = split_cost is None  # resolved below; forced values exempt
+    if split_cost is True and not eligible:
+        raise PallasIncompatible(
+            f"{type(cost).__name__}.time_parallel_cost() is False — the "
+            "split cost pass requires a crash-free, time-broadcastable cost"
+        )
+    if split_cost is None:
+        # auto: only when the op-weight model predicts a win AND the
+        # working set — the (O, T, tile_k) output scratch plus the
+        # double-buffered (C, T, tile_k) U input block — leaves VMEM
+        # headroom (the combined loop is always available)
+        split_cost = (eligible
+                      and _split_profitable(dynamics, cost)
+                      and (2 * C + out_dim) * T * tile_k * 4
+                      <= _SPLIT_SCRATCH_BYTES)
+    if split_cost and tile_was_default:
+        while (tile_k > LANES
+               and (C + out_dim) * T * tile_k * 4 > _SPLIT_TILE_TARGET):
+            tile_k //= 2
+    if split_cost and auto_split and _round_up(K, tile_k) // tile_k > 4:
+        # the sequential horizon loop's LATENCY floor is per grid step and
+        # does not shrink with tile width, so when the (2C+O) VMEM working
+        # set caps the split tile below the combined default, high grid
+        # counts erase the split win on this U-input path (bench chip, DI
+        # T=100: split/combined = 1.14x at K=8192 [4 grids], ~1.0x at
+        # K=16384 [8], 0.72x at K=32768 [16] — yet 2.4x at EQUAL tiles).
+        # Auto therefore declines past 4 grid steps; a forced True and the
+        # auto-tuner's measured choice are honored as given.
+        split_cost = False
+        if tile_was_default:
+            tile_k = default_tile_k(K, T, C)
+
+    table_mode = "smem"
+    if lr_params is not None:
+        # the split variant's vectorized LR pass reads the tables as
+        # (Tc, R8, LANES) blocks — SMEM scalars only support per-t reads
+        table_mode = ("vmem" if split_cost
+                      else _table_mode((T, C), (T, C)))
+        if split_cost:
+            _table_mode((T, C), (T, C))  # still enforce the VMEM ceiling
+
     K_pad = _round_up(K, tile_k)
-    U_tck = jnp.transpose(U, (1, 2, 0))
+    U_ctk = jnp.transpose(U, (2, 1, 0))
     if K_pad != K:
-        U_tck = jnp.pad(U_tck, ((0, 0), (0, 0), (0, K_pad - K)))
+        U_ctk = jnp.pad(U_ctk, ((0, 0), (0, 0), (0, K_pad - K)))
 
     per_sample_x0 = x0.ndim == 2
     if per_sample_x0:
@@ -658,8 +867,8 @@ def _prep_fused_rollout(dynamics, cost, x0, U, lr_params, tile_k, interpret,
             lr_scal=jnp.stack(scal).reshape(1, len(scal)),
             table_mode=table_mode,
         )
-    return (leaves, treedef, x0, U_tck, S, tile_k, interpret,
-            per_sample_x0, recurrent, lr_kw)
+    return (leaves, treedef, x0, U_ctk, S, tile_k, interpret,
+            per_sample_x0, recurrent, lr_kw, split_cost, out_dim)
 
 
 def fused_weighted_rollout(
@@ -676,6 +885,7 @@ def fused_weighted_rollout(
     state_dtype="float32",
     _idx_offset=0,
     _raw=False,
+    split_cost: bool | None = None,
 ):
     """Fused rollout + in-kernel normExp weights + flash weighted-mean for
     PRECOMPUTED control samples ``U`` (K, T, C). Returns ``(costs (K,),
@@ -696,6 +906,10 @@ def fused_weighted_rollout(
     ``sharding``: sample-axis ``NamedSharding`` — per-shard kernels plus
     one pmax + two psums merge the flash carries across chips
     (``pallas_solve.flash_combine``: 8 B + one (T, C) row of ICI traffic).
+
+    ``split_cost``: as in :func:`fused_rollout_costs` — dynamics-only
+    sequential loop + time-vectorized cost/LR pass for costs declaring
+    ``time_parallel_cost()`` (auto when ``None``).
     """
     K, T, C = U.shape
     lam_f = jnp.asarray(lam, jnp.float32)
@@ -723,6 +937,7 @@ def fused_weighted_rollout(
                 lr_params=lrp if with_lr else None,
                 tile_k=tile_k, interpret=interpret,
                 state_dtype=state_dtype, _idx_offset=off, _raw=True,
+                split_cost=split_cost,
             )
             m_g, d_g, num_g = flash_combine(md[0, 0], md[0, 1], num, axis)
             return costs, crash, num_g / d_g, -lam_l * m_g, d_g
@@ -741,14 +956,16 @@ def fused_weighted_rollout(
     # softmax: exp(-inf - max) = 0 keeps it out exactly)
     prep = _prep_fused_rollout(dynamics, cost, x0, U, lr_params, tile_k,
                                interpret, _idx_offset,
-                               epilogue_scal=(lam_f, jnp.float32(K)))
-    (leaves, treedef, x0, U_tck, S, tile_k, interpret, per_sample_x0,
-     recurrent, lr_kw) = prep
+                               epilogue_scal=(lam_f, jnp.float32(K)),
+                               split_cost=split_cost)
+    (leaves, treedef, x0, U_ctk, S, tile_k, interpret, per_sample_x0,
+     recurrent, lr_kw, split_cost, out_dim) = prep
     costs, crash, num, md = _fused_call(
         leaves, treedef, type(dynamics).__name__, type(cost).__name__,
-        x0, U_tck, dt, T, C, S, tile_k, interpret,
+        x0, U_ctk, dt, T, C, S, tile_k, interpret,
         per_sample_x0=per_sample_x0, recurrent=recurrent,
-        state_dtype=state_dtype, epilogue=True, **lr_kw,
+        state_dtype=state_dtype, epilogue=True, split_cost=split_cost,
+        out_dim=out_dim, **lr_kw,
     )
     costs, crash = costs[:K], crash[:K]
     if _raw:

@@ -71,15 +71,12 @@ from mppi_generic_tpu.ops.pallas_rollout import (
     default_tile_k,
 )
 
+from mppi_generic_tpu.ops.pallas_rollout import (  # noqa: F401  (re-export)
+    _SPLIT_SCRATCH_BYTES,
+    _SPLIT_TILE_TARGET,
+)
+
 _NEG_INF = -1e30
-# VMEM budget for the split-cost variant's per-tile scratch working set
-# (sample tensor + output trajectory, (C + O) * Tp * tile_k f32): past this
-# the combined loop is used instead — headroom below the ~16 MB/core VMEM
-# for the parameter tables, output blocks and Mosaic temporaries.
-_SPLIT_SCRATCH_BYTES = 11 * 1024 * 1024
-# default-tile target for the split variant's scratch working set (see the
-# tile heuristic in fused_solve_iteration)
-_SPLIT_TILE_TARGET = 6 * 1024 * 1024
 
 
 def _lane_rep(tab):
@@ -508,15 +505,20 @@ def fused_solve_iteration(
             "pass requires a crash-free, time-broadcastable cost"
         )
     if split_cost is None:
-        # auto: only when the (C + O, Tp, tile_k) f32 scratch working set —
-        # plus the double-buffered sample-emission output block when samples
-        # are returned — leaves VMEM headroom (the non-split form is always
-        # available; both fit/overflow boundaries verified on the bench
-        # chip, scripts/split_cost_probe.py)
+        # auto: only when the op-weight model predicts a win
+        # (pallas_rollout._split_profitable — the removed cost work must
+        # dominate the loop body) AND the (C + O, Tp, tile_k) f32 scratch
+        # working set — plus the double-buffered sample-emission output
+        # block when samples are returned — leaves VMEM headroom (the
+        # non-split form is always available; both fit/overflow boundaries
+        # verified on the bench chip, scripts/split_cost_probe.py)
+        from mppi_generic_tpu.ops.pallas_rollout import _split_profitable
+
         scratch_bytes = (C + out_dim) * Tp * tile_k * 4
         if return_samples:
             scratch_bytes += 2 * C * Tp * tile_k * 4
-        split_cost = eligible and scratch_bytes <= _SPLIT_SCRATCH_BYTES
+        split_cost = (eligible and _split_profitable(dynamics, cost)
+                      and scratch_bytes <= _SPLIT_SCRATCH_BYTES)
     if split_cost and tile_was_default:
         # split prefers smaller sample tiles than the combined default: the
         # (C + O, Tp, tile) scratch crowds VMEM and more grid programs

@@ -134,6 +134,30 @@ def test_autotune_skips_fused_on_cpu():
     assert tuned.kernel == "combined"
 
 
+def test_split_auto_grid_cap():
+    """On the U-input fused paths the sequential loop's latency floor is
+    per grid step, so AUTO split declines past 4 grid steps (measured on
+    hardware, BASELINE.md); a forced True is honored as given."""
+    from mppi_generic_tpu.models.double_integrator import (
+        DoubleIntegratorDynamics,
+    )
+    from mppi_generic_tpu.ops.pallas_rollout import _prep_fused_rollout
+
+    dyn = DoubleIntegratorDynamics.create()
+    cost = DoubleIntegratorCircleCost()
+    x0 = dyn.get_zero_state()
+
+    def resolved(K, tile, split):
+        U = jnp.zeros((K, 20, dyn.CONTROL_DIM))
+        prep = _prep_fused_rollout(dyn, cost, x0, U, None, tile, True, 0,
+                                   split_cost=split)
+        return prep[-2]  # resolved split_cost
+
+    assert resolved(512, 128, None) is True      # 4 grids: auto keeps split
+    assert resolved(1024, 128, None) is False    # 8 grids: auto declines
+    assert resolved(1024, 128, True) is True     # forced: honored
+
+
 def test_time_parallel_cost_declarations():
     """time_parallel_cost() is a per-cost correctness statement the split
     fused-solve variant relies on (ops/pallas_solve.py): crash-free +
@@ -165,6 +189,23 @@ def test_time_parallel_cost_declarations():
     from mppi_generic_tpu.costs.base import Cost
 
     assert not Cost().time_parallel_cost()
+
+    # the traced op-weight heuristic (calibrated on hardware,
+    # scripts/split_cost_probe.py): split auto-enables only where the
+    # removable cost work dominates the sequential loop — DI-class pairs
+    # yes, transcendental-heavy-dynamics pairs (cartpole, quadrotor) no
+    from mppi_generic_tpu.models.cartpole import CartpoleDynamics
+    from mppi_generic_tpu.models.double_integrator import (
+        DoubleIntegratorDynamics,
+    )
+    from mppi_generic_tpu.models.quadrotor import QuadrotorDynamics
+    from mppi_generic_tpu.ops.pallas_rollout import _split_profitable
+
+    didyn = DoubleIntegratorDynamics.create()
+    assert _split_profitable(didyn, di)
+    assert _split_profitable(didyn, dir_)
+    assert not _split_profitable(CartpoleDynamics.create(), cp)
+    assert not _split_profitable(QuadrotorDynamics.create(), qq)
 
     # semantic check: vectorized-time evaluation == per-t evaluation
     Tc = 6
