@@ -63,6 +63,13 @@ class PlantStats:
     program here, so it is part of avg_optimize_ms."""
 
     def __init__(self):
+        self.reset()
+
+    def reset(self):
+        """Zero the running averages — e.g. after compile pre-warm
+        iterations, so steady-state numbers are not polluted by the
+        one-time jit cost (the reference warms its kernels the same way
+        before its 10-launch timing loop, mppi_controller.cu:45-143)."""
         self.num_iterations = 0
         self.avg_loop_ms = 0.0
         self.avg_optimize_ms = 0.0

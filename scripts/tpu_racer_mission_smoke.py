@@ -134,15 +134,30 @@ def run_mission(duration_s=6.0, estimator_hz=50.0, solver_hz=20.0,
     x = np.zeros(STATE_DIM, np.float32)
     x[0] = 1.5  # rolling start down the corridor
 
-    # seed the buffer + pre-warm the solve compile outside the timed loop
+    # seed the buffer + pre-warm the solve compiles outside the timed loop.
+    # TWO iterations: the first compiles the no-prior-solution program, the
+    # second compiles the steady-state program (donated dispatch with a
+    # live RtSolution) — through a TPU relay each compile costs seconds,
+    # and a compile landing inside the timed loop starves the estimator
+    # (observed: 14 s for the steady-state program on a slow relay day)
     for i in range(BUFFER_STEPS):
         plant.add_buffer_entry(0.01 * i, x)
     plant.update_state(x, 0.1)
-    assert plant.run_control_iteration(timeout=10.0)
+    assert plant.run_control_iteration(timeout=30.0)
     # the buffer hook must have warm-started the rollout LSTM
     warm = plant.controller.dynamics
     h_norm = float(jnp.linalg.norm(warm.warm_hidden))
     assert h_norm > 0, "buffer hook did not warm-start the LSTM"
+    plant.update_state(x, 0.12)
+    plant.add_buffer_entry(0.12, x)
+    assert plant.run_control_iteration(timeout=30.0)
+    plant.stats.reset()
+
+    # the estimator's own plant-model step must also be jitted + warmed:
+    # eager per-op dispatch through a TPU relay costs ~10 ms/op and a cold
+    # jit costs seconds — either starves the 50 Hz loop
+    step_j = jax.jit(lambda xs, us: dyn0.step(xs, us, 0.0, ctrl.dt)[0])
+    jax.block_until_ready(step_j(jnp.asarray(x), jnp.zeros(2)))
 
     stop = threading.Event()
 
@@ -163,9 +178,7 @@ def run_mission(duration_s=6.0, estimator_hz=50.0, solver_hz=20.0,
         n_est += 1
         if plant.last_u is not None:
             u = jnp.asarray(plant.last_u)
-            x = np.asarray(
-                dyn0.step(jnp.asarray(x), u, 0.0, ctrl.dt)[0], np.float32
-            )
+            x = np.asarray(step_j(jnp.asarray(x), u), np.float32)
         time.sleep(period)
     stop.set()
     th.join(timeout=10)
