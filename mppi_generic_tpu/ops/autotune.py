@@ -221,18 +221,20 @@ def choose_appropriate_kernel(
     # heuristic (ops/pallas_rollout._split_profitable) only PREDICTS the
     # split-vs-combined outcome — here it is measured, the same way the
     # reference times its single-kernel vs split-kernel variants
-    # (mppi_controller.cu:45-143). TPU-only: interpret-mode timings are
-    # meaningless and slow.
+    # (mppi_controller.cu:45-143). The split candidate runs at
+    # pallas_tile_k=None so it gets its OWN tile heuristic (forcing the
+    # combined winner's tile would handicap it or overflow VMEM); the
+    # winner's tile is cached alongside. TPU-only: interpret-mode timings
+    # are meaningless and slow.
     best_split = controller.pallas_split_cost
     if (best.startswith("pallas")
             and best_split is None
             and jax.default_backend() == "tpu"
             and controller.cost.time_parallel_cost()):
         timed_split = {}
-        for split in (False, True):
+        for split, tile in ((False, best_tile), (True, None)):
             cand = controller.replace(
-                kernel=best, pallas_tile_k=best_tile,
-                pallas_split_cost=split,
+                kernel=best, pallas_tile_k=tile, pallas_split_cost=split,
             )
             try:
                 timed_split[split] = time_solve(
@@ -241,7 +243,10 @@ def choose_appropriate_kernel(
             except Exception:
                 continue
         if len(timed_split) == 2:
-            best_split = timed_split[True] < timed_split[False]
+            if timed_split[True] < timed_split[False]:
+                best_split, best_tile = True, None
+            else:
+                best_split = False
 
     _CACHE[key] = (best, best_tile, best_split)
     return controller.replace(kernel=best, pallas_tile_k=best_tile,

@@ -169,8 +169,19 @@ def _split_profitable(dynamics, cost) -> bool:
     """Traced-op-weight prediction of whether the split-cost kernel variant
     beats the combined loop for this (dynamics, cost) pair: True when the
     weighted op count of ``cost.running_cost`` is at least ``_SPLIT_RATIO``
-    times that of ``dynamics.step``. Conservative on trace failure."""
-    key = (type(dynamics), type(cost))
+    times that of ``dynamics.step``. Conservative on trace failure.
+
+    Cached per (types, parameter-leaf shape signature): instances of the
+    same classes can trace different jaxprs when optional leaves exist
+    (e.g. a map attached vs flat ground) — the same aliasing hazard the
+    auto-tuner's cache key guards against (ops/autotune.py)."""
+    key = (
+        type(dynamics), type(cost),
+        tuple(
+            tuple(jnp.shape(l))
+            for l in jax.tree_util.tree_leaves((dynamics, cost))
+        ),
+    )
     hit = _SPLIT_CACHE.get(key)
     if hit is not None:
         return hit
@@ -190,6 +201,53 @@ def _split_profitable(dynamics, cost) -> bool:
         res = False
     _SPLIT_CACHE[key] = res
     return res
+
+
+def _arbitrate_split(dynamics, cost, split_cost, T, tile_k,
+                     tile_was_default, ws_rows, shrink_rows, cap_k=None):
+    """Resolve the ``split_cost`` tri-state shared by every fused kernel
+    entry point. Returns ``(split_cost, tile_k)``.
+
+    ``ws_rows`` / ``shrink_rows``: f32 channel-row counts of the per-tile
+    VMEM working set for the fit gate / default-tile shrink target (they
+    differ per path: the U-input kernels carry a double-buffered input
+    block, the solve kernel an in-kernel sample scratch + optional
+    emission blocks). ``cap_k``: on the U-input paths AUTO declines past
+    4 grid steps of the resolved tile — the sequential horizon loop's
+    LATENCY floor is per grid step and does not shrink with tile width,
+    so when VMEM caps the split tile below the combined default, high
+    grid counts erase the split win (bench chip, DI T=100:
+    split/combined = 1.14x at K=8192 [4 grids], ~1.0x at K=16384 [8],
+    0.72x at K=32768 [16] — yet 2.4x at EQUAL tiles).
+
+    A DEFAULT tile shrinks toward ``_SPLIT_TILE_TARGET`` BEFORE the fit
+    gate, so the gate judges the tile the split variant would actually
+    run with; the shrink/gates leave a caller-chosen tile alone. Forced
+    ``True`` skips the auto gates (the auto-tuner's measured choice is
+    honored as given) but still raises for ineligible costs.
+    """
+    eligible = bool(cost.time_parallel_cost())
+    if split_cost is True and not eligible:
+        raise PallasIncompatible(
+            f"{type(cost).__name__}.time_parallel_cost() is False — the "
+            "split cost pass requires a crash-free, time-broadcastable cost"
+        )
+    if split_cost is False or (split_cost is None and not eligible):
+        return False, tile_k
+    cand_tile = tile_k
+    if tile_was_default:
+        while (cand_tile > LANES
+               and shrink_rows * T * cand_tile * 4 > _SPLIT_TILE_TARGET):
+            cand_tile //= 2
+    if split_cost is None:
+        if not _split_profitable(dynamics, cost):
+            return False, tile_k
+        if ws_rows * T * cand_tile * 4 > _SPLIT_SCRATCH_BYTES:
+            return False, tile_k
+        if (cap_k is not None
+                and _round_up(cap_k, cand_tile) // cand_tile > 4):
+            return False, tile_k
+    return True, cand_tile
 
 
 def _check_compatible(dynamics: Dynamics, leaves, allow_recurrent=False):
@@ -785,38 +843,13 @@ def _prep_fused_rollout(dynamics, cost, x0, U, lr_params, tile_k, interpret,
     if tile_k % LANES:
         raise ValueError(f"tile_k must be a multiple of {LANES}")
 
-    eligible = bool(cost.time_parallel_cost())
-    auto_split = split_cost is None  # resolved below; forced values exempt
-    if split_cost is True and not eligible:
-        raise PallasIncompatible(
-            f"{type(cost).__name__}.time_parallel_cost() is False — the "
-            "split cost pass requires a crash-free, time-broadcastable cost"
-        )
-    if split_cost is None:
-        # auto: only when the op-weight model predicts a win AND the
-        # working set — the (O, T, tile_k) output scratch plus the
-        # double-buffered (C, T, tile_k) U input block — leaves VMEM
-        # headroom (the combined loop is always available)
-        split_cost = (eligible
-                      and _split_profitable(dynamics, cost)
-                      and (2 * C + out_dim) * T * tile_k * 4
-                      <= _SPLIT_SCRATCH_BYTES)
-    if split_cost and tile_was_default:
-        while (tile_k > LANES
-               and (C + out_dim) * T * tile_k * 4 > _SPLIT_TILE_TARGET):
-            tile_k //= 2
-    if split_cost and auto_split and _round_up(K, tile_k) // tile_k > 4:
-        # the sequential horizon loop's LATENCY floor is per grid step and
-        # does not shrink with tile width, so when the (2C+O) VMEM working
-        # set caps the split tile below the combined default, high grid
-        # counts erase the split win on this U-input path (bench chip, DI
-        # T=100: split/combined = 1.14x at K=8192 [4 grids], ~1.0x at
-        # K=16384 [8], 0.72x at K=32768 [16] — yet 2.4x at EQUAL tiles).
-        # Auto therefore declines past 4 grid steps; a forced True and the
-        # auto-tuner's measured choice are honored as given.
-        split_cost = False
-        if tile_was_default:
-            tile_k = default_tile_k(K, T, C)
+    # working set: the (O, T, tile) output scratch plus the double-buffered
+    # (C, T, tile) U input block; the shrink target tracks scratch only
+    # (the U block exists for the combined variant too)
+    split_cost, tile_k = _arbitrate_split(
+        dynamics, cost, split_cost, T, tile_k, tile_was_default,
+        ws_rows=2 * C + out_dim, shrink_rows=C + out_dim, cap_k=K,
+    )
 
     table_mode = "smem"
     if lr_params is not None:

@@ -71,11 +71,6 @@ from mppi_generic_tpu.ops.pallas_rollout import (
     default_tile_k,
 )
 
-from mppi_generic_tpu.ops.pallas_rollout import (  # noqa: F401  (re-export)
-    _SPLIT_SCRATCH_BYTES,
-    _SPLIT_TILE_TARGET,
-)
-
 _NEG_INF = -1e30
 
 
@@ -498,37 +493,20 @@ def fused_solve_iteration(
     dyn_name, cost_name = type(dynamics).__name__, type(cost).__name__
 
     out_dim = int(dynamics.OUTPUT_DIM)
-    eligible = bool(cost.time_parallel_cost())
-    if split_cost is True and not eligible:
-        raise PallasIncompatible(
-            f"{cost_name}.time_parallel_cost() is False — the split cost "
-            "pass requires a crash-free, time-broadcastable cost"
-        )
-    if split_cost is None:
-        # auto: only when the op-weight model predicts a win
-        # (pallas_rollout._split_profitable — the removed cost work must
-        # dominate the loop body) AND the (C + O, Tp, tile_k) f32 scratch
-        # working set — plus the double-buffered sample-emission output
-        # block when samples are returned — leaves VMEM headroom (the
-        # non-split form is always available; both fit/overflow boundaries
-        # verified on the bench chip, scripts/split_cost_probe.py)
-        from mppi_generic_tpu.ops.pallas_rollout import _split_profitable
+    # working set: the (C, Tp, tile) in-kernel sample scratch + the
+    # (O, Tp, tile) output scratch, plus the double-buffered sample-
+    # emission output block when samples are returned; no grid cap — the
+    # combined solve kernel pays the same per-grid latency floor here
+    # (measured: split wins at K=32768/16 grids on this path). Both
+    # fit/overflow boundaries verified on the bench chip
+    # (scripts/split_cost_probe.py).
+    from mppi_generic_tpu.ops.pallas_rollout import _arbitrate_split
 
-        scratch_bytes = (C + out_dim) * Tp * tile_k * 4
-        if return_samples:
-            scratch_bytes += 2 * C * Tp * tile_k * 4
-        split_cost = (eligible and _split_profitable(dynamics, cost)
-                      and scratch_bytes <= _SPLIT_SCRATCH_BYTES)
-    if split_cost and tile_was_default:
-        # split prefers smaller sample tiles than the combined default: the
-        # (C + O, Tp, tile) scratch crowds VMEM and more grid programs
-        # pipeline the dyn-loop/cost-pass phases better (measured on the
-        # bench chip: K=8192/T=100 DI is 64 µs at tile 2048 vs 74 µs at
-        # 4096, scripts/split_cost_probe.py); a caller-chosen tile (e.g.
-        # the auto-tuner sweep) is left alone
-        while (tile_k > LANES
-               and (C + out_dim) * Tp * tile_k * 4 > _SPLIT_TILE_TARGET):
-            tile_k //= 2
+    split_cost, tile_k = _arbitrate_split(
+        dynamics, cost, split_cost, Tp, tile_k, tile_was_default,
+        ws_rows=(C + out_dim) + (2 * C if return_samples else 0),
+        shrink_rows=C + out_dim,
+    )
 
     mesh, axis, n_shards = _mesh_axis(sharding)
     if mesh is not None:

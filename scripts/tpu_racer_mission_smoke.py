@@ -157,7 +157,9 @@ def run_mission(duration_s=6.0, estimator_hz=50.0, solver_hz=20.0,
     # eager per-op dispatch through a TPU relay costs ~10 ms/op and a cold
     # jit costs seconds — either starves the 50 Hz loop
     step_j = jax.jit(lambda xs, us: dyn0.step(xs, us, 0.0, ctrl.dt)[0])
-    jax.block_until_ready(step_j(jnp.asarray(x), jnp.zeros(2)))
+    jax.block_until_ready(
+        step_j(jnp.asarray(x), jnp.zeros(dyn0.CONTROL_DIM, jnp.float32))
+    )
 
     stop = threading.Event()
 

@@ -475,8 +475,6 @@ def check_split_cost_fused_solve():
     weighted mean up to summation reassociation. Covers the DI cost
     (t-dependent discount term) and the cartpole quadratic, the VMEM-fit
     fallback at an oversized forced tile, and the ineligibility refusal."""
-    import pytest
-
     from mppi_generic_tpu.costs.cartpole import CartpoleQuadraticCost
     from mppi_generic_tpu.models.cartpole import CartpoleDynamics
     from mppi_generic_tpu.ops.pallas_rollout import PallasIncompatible
@@ -513,11 +511,15 @@ def check_split_cost_fused_solve():
 
     traj_cost = QuadraticCost.create(goal=jnp.zeros((T, 4)))
     samp = GaussianDistribution.create(std_dev=[1.0, 1.0])
-    with pytest.raises(PallasIncompatible, match="time_parallel_cost"):
+    try:
         fused_solve_iteration(
             dyn, traj_cost, samp, x0, jnp.zeros((T, 2)), jnp.int32(0),
             dt, 1.0, 0.0, K, split_cost=True,
         )
+    except PallasIncompatible as e:
+        assert "time_parallel_cost" in str(e)
+    else:  # pragma: no cover
+        raise AssertionError("forced split on an ineligible cost must raise")
 
 
 CHECKS.append(check_split_cost_fused_solve)

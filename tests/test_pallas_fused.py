@@ -147,15 +147,26 @@ def test_split_auto_grid_cap():
     cost = DoubleIntegratorCircleCost()
     x0 = dyn.get_zero_state()
 
-    def resolved(K, tile, split):
-        U = jnp.zeros((K, 20, dyn.CONTROL_DIM))
+    def resolved(K, tile, split, T=20):
+        U = jnp.zeros((K, T, dyn.CONTROL_DIM))
         prep = _prep_fused_rollout(dyn, cost, x0, U, None, tile, True, 0,
                                    split_cost=split)
-        return prep[-2]  # resolved split_cost
+        return prep[-2], prep[5]  # resolved split_cost, tile_k
 
-    assert resolved(512, 128, None) is True      # 4 grids: auto keeps split
-    assert resolved(1024, 128, None) is False    # 8 grids: auto declines
-    assert resolved(1024, 128, True) is True     # forced: honored
+    assert resolved(512, 128, None)[0] is True   # 4 grids: auto keeps split
+    assert resolved(1024, 128, None)[0] is False  # 8 grids: auto declines
+    assert resolved(1024, 128, True)[0] is True  # forced: honored
+
+    # the fit gate must judge the POST-shrink tile: at the colored-headline
+    # shape (K=8192, T=100, DI) the default tile 4096 exceeds the working-
+    # set budget but the shrink heuristic's tile 2048 fits at 4 grids —
+    # auto must resolve split=True there (review finding, round 3)
+    s, tile = resolved(8192, None, None, T=100)
+    assert s is True and tile == 2048
+    # ...and still decline at K=32768 (16 grids at the shrunk tile),
+    # keeping the combined default tile
+    s, tile = resolved(32768, None, None, T=100)
+    assert s is False and tile == 4096
 
 
 def test_time_parallel_cost_declarations():
