@@ -121,6 +121,15 @@ class ARStandardCost(Cost):
                           jnp.ones_like(crash), crash)
         return cost, crash
 
+    def time_parallel_crash(self) -> bool:
+        # crash is sticky-prefix: the boundary/rollover triggers in
+        # _track_query/_stabilizing_cost are pure functions of y, composed
+        # with crash_in only through `where(cond, 1, crash)`, and the value
+        # reads crash only through the current flag (the crash_cost term);
+        # every term is elementwise in t (discount_pow) — so the split
+        # kernels' dual-evaluation + prefix-OR pass is exact
+        return True
+
     def state_cost(self, y, t, crash):
         track, crash = self._track_cost(y, crash)
         speed = self._speed_cost(y)

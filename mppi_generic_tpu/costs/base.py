@@ -60,5 +60,30 @@ class Cost(struct.PyTreeNode):
         """
         return False
 
+    def time_parallel_crash(self) -> bool:
+        """True when this cost's crash usage is STICKY-PREFIX and its value
+        is elementwise in the CURRENT crash flag, so the split kernels can
+        still evaluate it time-vectorized (dual evaluation + an unrolled
+        prefix-OR over the time block):
+
+        * the crash output equals ``crash_in | trigger(y, t)`` where the
+          trigger does not depend on ``crash_in`` — the monotone sticky
+          crash_status contract of the reference's cost kernels
+          (core/mppi_common.cu:78-79);
+        * the cost value depends on crash only through the current flag
+          (e.g. ``where(crash > 0, penalty, 0)``): evaluating once at
+          crash=0 and once at crash=1 and selecting per timestep by the
+          prefix-ORed trigger reproduces the sequential result exactly,
+          and the two traces share every crash-independent subexpression
+          (map queries included), so CSE makes the dual evaluation nearly
+          free;
+        * time-broadcastability as in :meth:`time_parallel_cost`.
+
+        Mutually exclusive with ``time_parallel_cost`` (which asserts crash
+        is unused — when that holds, declare that instead: it is cheaper).
+        Default False; opting in is a per-cost correctness statement.
+        """
+        return False
+
     def terminal_cost(self, y):
         raise NotImplementedError

@@ -161,7 +161,14 @@ def _op_weight(jaxpr):
         if inner is not None:
             w += _op_weight(getattr(inner, "jaxpr", inner))
             continue
-        w += 8 if eqn.primitive.name in _TRANS_PRIMS else 1
+        name = eqn.primitive.name
+        if name in ("dot_general", "conv_general_dilated"):
+            # a contraction is ONE eqn hiding a whole MXU pass (e.g. the
+            # one-hot map-texture bilinear); the shape-blind count would
+            # otherwise undercount map-bearing costs by orders of magnitude
+            w += 32
+        else:
+            w += 8 if name in _TRANS_PRIMS else 1
     return w
 
 
@@ -226,11 +233,15 @@ def _arbitrate_split(dynamics, cost, split_cost, T, tile_k,
     ``True`` skips the auto gates (the auto-tuner's measured choice is
     honored as given) but still raises for ineligible costs.
     """
-    eligible = bool(cost.time_parallel_cost())
+    eligible = bool(cost.time_parallel_cost()) or bool(
+        cost.time_parallel_crash()
+    )
     if split_cost is True and not eligible:
         raise PallasIncompatible(
-            f"{type(cost).__name__}.time_parallel_cost() is False — the "
-            "split cost pass requires a crash-free, time-broadcastable cost"
+            f"{type(cost).__name__} declares neither time_parallel_cost() "
+            "nor time_parallel_crash() — the split cost pass requires a "
+            "time-broadcastable cost with crash either unused or "
+            "sticky-prefix"
         )
     if split_cost is False or (split_cost is None and not eligible):
         return False, tile_k
@@ -496,19 +507,39 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_ctk,
 
             jax.lax.fori_loop(0, T, body_dyn, (x, rec0))
 
-            def cost_block(t0, tc, acc):
+            # sticky-prefix crash (Cost.time_parallel_crash): dual
+            # evaluation at crash=0/1 (CSE shares everything else) + an
+            # unrolled prefix-OR across the block with a cross-chunk carry
+            tp_crash = (bool(cost.time_parallel_crash())
+                        and not bool(cost.time_parallel_cost()))
+
+            def cost_block(t0, tc, carry):
                 """Time-vectorized cost (+ LR) for timesteps [t0, t0+tc);
                 tc is static (full chunks via fori_loop, one static tail)."""
+                acc, crash_c = carry
                 yb = y_scr[:, pl.ds(t0, tc)]       # (O, tc, rows, LANES)
                 ub = u_ref[:, pl.ds(t0, tc)].reshape(C, tc, rows, LANES)
+                uf = ub.astype(jnp.float32)
                 tb = (jax.lax.broadcasted_iota(jnp.int32, (tc, 1, 1), 0)
                       .astype(jnp.float32)
                       + jnp.asarray(t0, jnp.int32).astype(jnp.float32))
-                c, _ = cost.running_cost(yb, ub.astype(jnp.float32), tb,
-                                         jnp.int32(0))
-                c = jnp.broadcast_to(c, (tc, rows, LANES)).astype(
-                    jnp.float32
-                )
+                if tp_crash:
+                    c0_b, trig = cost.running_cost(yb, uf, tb, jnp.int32(0))
+                    c1_b, _ = cost.running_cost(yb, uf, tb, jnp.int32(1))
+                    c0_b = jnp.broadcast_to(c0_b, (tc, rows, LANES))
+                    c1_b = jnp.broadcast_to(c1_b, (tc, rows, LANES))
+                    trig = jnp.broadcast_to(trig, (tc, rows, LANES))
+                    flags = []
+                    cur = crash_c
+                    for i in range(tc):  # static unroll: tc cheap maxes
+                        cur = jnp.maximum(cur, trig[i])
+                        flags.append(cur)
+                    c = jnp.where(jnp.stack(flags) > 0, c1_b, c0_b)
+                    crash_c = cur
+                else:
+                    c, _ = cost.running_cost(yb, uf, tb, jnp.int32(0))
+                    c = jnp.broadcast_to(c, (tc, rows, LANES))
+                c = c.astype(jnp.float32)
                 if with_lr:
                     blk = mean_ref[pl.ds(t0, tc)]  # (tc, R8, LANES)
                     lr_t = jnp.zeros((tc, rows, LANES), jnp.float32)
@@ -523,18 +554,18 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_ctk,
                             mu_c - 2.0 * ub[ch].astype(jnp.float32)
                         ) / (s_c * s_c)
                     c = c + lr_gain * lr_t
-                return acc + jnp.sum(c, axis=0)
+                return (acc + jnp.sum(c, axis=0), crash_c)
 
             Tcb = min(8, T)
-            acc = acc0
+            acc, crash = acc0, crash0
             if T // Tcb:
-                acc = jax.lax.fori_loop(
+                acc, crash = jax.lax.fori_loop(
                     0, T // Tcb,
-                    lambda ci, a: cost_block(ci * Tcb, Tcb, a), acc,
+                    lambda ci, a: cost_block(ci * Tcb, Tcb, a), (acc, crash),
                 )
             if T % Tcb:
-                acc = cost_block((T // Tcb) * Tcb, T % Tcb, acc)
-            crash = crash0
+                acc, crash = cost_block((T // Tcb) * Tcb, T % Tcb,
+                                        (acc, crash))
             y_last = y_scr[:, pl.ds(T - 1, 1)].reshape(
                 out_dim, rows, LANES
             )

@@ -224,20 +224,45 @@ def _fused_solve_call(leaves, treedef, dynamics_static, cost_static,
                     (out_dim, Tp - T, rows, LANES), jnp.float32
                 )
 
-            def cost_chunk(ci, acc):
+            # sticky-prefix crash (Cost.time_parallel_crash): dual
+            # evaluation at crash=0/1 (CSE shares everything else) + an
+            # unrolled prefix-OR across the block with a cross-chunk carry
+            tp_crash = (bool(cost.time_parallel_crash())
+                        and not bool(cost.time_parallel_cost()))
+
+            def cost_chunk(ci, carry):
+                acc, crash_c = carry
                 t0 = ci * Tc
                 yb = y_scr[:, pl.ds(t0, Tc)]   # (O, Tc, rows, LANES)
                 ub = u_scr[:, pl.ds(t0, Tc)]   # (C, Tc, rows, LANES)
                 tb = (jax.lax.broadcasted_iota(jnp.int32, (Tc, 1, 1), 0)
                       .astype(jnp.float32) + t0.astype(jnp.float32))
-                c, _ = cost.running_cost(yb, ub, tb, jnp.int32(0))
-                c = jnp.broadcast_to(c, (Tc, rows, LANES))
+                if tp_crash:
+                    c0_b, trig = cost.running_cost(yb, ub, tb, jnp.int32(0))
+                    c1_b, _ = cost.running_cost(yb, ub, tb, jnp.int32(1))
+                    c0_b = jnp.broadcast_to(c0_b, (Tc, rows, LANES))
+                    c1_b = jnp.broadcast_to(c1_b, (Tc, rows, LANES))
+                    trig = jnp.broadcast_to(trig, (Tc, rows, LANES))
+                    if Tp != T:
+                        # the zero-padded tail must not trigger crashes
+                        trig = jnp.where(tb < float(T), trig, 0)
+                    flags = []
+                    cur = crash_c
+                    for i in range(Tc):  # static unroll: Tc cheap maxes
+                        cur = jnp.maximum(cur, trig[i])
+                        flags.append(cur)
+                    c = jnp.where(jnp.stack(flags) > 0, c1_b, c0_b)
+                    crash_c = cur
+                else:
+                    c, _ = cost.running_cost(yb, ub, tb, jnp.int32(0))
+                    c = jnp.broadcast_to(c, (Tc, rows, LANES))
                 if Tp != T:
                     c = jnp.where(tb < float(T), c, 0.0)
-                return acc + jnp.sum(c, axis=0)
+                return (acc + jnp.sum(c, axis=0), crash_c)
 
-            acc = jax.lax.fori_loop(0, n_chunks, cost_chunk, acc0)
-            crash = jnp.zeros((rows, LANES), jnp.int32)
+            acc, crash = jax.lax.fori_loop(
+                0, n_chunks, cost_chunk, (acc0, crash0)
+            )
             y_last = y_scr[:, pl.ds(T - 1, 1)].reshape(out_dim, rows, LANES)
         else:
             def body(t, carry):

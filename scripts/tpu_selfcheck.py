@@ -571,6 +571,38 @@ def check_split_cost_weighted_rollout():
 CHECKS.append(check_split_cost_weighted_rollout)
 
 
+def check_sticky_crash_split():
+    """Compiled parity for the sticky-prefix-crash split pass
+    (Cost.time_parallel_crash — dual evaluation + unrolled prefix-OR):
+    the AutoRally track cost on the bicycle-slip model with a boundary
+    stripe at the edge of reach, so crash flags mix across samples and
+    crash timing crosses chunk boundaries. Crash must match BITWISE."""
+    from mppi_generic_tpu.costs.autorally import ARStandardCost
+    from mppi_generic_tpu.maps.texture import MapTexture2D
+    from mppi_generic_tpu.models.bicycle_slip import BicycleSlipDynamics
+    from mppi_generic_tpu.ops.pallas_rollout import fused_rollout_costs
+
+    data = np.zeros((32, 32), np.float32)
+    data[:, 21:] = 1.0
+    tex = MapTexture2D.create(data, origin=(-16, -16, 0), resolution=1.0)
+    dyn = BicycleSlipDynamics.create()
+    cost = ARStandardCost(costmap=tex, output_indices=(0, 1, 2, 8, 5, 6))
+    x0 = dyn.get_zero_state().at[5].set(4.0)
+    Kc, Tc_ = 384, 48
+    U = jax.random.normal(jax.random.PRNGKey(0),
+                          (Kc, Tc_, dyn.CONTROL_DIM)) * 0.9
+    c0, cr0 = fused_rollout_costs(dyn, cost, x0, U, 0.02, split_cost=False)
+    c1, cr1 = fused_rollout_costs(dyn, cost, x0, U, 0.02, split_cost=True)
+    n_crash = int(np.asarray(cr0).sum())
+    assert 0 < n_crash < Kc, n_crash
+    np.testing.assert_array_equal(np.asarray(cr1), np.asarray(cr0))
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c0),
+                               rtol=3e-5, atol=3e-3)
+
+
+CHECKS.append(check_sticky_crash_split)
+
+
 def check_vmem_table_long_horizon():
     """Long horizons keep the fused kernels via the sublane-stacked
     (T, R8, LANES) VMEM parameter table (VERDICT r2 item 4): compiled

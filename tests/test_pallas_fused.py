@@ -134,6 +134,74 @@ def test_autotune_skips_fused_on_cpu():
     assert tuned.kernel == "combined"
 
 
+def test_autotune_split_sweep_arbitration(monkeypatch):
+    """The tuner's split-cost sweep (TPU-gated in real runs) must: time the
+    split candidate at tile=None (its own tile heuristic, not the combined
+    winner's tile), adopt (split=True, tile=None) when split measures
+    faster, keep (split=False, best_tile) otherwise, and cache the triple.
+    Timing and the backend gate are stubbed so this tests ONLY the
+    arbitration logic."""
+    from mppi_generic_tpu.ops import autotune
+
+    ctrl = VanillaMPPI(
+        dynamics=DoubleIntegratorDynamics.create(),
+        cost=DoubleIntegratorCircleCost(),
+        sampler=GaussianDistribution.create(std_dev=[1.0, 1.0]),
+        num_timesteps=16, num_rollouts=256,
+    )
+    monkeypatch.setattr(autotune.jax, "default_backend", lambda: "tpu")
+
+    seen = []
+
+    def fake_time_solve(cand, x0, cs, n=10):
+        seen.append((cand.kernel, cand.pallas_tile_k, cand.pallas_split_cost))
+        if cand.kernel != "pallas":
+            return 5e-3  # other kernels slow -> pallas wins the sweep
+        if cand.pallas_split_cost is True:
+            assert cand.pallas_tile_k is None  # split gets its own tile
+            return 1e-4
+        return 2e-4
+
+    monkeypatch.setattr(autotune, "time_solve", fake_time_solve)
+    autotune._CACHE.clear()
+    tuned = autotune.choose_appropriate_kernel(
+        ctrl, jnp.array([2.0, 0.0, 0.0, 1.0]),
+        candidates=("combined", "pallas"),
+    )
+    assert tuned.kernel == "pallas"
+    assert tuned.pallas_split_cost is True
+    assert tuned.pallas_tile_k is None
+    assert any(s == ("pallas", None, True) for s in seen)
+    # cached triple is replayed without re-timing
+    n_timed = len(seen)
+    tuned2 = autotune.choose_appropriate_kernel(
+        ctrl, jnp.array([2.0, 0.0, 0.0, 1.0]),
+        candidates=("combined", "pallas"),
+    )
+    assert len(seen) == n_timed
+    assert (tuned2.kernel, tuned2.pallas_tile_k,
+            tuned2.pallas_split_cost) == ("pallas", None, True)
+
+    # split measuring SLOWER keeps the combined winner's tile and False
+    autotune._CACHE.clear()
+    seen.clear()
+
+    def fake_slow_split(cand, x0, cs, n=10):
+        seen.append((cand.kernel, cand.pallas_tile_k, cand.pallas_split_cost))
+        if cand.kernel != "pallas":
+            return 5e-3
+        return 9e-4 if cand.pallas_split_cost is True else 2e-4
+
+    monkeypatch.setattr(autotune, "time_solve", fake_slow_split)
+    tuned3 = autotune.choose_appropriate_kernel(
+        ctrl, jnp.array([2.0, 0.0, 0.0, 1.0]),
+        candidates=("combined", "pallas"),
+    )
+    assert tuned3.kernel == "pallas"
+    assert tuned3.pallas_split_cost is False
+    autotune._CACHE.clear()
+
+
 def test_split_auto_grid_cap():
     """On the U-input fused paths the sequential loop's latency floor is
     per grid step, so AUTO split declines past 4 grid steps (measured on
@@ -167,6 +235,59 @@ def test_split_auto_grid_cap():
     # keeping the combined default tile
     s, tile = resolved(32768, None, None, T=100)
     assert s is False and tile == 4096
+
+
+def test_sticky_crash_split_parity():
+    """time_parallel_crash costs (sticky-prefix crash, e.g. the AutoRally
+    track cost) must produce IDENTICAL crash flags and matching costs under
+    the split kernels' dual-evaluation + prefix-OR pass, on a population
+    where some but not all samples crash (the boundary stripe sits at the
+    edge of reach so crash timing varies across samples and chunks)."""
+    import numpy as np
+
+    from mppi_generic_tpu.costs.autorally import ARStandardCost
+    from mppi_generic_tpu.maps.texture import MapTexture2D
+    from mppi_generic_tpu.models.bicycle_slip import BicycleSlipDynamics
+    from mppi_generic_tpu.ops.pallas_rollout import (
+        fused_rollout_costs,
+        fused_weighted_rollout,
+    )
+    from mppi_generic_tpu.ops.rollout import rollout_combined
+
+    assert ARStandardCost().time_parallel_crash()
+    assert not ARStandardCost().time_parallel_cost()
+
+    data = np.zeros((32, 32), np.float32)
+    data[:, 21:] = 1.0  # boundary stripe at world x >= 5
+    tex = MapTexture2D.create(data, origin=(-16, -16, 0), resolution=1.0)
+    dyn = BicycleSlipDynamics.create()
+    cost = ARStandardCost(costmap=tex, output_indices=(0, 1, 2, 8, 5, 6))
+    x0 = dyn.get_zero_state().at[5].set(4.0)  # VEL_X: rolling start
+    K, T = 384, 48
+    U = jax.random.normal(jax.random.PRNGKey(0), (K, T, dyn.CONTROL_DIM))
+    U = U * 0.9
+
+    c_ref, _, cr_ref = rollout_combined(dyn, cost, x0, U, 0.02)
+    n_crash = int(np.asarray(cr_ref).sum())
+    assert 0 < n_crash < K, n_crash  # mixed population or the test is void
+
+    c0, cr0 = fused_rollout_costs(dyn, cost, x0, U, 0.02, split_cost=False)
+    c1, cr1 = fused_rollout_costs(dyn, cost, x0, U, 0.02, split_cost=True)
+    np.testing.assert_array_equal(np.asarray(cr0), np.asarray(cr_ref))
+    np.testing.assert_array_equal(np.asarray(cr1), np.asarray(cr_ref))
+    np.testing.assert_allclose(np.asarray(c0), np.asarray(c_ref),
+                               rtol=3e-5, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c0),
+                               rtol=3e-5, atol=3e-3)
+
+    o0 = fused_weighted_rollout(dyn, cost, x0, U, 0.02, 100.0,
+                                split_cost=False)
+    o1 = fused_weighted_rollout(dyn, cost, x0, U, 0.02, 100.0,
+                                split_cost=True)
+    for a, b, name in zip(o0, o1, ("costs", "crash", "mean", "baseline",
+                                   "eta")):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=3e-3, err_msg=name)
 
 
 def test_time_parallel_cost_declarations():
