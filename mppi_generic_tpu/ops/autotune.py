@@ -230,7 +230,8 @@ def choose_appropriate_kernel(
     if (best.startswith("pallas")
             and best_split is None
             and jax.default_backend() == "tpu"
-            and controller.cost.time_parallel_cost()):
+            and (controller.cost.time_parallel_cost()
+                 or controller.cost.time_parallel_crash())):
         timed_split = {}
         for split, tile in ((False, best_tile), (True, None)):
             cand = controller.replace(

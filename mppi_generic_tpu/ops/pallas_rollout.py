@@ -172,11 +172,24 @@ def _op_weight(jaxpr):
     return w
 
 
+# AUTO never predicts a split win for costs carrying a sizable array
+# parameter (a map texture): in-kernel map queries lower only via the
+# one-hot MXU bilinear, whose (points, side) temporaries lose to XLA's
+# batched formulation at every measured size (128x128-map bicycle config:
+# XLA 1.10 ms vs 1.80 in-kernel non-split) and crash the Mosaic compile
+# under split at map sizes past ~32 texels/side. Forced True and the
+# tuner's measured sweep remain available.
+_SPLIT_MAX_COST_LEAF_ELEMS = 4096
+
+
 def _split_profitable(dynamics, cost) -> bool:
     """Traced-op-weight prediction of whether the split-cost kernel variant
     beats the combined loop for this (dynamics, cost) pair: True when the
     weighted op count of ``cost.running_cost`` is at least ``_SPLIT_RATIO``
-    times that of ``dynamics.step``. Conservative on trace failure.
+    times that of ``dynamics.step`` — doubled for the sticky-crash tier,
+    whose dual evaluation roughly doubles the non-CSE-shared cost work.
+    Conservative on trace failure and for map-bearing costs (see
+    ``_SPLIT_MAX_COST_LEAF_ELEMS``).
 
     Cached per (types, parameter-leaf shape signature): instances of the
     same classes can trace different jaxprs when optional leaves exist
@@ -193,6 +206,12 @@ def _split_profitable(dynamics, cost) -> bool:
     if hit is not None:
         return hit
     try:
+        if any(
+            jnp.size(l) > _SPLIT_MAX_COST_LEAF_ELEMS
+            for l in jax.tree_util.tree_leaves(cost)
+        ):
+            _SPLIT_CACHE[key] = False
+            return False
         S, C = int(dynamics.STATE_DIM), int(dynamics.CONTROL_DIM)
         O = int(dynamics.OUTPUT_DIM)
         dtf = jnp.float32(0.02)
@@ -202,8 +221,11 @@ def _split_profitable(dynamics, cost) -> bool:
         cost_j = jax.make_jaxpr(
             lambda y, u, t: cost.running_cost(y, u, t, jnp.int32(0))
         )(jnp.zeros((O,)), jnp.zeros((C,)), jnp.float32(0))
+        ratio = _SPLIT_RATIO
+        if cost.time_parallel_crash() and not cost.time_parallel_cost():
+            ratio = 2.0 * _SPLIT_RATIO
         res = (_op_weight(cost_j.jaxpr)
-               >= _SPLIT_RATIO * _op_weight(dyn_j.jaxpr))
+               >= ratio * _op_weight(dyn_j.jaxpr))
     except Exception:
         res = False
     _SPLIT_CACHE[key] = res
@@ -487,9 +509,11 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_ctk,
             # carry) — the truly loop-carried part — writing outputs to
             # VMEM scratch; the cost (and the likelihood-ratio term, which
             # is elementwise in t) then evaluates over (Tc, rows, LANES)
-            # time blocks in tall VPU ops. Eligibility
-            # (cost.time_parallel_cost()) guarantees crash is unused and t
-            # enters only elementwise; with_lr forces table_mode="vmem"
+            # time blocks in tall VPU ops. Eligibility: t enters only
+            # elementwise and crash is either unused
+            # (cost.time_parallel_cost) or sticky-prefix
+            # (cost.time_parallel_crash — handled by the dual-eval +
+            # prefix-OR pass below); with_lr forces table_mode="vmem"
             # so the tables read as (Tc, R8, LANES) blocks.
             def body_dyn(t, carry):
                 x, rec = carry
@@ -551,7 +575,7 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_ctk,
                             jnp.broadcast_to(m_c, (tc, rows, LANES)),
                         )
                         lr_t = lr_t + coeff_ref[0, ch] * mu_c * (
-                            mu_c - 2.0 * ub[ch].astype(jnp.float32)
+                            mu_c - 2.0 * uf[ch]
                         ) / (s_c * s_c)
                     c = c + lr_gain * lr_t
                 return (acc + jnp.sum(c, axis=0), crash_c)
@@ -758,10 +782,14 @@ def fused_rollout_costs(
     mppi_common.cu:148-362) — the sequential horizon loop runs dynamics
     only (the loop-carried minimum), outputs stream to VMEM scratch, and
     the cost + likelihood-ratio terms evaluate in tall time-vectorized VPU
-    ops. Identical costs to the combined form up to summation order.
-    ``None`` auto-enables it when ``cost.time_parallel_cost()`` holds and
-    the extra (O, T, tile_k) output scratch fits the VMEM budget; ``True``
-    forces it (raising if the cost is ineligible); ``False`` disables.
+    ops. Identical costs to the combined form up to summation order, and
+    BITWISE-identical crash flags (sticky-prefix crash evaluates via a
+    dual-evaluation + prefix-OR pass). ``None`` auto-enables it when the
+    cost is eligible (``time_parallel_cost()`` — crash unused — or
+    ``time_parallel_crash()`` — sticky-prefix crash), the op-weight model
+    predicts a win, and the extra (O, T, tile_k) output scratch fits the
+    VMEM budget; ``True`` forces it (raising if the cost is ineligible);
+    ``False`` disables.
 
     ``state_dtype``: "bfloat16" runs the dynamics/cost arithmetic in bf16
     (state, controls, parameters; cost accumulation stays f32) for 2x VPU
@@ -973,7 +1001,8 @@ def fused_weighted_rollout(
 
     ``split_cost``: as in :func:`fused_rollout_costs` — dynamics-only
     sequential loop + time-vectorized cost/LR pass for costs declaring
-    ``time_parallel_cost()`` (auto when ``None``).
+    ``time_parallel_cost()`` or ``time_parallel_crash()`` (auto when
+    ``None``).
     """
     K, T, C = U.shape
     lam_f = jnp.asarray(lam, jnp.float32)

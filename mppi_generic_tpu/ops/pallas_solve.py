@@ -208,8 +208,9 @@ def _fused_solve_call(leaves, treedef, dynamics_static, cost_static,
             # sequential loop keeps ONLY the dynamics — the truly
             # loop-carried part — writing outputs to VMEM scratch; the cost
             # then evaluates over (Tc, rows, LANES) time blocks in tall VPU
-            # ops. Eligibility (cost.time_parallel_cost()) guarantees crash
-            # is unused and t enters only elementwise.
+            # ops. Eligibility: t enters only elementwise and crash is
+            # either unused (cost.time_parallel_cost) or sticky-prefix
+            # (cost.time_parallel_crash — dual-eval + prefix-OR below).
             def body_dyn(t, x):
                 u = u_scr[:, pl.ds(t, 1)].reshape(C, rows, LANES)
                 x_next, y = dynamics.step(x, u, t.astype(jnp.float32), dt_k)
@@ -436,9 +437,12 @@ def fused_solve_iteration(
     only (the loop-carried minimum), outputs stream to VMEM scratch, and
     the cost evaluates in tall time-vectorized VPU ops. Identical samples
     and (up to summation order) identical costs to the combined form.
-    ``None`` auto-enables it when ``cost.time_parallel_cost()`` holds and
-    the extra (O, Tp, tile_k) output scratch fits the VMEM budget; ``True``
-    forces it (raising if the cost is ineligible); ``False`` disables.
+    ``None`` auto-enables it when the cost is eligible
+    (``time_parallel_cost()`` — crash unused — or ``time_parallel_crash()``
+    — sticky-prefix crash, handled exactly by a dual-evaluation +
+    prefix-OR pass), the op-weight model predicts a win, and the extra
+    (O, Tp, tile_k) output scratch fits the VMEM budget; ``True`` forces
+    it (raising if the cost is ineligible); ``False`` disables.
     """
     from mppi_generic_tpu.sampling.gaussian import GaussianDistribution
     from mppi_generic_tpu.sampling.nln import NLNDistribution

@@ -257,6 +257,20 @@ def test_sticky_crash_split_parity():
     assert ARStandardCost().time_parallel_crash()
     assert not ARStandardCost().time_parallel_cost()
 
+    # AUTO must never PREDICT a split win for map-bearing costs: in-kernel
+    # map queries lose to XLA at every measured size and the split
+    # variant's one-hot temporaries can crash the Mosaic compile (review
+    # finding, round 3) — forced True and the tuner sweep stay available
+    from mppi_generic_tpu.models.racer_dubins import RacerDubinsDynamics
+    from mppi_generic_tpu.ops.pallas_rollout import _split_profitable
+
+    big = MapTexture2D.create(np.zeros((128, 128), np.float32),
+                              origin=(-64, -64, 0), resolution=1.0)
+    assert not _split_profitable(
+        RacerDubinsDynamics.create(),
+        ARStandardCost(costmap=big, output_indices=(0, 1, 2, 3, 4, 5)),
+    )
+
     data = np.zeros((32, 32), np.float32)
     data[:, 21:] = 1.0  # boundary stripe at world x >= 5
     tex = MapTexture2D.create(data, origin=(-16, -16, 0), resolution=1.0)
