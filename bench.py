@@ -259,6 +259,15 @@ def _steady_state_ms(ctrl, x0, key=None, S1=60, S2=240):
 
     dev, _fixed = device_per_solve(make_loop, (x0, cs), S1=S1, S2=S2,
                                    n_timed=3)
+    # Fast configs can see (S2-S1)*dev below the relay's run-to-run jitter
+    # (a few ms), making the two-point slope noise-dominated or even
+    # non-positive (device_per_solve clamps those to ~0). Escalate the scan
+    # lengths until the marginal device time between the two points is
+    # comfortably above that jitter.
+    while (S2 - S1) * dev < 15e-3 and S2 < 8000:
+        S1, S2 = S1 * 4, S2 * 4
+        dev, _fixed = device_per_solve(make_loop, (x0, cs), S1=S1, S2=S2,
+                                       n_timed=3)
     return dev * 1e3
 
 
@@ -329,6 +338,37 @@ def suite(tiny=False):
         num_iters=1, kernel=fast,
     )
     report("cartpole_example_K8192", ctrl, jnp.zeros(4), kt(8192, 100)[0])
+
+    # 2b/2c. NLN (log-MPPI) and Smooth-MPPI on the DI headline shape —
+    # both samplers generate in-kernel on the pallas_fused path; these
+    # rows replace the relay-era upper bounds in README/BASELINE with
+    # two-length-scan device time.
+    from mppi_generic_tpu.sampling import (
+        NLNDistribution,
+        SmoothMPPIDistribution,
+    )
+
+    K_, T_ = kt(8192, 100)
+    ctrl = VanillaMPPI(
+        dynamics=DoubleIntegratorDynamics.create(),
+        cost=DoubleIntegratorCircleCost(),
+        sampler=NLNDistribution.create(std_dev=[1.0, 1.0]),
+        dt=jnp.float32(0.02), lam=jnp.float32(1.0), alpha=jnp.float32(0.0),
+        num_timesteps=T_, num_rollouts=K_, num_iters=1, kernel=fast,
+    )
+    report("nln_logmppi_di_K8192", ctrl,
+           jnp.array([2.0, 0.0, 0.0, 1.0]), K_)
+
+    ctrl = VanillaMPPI(
+        dynamics=DoubleIntegratorDynamics.create(),
+        cost=DoubleIntegratorCircleCost(),
+        sampler=SmoothMPPIDistribution.create(
+            std_dev=[1.0, 1.0], num_timesteps=T_, dt=0.02),
+        dt=jnp.float32(0.02), lam=jnp.float32(1.0), alpha=jnp.float32(0.0),
+        num_timesteps=T_, num_rollouts=K_, num_iters=1, kernel=fast,
+    )
+    report("smooth_mppi_di_K8192", ctrl,
+           jnp.array([2.0, 0.0, 0.0, 1.0]), K_)
 
     # 3. bicycle slip + colored noise + track-map texture cost
     tex = MapTexture2D.create(
@@ -436,6 +476,22 @@ def suite(tiny=False):
            note="single-chip; multi-host sharding exercised by "
                 "scripts/scaling_bench.py + dryrun_multichip")
 
+    # 5b. Tube-MPPI with DDP feedback on the same CoRL scenario (dual
+    # stacked real+nominal solve + fused Riccati ladder per step)
+    from mppi_generic_tpu.controllers import TubeMPPI
+
+    ctrl = TubeMPPI(
+        dynamics=dyn, cost=DoubleIntegratorCircleCost(),
+        sampler=GaussianDistribution.create(std_dev=[1.0, 1.0]),
+        dt=jnp.float32(0.02), lam=jnp.float32(2.0), alpha=jnp.float32(0.0),
+        num_timesteps=kt(2560, 50)[1], num_rollouts=kt(2560, 50)[0],
+        nominal_threshold=jnp.float32(20.0),
+        feedback=DDPFeedback.create(dyn, 0.02),
+        kernel="pallas" if on_tpu else "combined",
+    )
+    report("tube_ddp_di_corl2020_K2560", ctrl,
+           jnp.array([2.0, 0.0, 0.0, 1.0]), kt(2560, 50)[0])
+
     if tiny:
         # construction/solve smoke only — skip the scaling subprocess and
         # the analytic ICI rows (covered by their own tests)
@@ -497,6 +553,10 @@ def suite(tiny=False):
                   if r["config"].startswith("rmppi")), None)
     if rmppi:
         variant_t["robust"] = (50, rmppi["steady_state_solve_ms"] * 1e3)
+    tube = next((r for r in results
+                 if r["config"].startswith("tube")), None)
+    if tube:
+        variant_t["tube"] = (50, tube["steady_state_solve_ms"] * 1e3)
     for variant, (T_v, us) in variant_t.items():
         for row in ici_model.traffic_table(T_v, 2, {variant: us},
                                            sizes=(4, 8, 32)):

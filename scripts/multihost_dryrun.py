@@ -11,9 +11,10 @@ programming model a real TPU pod uses over DCN), builds the global 8-device
 sample mesh through ``parallel.mesh.distributed_init`` +
 ``make_sample_mesh``, runs the sharded vanilla solve on both the XLA
 combined kernel and the shard_mapped Pallas kernel (interpret mode
-off-TPU), plus a Tube-MPPI dual-system solve, and asserts bit-level parity
-with the single-process unsharded result recorded by a reference
-subprocess.
+off-TPU), plus a Tube-MPPI dual-system solve and the full RMPPI per-step
+pipeline (sharded candidate eval + DDP gain synthesis + the augmented
+real/nominal solve), and asserts bit-level parity with the single-process
+unsharded result recorded by a reference subprocess.
 
 Usage (parent mode — spawns everything):
     python scripts/multihost_dryrun.py [--out MULTIHOST_r03.json]
@@ -99,6 +100,43 @@ def _build_tube(K, sharding=None):
     )
 
 
+def _build_robust(K, sharding=None):
+    import jax.numpy as jnp
+
+    from mppi_generic_tpu.controllers import RobustMPPI
+    from mppi_generic_tpu.costs import DoubleIntegratorCircleCost
+    from mppi_generic_tpu.feedback import DDPFeedback
+    from mppi_generic_tpu.models import DoubleIntegratorDynamics
+    from mppi_generic_tpu.sampling import GaussianDistribution
+
+    dyn = DoubleIntegratorDynamics.create()
+    return RobustMPPI(
+        dynamics=dyn,
+        cost=DoubleIntegratorCircleCost(),
+        sampler=GaussianDistribution.create(std_dev=[1.0, 1.0]),
+        num_timesteps=T,
+        num_rollouts=K,
+        num_candidates=9,
+        samples_per_condition=32,
+        value_function_threshold=jnp.float32(20.0),
+        feedback=DDPFeedback.create(dyn, 0.02),
+        sample_sharding=sharding,
+    )
+
+
+def _robust_step(jax, ctrl):
+    """RMPPI per-step pipeline, jitted once: candidate eval + gain
+    synthesis, then the augmented solve — the plant-loop sequence."""
+    uis = jax.jit(ctrl.update_importance_sampling)
+    solve = jax.jit(ctrl.solve)
+
+    def step(x0, cs0):
+        cs, _ = uis(x0, cs0, 1)
+        return solve(x0, cs)
+
+    return step
+
+
 def _x0():
     import jax.numpy as jnp
 
@@ -122,6 +160,11 @@ def run_reference(outdir):
     tres, _ = jax.jit(tube.solve)(x0, tube.init_state(jax.random.PRNGKey(1)))
     out["tube_mean"] = np.asarray(tres.real.control_mean)
     out["tube_baseline"] = np.asarray(tres.real.baseline)
+    robust = _build_robust(K_XLA)
+    rres, _ = _robust_step(jax, robust)(
+        x0, robust.init_state(jax.random.PRNGKey(2)))
+    out["robust_mean"] = np.asarray(rres.real.control_mean)
+    out["robust_nominal_mean"] = np.asarray(rres.nominal.control_mean)
     np.savez(os.path.join(outdir, "ref.npz"), **out)
 
 
@@ -197,6 +240,34 @@ def run_worker(port, pid, nprocs, outdir):
         err = float(np.max(np.abs(tmean - ref["tube_mean"])))
         ok = np.allclose(tmean, ref["tube_mean"], rtol=RTOL, atol=ATOL)
         record("tube", ok, err, dt_ms)
+
+    # RMPPI: candidate eval (per-sample-x0 shard path) + gain synthesis +
+    # the augmented real/nominal solve, all over the cross-process mesh
+    robust = _build_robust(K_XLA)
+    robust_sh = shard_controller(robust, mesh)
+    rs = jax.device_put(
+        robust.init_state(jax.random.PRNGKey(2)), replicated
+    )
+    robust_step = _robust_step(jax, robust_sh)
+    rres, _ = robust_step(x0, rs)  # warmup: keep compile out of solve_ms
+    jax.block_until_ready(rres.real.control_mean)
+    t0 = time.perf_counter()
+    rres, _ = robust_step(x0, rs)
+    jax.block_until_ready(rres.real.control_mean)
+    dt_ms = (time.perf_counter() - t0) * 1e3
+    if pid == 0:
+        rmean = np.asarray(rres.real.control_mean)
+        nmean = np.asarray(rres.nominal.control_mean)
+        err = max(
+            float(np.max(np.abs(rmean - ref["robust_mean"]))),
+            float(np.max(np.abs(nmean - ref["robust_nominal_mean"]))),
+        )
+        ok = np.allclose(
+            rmean, ref["robust_mean"], rtol=RTOL, atol=ATOL
+        ) and np.allclose(
+            nmean, ref["robust_nominal_mean"], rtol=RTOL, atol=ATOL
+        )
+        record("robust", ok, err, dt_ms)
 
         with open(os.path.join(outdir, "worker0.json"), "w") as f:
             json.dump(

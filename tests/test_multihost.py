@@ -4,9 +4,10 @@ The script under test (scripts/multihost_dryrun.py) spawns two OS
 processes, initializes jax.distributed through
 parallel.mesh.distributed_init, builds an 8-device global mesh (4 virtual
 CPU devices per process, gloo collectives), and asserts parity of the
-sharded vanilla (XLA + shard_mapped Pallas) and Tube solves against a
-single-process unsharded reference — the executed evidence for the DCN
-scaling path (SURVEY §2.12; the reference library is single-GPU)."""
+sharded vanilla (XLA + shard_mapped Pallas), Tube, and RMPPI per-step
+pipelines against a single-process unsharded reference — the executed
+evidence for the DCN scaling path (SURVEY §2.12; the reference library is
+single-GPU)."""
 
 import json
 import os
@@ -38,4 +39,4 @@ def test_two_process_parity(tmp_path):
     assert result["global_devices"] == 8
     assert result["num_processes"] == 2
     names = {c["check"] for c in result["checks"]}
-    assert names == {"vanilla_combined", "vanilla_pallas", "tube"}
+    assert names == {"vanilla_combined", "vanilla_pallas", "tube", "robust"}
