@@ -387,7 +387,11 @@ def suite(tiny=False):
         dt=jnp.float32(0.02), lam=jnp.float32(1.0), alpha=jnp.float32(0.0),
         num_timesteps=kt(1920, 100)[1], num_rollouts=kt(1920, 100)[0],
         num_iters=1,
-        kernel="combined",  # map gathers are XLA-path (see docs/design.md)
+        # map gathers are XLA-path (docs/design.md); the XLA split kernel
+        # (dynamics scan + time-parallel cost, one big one-hot gather
+        # matmul over all K*T points) measures 1.05x over combined here
+        # (scripts/map_kernel_probe.py)
+        kernel="split" if on_tpu else "combined",
     )
     report("bicycle_slip_colored_trackmap", ctrl,
            jnp.zeros(ctrl.dynamics.STATE_DIM), kt(1920, 100)[0])
@@ -416,7 +420,10 @@ def suite(tiny=False):
         sampler=GaussianDistribution.create(std_dev=[0.3, 0.5]),
         dt=jnp.float32(0.02), lam=jnp.float32(1.0), alpha=jnp.float32(0.0),
         num_timesteps=kt(1920, 150)[1], num_rollouts=kt(1920, 150)[0],
-        num_iters=1, kernel="combined",
+        # split measures 1.10x over combined on this map-bearing config
+        # (scripts/map_kernel_probe.py); the sticky-prefix crash tier
+        # keeps the track cost's crash semantics exact
+        num_iters=1, kernel="split" if on_tpu else "combined",
     )
     report("autorally_nn_K1920_T150", ctrl,
            jnp.zeros(7).at[4].set(3.0), kt(1920, 150)[0])
