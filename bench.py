@@ -233,7 +233,7 @@ def main():
     print(json.dumps(out))
 
 
-def _steady_state_ms(ctrl, x0, key=None, S1=60, S2=240):
+def _steady_state_ms(ctrl, x0, key=None, S1=60, S2=240, escalate=None):
     """Closed-loop steady-state DEVICE ms/solve for any controller type —
     including RMPPI's mandatory per-step stage 1 (candidate eval + DDP gain
     synthesis), exactly the plant loop. Two-length scan slope (see
@@ -263,8 +263,14 @@ def _steady_state_ms(ctrl, x0, key=None, S1=60, S2=240):
     # (a few ms), making the two-point slope noise-dominated or even
     # non-positive (device_per_solve clamps those to ~0). Escalate the scan
     # lengths until the marginal device time between the two points is
-    # comfortably above that jitter.
-    while (S2 - S1) * dev < 15e-3 and S2 < 8000:
+    # comfortably above that jitter. Only where the jitter rationale
+    # applies: on TPU with the default scan lengths (callers passing custom
+    # S1/S2 — e.g. tiny mode's CPU smoke — get exactly what they asked
+    # for); the cap is checked on the post-escalation S2.
+    if escalate is None:
+        escalate = (jax.default_backend() == "tpu"
+                    and (S1, S2) == (60, 240))
+    while escalate and (S2 - S1) * dev < 15e-3 and S2 * 4 <= 8000:
         S1, S2 = S1 * 4, S2 * 4
         dev, _fixed = device_per_solve(make_loop, (x0, cs), S1=S1, S2=S2,
                                        n_timed=3)

@@ -20,6 +20,9 @@ EXPECTED = {
     "racer_lstm_steering_elevation_K1920",
     "racer_lstm_unc_flat_K1920",
     "rmppi_ddp_di_corl2020_K2560",
+    "nln_logmppi_di_K8192",
+    "smooth_mppi_di_K8192",
+    "tube_ddp_di_corl2020_K2560",
 }
 
 
