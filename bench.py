@@ -393,10 +393,10 @@ def suite(tiny=False):
         dt=jnp.float32(0.02), lam=jnp.float32(1.0), alpha=jnp.float32(0.0),
         num_timesteps=kt(1920, 100)[1], num_rollouts=kt(1920, 100)[0],
         num_iters=1,
-        # map gathers are XLA-path (docs/design.md); the XLA split kernel
-        # (dynamics scan + time-parallel cost, one big one-hot gather
-        # matmul over all K*T points) measures 1.05x over combined here
-        # (scripts/map_kernel_probe.py)
+        # the XLA split path (dynamics-only scan with a leaner carry +
+        # per-sample cost scan) measures 1.05x over combined here; the
+        # batched dual-eval cost pass measured SLOWER (HBM-bound one-hot
+        # materialization) — scripts/map_kernel_probe.py
         kernel="split" if on_tpu else "combined",
     )
     report("bicycle_slip_colored_trackmap", ctrl,
@@ -426,9 +426,10 @@ def suite(tiny=False):
         sampler=GaussianDistribution.create(std_dev=[0.3, 0.5]),
         dt=jnp.float32(0.02), lam=jnp.float32(1.0), alpha=jnp.float32(0.0),
         num_timesteps=kt(1920, 150)[1], num_rollouts=kt(1920, 150)[0],
-        # split measures 1.10x over combined on this map-bearing config
-        # (scripts/map_kernel_probe.py); the sticky-prefix crash tier
-        # keeps the track cost's crash semantics exact
+        # split (dynamics-only scan + per-sample cost scan, crash exact)
+        # measures 1.10x over combined on this map-bearing config; the
+        # batched dual-eval crash pass measured slower
+        # (scripts/map_kernel_probe.py)
         num_iters=1, kernel="split" if on_tpu else "combined",
     )
     report("autorally_nn_K1920_T150", ctrl,

@@ -108,6 +108,7 @@ def trajectory_state_costs(
     Y: jnp.ndarray,
     U: jnp.ndarray,
     sequential_crash: bool = False,
+    batched_crash: bool = False,
 ):
     """Cost pass over precomputed outputs (rolloutCostKernel analog).
 
@@ -115,11 +116,43 @@ def trajectory_state_costs(
     terminal) / T, *excluding* any sampler likelihood term (add it outside).
 
     When ``sequential_crash`` is False the time axis is fully parallel (vmap
-    over t, like the split kernel's thread-tiled time loop); otherwise a scan
-    carries the crash status.
+    over t, like the split kernel's thread-tiled time loop); otherwise a
+    per-sample scan carries the crash status.
+
+    ``batched_crash``: for costs declaring ``time_parallel_crash()``
+    (sticky-prefix crash, e.g. the AutoRally track cost) an alternative
+    fully time-parallel pass exists — dual evaluation at crash=0/1 over all
+    (K, T) points + inclusive ``lax.cummax`` prefix of the triggers (the
+    XLA analog of the fused kernels' dual-evaluation + prefix-OR tier),
+    bitwise the same crash flags as the scan. MEASURED SLOWER than the scan
+    on the bench chip for every map-bearing BASELINE config (autorally
+    1.42 vs 1.33 ms combined, bicycle-trackmap 1.20 vs 1.10,
+    racer-elevation 2.55 vs 2.49; scripts/map_kernel_probe.py, 2026-08):
+    XLA materializes the (K*T, W) one-hot interpolation matrices in HBM,
+    while the per-step scan keeps (K, W) intermediates fused on-chip. Kept
+    for measurement and for costs whose per-step work is far heavier than
+    a map lookup; the in-kernel Pallas map path is the fast alternative.
     """
     K, T, _ = Y.shape
     ts = _time_indices(T)
+
+    if (batched_crash and sequential_crash and cost.time_parallel_crash()
+            and not cost.time_parallel_cost()):
+        # one batched evaluation over ALL K*T points (see docstring for the
+        # measured tradeoff vs the scan)
+        Yt = jnp.moveaxis(Y, -1, 0)  # (O, K, T): components on axis 0
+        Ut = jnp.moveaxis(U, -1, 0)  # (C, K, T)
+        ts_f = ts.astype(jnp.float32)  # (T,), broadcasts against (K, T)
+        c0, trig = cost.running_cost(Yt, Ut, ts_f, jnp.int32(0))
+        c1, _ = cost.running_cost(Yt, Ut, ts_f, jnp.int32(1))
+        flags = jax.lax.cummax(
+            jnp.broadcast_to(trig, (K, T)), axis=1
+        )  # inclusive prefix, matching the in-kernel split tier
+        cs = jnp.where(flags > 0, jnp.broadcast_to(c1, (K, T)),
+                       jnp.broadcast_to(c0, (K, T)))
+        acc = jnp.sum(cs, axis=1)
+        total = (acc + cost.terminal_cost(Y[:, -1, :].T)) / T
+        return total, flags[:, -1]
 
     def one_sample(Y_k, U_k):
         if sequential_crash:

@@ -3,10 +3,15 @@ time-parallel cost) for the map-bearing BASELINE configs, which cannot take
 the fused Pallas paths (no per-lane vector gather on TPU — the texture
 lookups stay in XLA, see docs/design.md).
 
-The split path batches the cost's one-hot texture gather over ALL K*T
-points in a handful of big matmuls instead of one (K, W) matmul per scan
-step, so it is the natural candidate for map-heavy costs; this measures it
-with the same two-length closed-loop scan slope bench.py uses.
+The split path's win on these configs comes from the leaner dynamics-only
+scan carry (the crash status keeps the cost pass a per-sample scan). A
+fully-batched cost pass (dual evaluation at crash=0/1 over all K*T points
++ cummax prefix, ``trajectory_state_costs(batched_crash=True)``) was
+measured in round 4 and is SLOWER on every config here — XLA materializes
+the (K*T, W) one-hot interpolation matrices in HBM (autorally 1.42 ms vs
+1.33 combined / 1.24 split-scan; bicycle 1.20 vs 1.10; racer-elevation
+2.55 vs 2.49). Measured with the same two-length closed-loop scan slope
+bench.py uses.
 
 Usage (TPU):  timeout 1500 python scripts/map_kernel_probe.py
 """

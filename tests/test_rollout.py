@@ -65,6 +65,59 @@ def test_split_sequential_crash_matches_parallel_for_crash_free_cost():
     np.testing.assert_allclose(c_par, c_seq, rtol=1e-5)
 
 
+def test_sticky_crash_time_parallel_pass_matches_scan():
+    """The batched dual-evaluation + cummax pass (time_parallel_crash
+    costs) must match the per-sample crash scan BITWISE on crash flags and
+    to float tolerance on costs (the XLA analog of the fused kernels'
+    sticky-prefix tier)."""
+    from mppi_generic_tpu.costs import ARStandardCost
+    from mppi_generic_tpu.maps.texture import MapTexture2D
+
+    rng = np.random.RandomState(11)
+    # mostly-benign costmap with one hot region: samples wandering into it
+    # crash mid-horizon, the rest never do
+    m = (0.3 * rng.rand(32, 32)).astype("f")
+    m[20:, 20:] = 5.0
+    tex = MapTexture2D.create(m, origin=(-16, -16, 0), resolution=1.0)
+    cost = ARStandardCost(costmap=tex, boundary_threshold=jnp.float32(2.0))
+    K, T = 24, 31
+    # synthetic outputs [x, y, yaw, roll, vx, vy, wz] with realistic scales:
+    # positions span on/off-track regions, roll stays under the rollover
+    # threshold, slip stays sane — so the only crash trigger is the track
+    # boundary, and only for the samples whose positions enter the hot block
+    Y = np.zeros((K, T, 7), np.float32)
+    Y[..., 0:2] = rng.randn(K, T, 2) * 8.0   # x, y
+    Y[..., 2] = rng.randn(K, T) * 3.0        # yaw
+    Y[..., 3] = rng.randn(K, T) * 0.3        # roll (< pi/2)
+    Y[..., 4] = 3.0 + rng.randn(K, T) * 0.5  # vx
+    Y[..., 5] = rng.randn(K, T) * 0.2        # vy
+    Y = jnp.asarray(Y)
+    U = jnp.asarray(rng.randn(K, T, 2), jnp.float32)
+
+    c_fast, crash_fast = ro.trajectory_state_costs(
+        cost, Y, U, sequential_crash=True, batched_crash=True
+    )
+
+    # oracle: the per-sample sequential crash scan (the old sequential path)
+    ts = jnp.arange(T, dtype=jnp.int32)
+
+    def one_sample(Y_k, U_k):
+        def step_fn(crash, inp):
+            y, u, t = inp
+            c, crash = cost.running_cost(y, u, t, crash)
+            return crash, c
+
+        crash, cs = jax.lax.scan(step_fn, jnp.int32(0), (Y_k, U_k, ts))
+        return (jnp.sum(cs) + cost.terminal_cost(Y_k[-1])) / T, crash
+
+    c_ref, crash_ref = jax.vmap(one_sample)(Y, U)
+    assert int(jnp.sum(crash_ref)) > 0  # the scenario must exercise crashes
+    assert int(jnp.sum(crash_ref)) < K
+    np.testing.assert_array_equal(np.asarray(crash_fast),
+                                  np.asarray(crash_ref))
+    np.testing.assert_allclose(c_fast, c_ref, rtol=1e-5, atol=1e-5)
+
+
 def test_cartpole_combined_matches_oracle():
     dyn = CartpoleDynamics.create()
     cost = CartpoleQuadraticCost()
