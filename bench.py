@@ -393,11 +393,11 @@ def suite(tiny=False):
         dt=jnp.float32(0.02), lam=jnp.float32(1.0), alpha=jnp.float32(0.0),
         num_timesteps=kt(1920, 100)[1], num_rollouts=kt(1920, 100)[0],
         num_iters=1,
-        # the XLA split path (dynamics-only scan with a leaner carry +
-        # per-sample cost scan) measures 1.05x over combined here; the
-        # batched dual-eval cost pass measured SLOWER (HBM-bound one-hot
-        # materialization) — scripts/map_kernel_probe.py
-        kernel="split" if on_tpu else "combined",
+        # round 4: the in-kernel tent-mask map bilinear admits this config
+        # to the fused Pallas path — 0.58 ms vs 0.97 combined / 1.06 split
+        # (1.69x, scripts/map_kernel_probe.py); colored noise keeps sample
+        # generation in XLA and everything after in one launch
+        kernel="pallas" if on_tpu else "combined",
     )
     report("bicycle_slip_colored_trackmap", ctrl,
            jnp.zeros(ctrl.dynamics.STATE_DIM), kt(1920, 100)[0])
@@ -426,11 +426,10 @@ def suite(tiny=False):
         sampler=GaussianDistribution.create(std_dev=[0.3, 0.5]),
         dt=jnp.float32(0.02), lam=jnp.float32(1.0), alpha=jnp.float32(0.0),
         num_timesteps=kt(1920, 150)[1], num_rollouts=kt(1920, 150)[0],
-        # split (dynamics-only scan + per-sample cost scan, crash exact)
-        # measures 1.10x over combined on this map-bearing config; the
-        # batched dual-eval crash pass measured slower
-        # (scripts/map_kernel_probe.py)
-        num_iters=1, kernel="split" if on_tpu else "combined",
+        # round 4: in-kernel tent-mask map bilinear — the fully-fused solve
+        # kernel measures 0.81 ms vs 1.15 combined / 1.26 split (1.43x,
+        # scripts/map_kernel_probe.py), track-map cost in-kernel
+        num_iters=1, kernel="pallas_fused" if on_tpu else "combined",
     )
     report("autorally_nn_K1920_T150", ctrl,
            jnp.zeros(7).at[4].set(3.0), kt(1920, 150)[0])
@@ -452,7 +451,11 @@ def suite(tiny=False):
         sampler=GaussianDistribution.create(std_dev=[0.3, 0.5]),
         dt=jnp.float32(0.02), lam=jnp.float32(1.0), alpha=jnp.float32(0.0),
         num_timesteps=kt(1920, 100)[1], num_rollouts=kt(1920, 100)[0],
-        num_iters=1, kernel="combined",
+        # round 4: elevation settling queries ride the in-kernel tent-mask
+        # bilinear inside the recurrent FULLY-fused solve kernel — 1.54 ms
+        # vs 2.34 combined / 1.59 pallas (1.52x;
+        # scripts/map_kernel_probe.py + the recurrent-fused probe)
+        num_iters=1, kernel="pallas_fused" if on_tpu else "combined",
     )
     report("racer_lstm_steering_elevation_K1920", ctrl,
            jnp.zeros(9).at[0].set(3.0), kt(1920, 100)[0])
@@ -468,7 +471,9 @@ def suite(tiny=False):
         dt=jnp.float32(0.02), lam=jnp.float32(1.0), alpha=jnp.float32(0.0),
         num_timesteps=kt(1920, 150)[1], num_rollouts=kt(1920, 150)[0],
         num_iters=1,
-        kernel="pallas" if on_tpu else "combined",
+        # round 4: recurrent support in the fully-fused solve kernel —
+        # 0.75 ms vs 0.79 pallas (recurrent-fused probe)
+        kernel="pallas_fused" if on_tpu else "combined",
     )
     report("racer_lstm_unc_flat_K1920", ctrl,
            jnp.zeros(26).at[0].set(3.0), kt(1920, 150)[0])

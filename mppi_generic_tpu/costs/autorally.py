@@ -73,8 +73,9 @@ class ARStandardCost(Cost):
             # no costmap loaded: on-track everywhere (the reference requires
             # costmapToTexture before use; a zero map is the benign default)
             return jnp.zeros_like(x)
-        pt = jnp.stack([x, y, jnp.zeros_like(x)], axis=-1)
-        val = self.costmap.query_at_world_pose(pt)
+        # component-wise query (no trailing-axis stack) so the track cost
+        # lowers in the fused Pallas kernels via the tent-mask bilinear
+        val = self.costmap.query_world_components(x, y)
         if val.ndim > jnp.ndim(x):  # multichannel costmap: channel 0
             val = val[..., 0]
         return val

@@ -25,8 +25,32 @@ trailing channel axis, matching the reference's row-major copies
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
+
 import jax.numpy as jnp
 from flax import struct
+
+# Set while a Pallas kernel body traces (ops/pallas_rollout, ops/pallas_solve
+# wrap their kernels in ``pallas_layout()``): queries then use the
+# sample-major tent-mask MXU formulation below instead of the XLA one-hot /
+# gather paths, whose reshapes and batched one-hots do not lower in Mosaic.
+_PALLAS_LAYOUT = contextvars.ContextVar("mppi_pallas_layout", default=False)
+
+
+@contextlib.contextmanager
+def pallas_layout():
+    """Mark the dynamic extent of a Pallas kernel trace: map-texture queries
+    lower via the in-kernel tent-mask bilinear (see ``_query_tex_pallas``)."""
+    tok = _PALLAS_LAYOUT.set(True)
+    try:
+        yield
+    finally:
+        _PALLAS_LAYOUT.reset(tok)
+
+
+def in_pallas_layout() -> bool:
+    return _PALLAS_LAYOUT.get()
 
 
 def _bilinear_axis(coord_norm, n):
@@ -88,6 +112,30 @@ class MapTexture2D(struct.PyTreeNode):
     def world_to_tex(self, world):
         return self.map_to_tex(self.world_to_map(world))
 
+    # --- component-wise pipeline (Pallas-kernel friendly) -------------------
+    # The trailing-axis ``world`` stacks above are hostile to Mosaic (the
+    # component axis must LEAD in-kernel); these compute the identical
+    # world -> map -> tex math on separate component arrays of any layout.
+    def world_to_tex_components(self, wx, wy, wz=0.0):
+        """(wx, wy[, wz]) world components -> normalized (u, v)."""
+        R = self.rotation
+        dx = wx - self.origin[0]
+        dy = wy - self.origin[1]
+        dz = wz - self.origin[2]
+        mx = R[0, 0] * dx + R[0, 1] * dy + R[0, 2] * dz
+        my = R[1, 0] * dx + R[1, 1] * dy + R[1, 2] * dz
+        u = mx / self.resolution[0] / self.width
+        v = my / self.resolution[1] / self.height
+        return u, v
+
+    def query_world_components(self, wx, wy, wz=0.0):
+        """Bilinear lookup at world (wx, wy[, wz]) given component-wise —
+        the query entry point every fused-kernel-admissible model/cost uses
+        (texture_helper.cu:94-134 pipeline, identical values to
+        ``query_at_world_pose``)."""
+        u, v = self.world_to_tex_components(wx, wy, wz)
+        return self.query_tex(u, v)
+
     # --- queries -----------------------------------------------------------
     # XLA's TPU gather serializes (~5-20 ns/point); for maps up to this many
     # texels per side the separable one-hot MXU formulation below is 10-45x
@@ -146,9 +194,67 @@ class MapTexture2D(struct.PyTreeNode):
             return out.reshape(batch + (ch,))
         return out.reshape(batch)
 
+    # In-kernel (Pallas) sample tiles are lane-major: the last axis is the
+    # 128-lane dim. Maps up to this many texels per side ride the tent-mask
+    # MXU bilinear below with the whole map VMEM-resident (a 512x512 f32
+    # map is 1 MB — within the 2 MB parameter-leaf budget).
+    _PALLAS_VMEM_MAX_SIDE = 512
+
+    def _query_tex_pallas(self, u, v):
+        """In-kernel bilinear in sample-major layout — the TPU-native analog
+        of the reference's hardware texture units (texture_helper.cuh:12-127)
+        for fused rollout kernels. Per sublane-row of 128 samples (coords on
+        lanes):
+
+          x = clip(u*W - 0.5, 0, W-1)                  (CUDA linear-filter
+                                                        sample position)
+          wx[w, p] = relu(1 - |w - x_p|)               (W, 128) — the tent
+            kernel IS the two-tap lerp weight row: (w==x0)(1-fx)+(w==x1)fx
+          tmp = d (H, W) @ wx -> (H, 128)              one MXU op: column p
+            holds the x-interpolated map column at sample p's x
+          wy[h, p] = relu(1 - |h - y_p|)               (H, 128)
+          out[p] = sum_h tmp[h, p] * wy[h, p]          sublane reduce
+
+        No transposes, gathers, or lane-dim reshapes — everything Mosaic
+        lowers. The matmul runs at Precision.HIGHEST (f32-exact vs the XLA
+        gather path: rel err ~3e-7 measured; default bf16 MXU passes cost
+        ~2e-3, enough to flip near-threshold crash flags). ~0.7 ns/point
+        device time at 128x128 on v5e vs 5-20 ns for XLA's serialized
+        gather. Leading dims (map-query corners, split-cost time chunks)
+        flatten into extra sample rows.
+        """
+        import jax
+
+        d = self.data
+        H, W = int(d.shape[0]), int(d.shape[1])
+        lead = u.shape[:-1]
+        lanes = int(u.shape[-1])
+        x = jnp.clip(u * W - 0.5, 0.0, W - 1.0).reshape((-1, lanes))
+        y = jnp.clip(v * H - 0.5, 0.0, H - 1.0).reshape((-1, lanes))
+        iw = jax.lax.broadcasted_iota(
+            jnp.int32, (W, lanes), 0).astype(jnp.float32)
+        ih = jax.lax.broadcasted_iota(
+            jnp.int32, (H, lanes), 0).astype(jnp.float32)
+        outs = []
+        for r in range(x.shape[0]):
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(iw - x[r: r + 1]))
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(ih - y[r: r + 1]))
+            tmp = jax.lax.dot_general(
+                d, wx, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            outs.append(jnp.sum(tmp * wy, axis=0, keepdims=True))
+        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+        return out.reshape(lead + (lanes,))
+
     def query_tex(self, u, v):
         """Bilinear lookup at normalized (u, v); u indexes width (x),
         v indexes height (y). Batched over leading dims."""
+        if (in_pallas_layout() and self.data.ndim == 2 and jnp.ndim(u) >= 2
+                and self.height <= self._PALLAS_VMEM_MAX_SIDE
+                and self.width <= self._PALLAS_VMEM_MAX_SIDE):
+            return self._query_tex_pallas(u, v)
         if (self.height <= self._MATMUL_GATHER_MAX_SIDE
                 and self.width <= self._MATMUL_GATHER_MAX_SIDE):
             # under vmap the per-element trace sees scalars; the one-hot

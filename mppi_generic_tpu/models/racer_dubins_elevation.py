@@ -61,22 +61,26 @@ def static_settling(elevation_map, pos_x, pos_y, yaw, roll, pitch):
         zero = jnp.zeros_like(yaw)
         return zero, zero, zero
 
-    # all four wheel queries in ONE batched lookup (leading corner axis):
-    # the one-hot MXU bilinear then runs one (4K, W) matmul per step
-    # instead of four (K, W) ones
-    q = math_utils.euler_to_quat(roll, pitch, yaw)
-    world = jnp.stack([pos_x, pos_y, jnp.zeros_like(yaw)], axis=-1)
+    # Component-wise corner positions (no trailing-axis stacks — the
+    # component axis must LEAD for the fused Pallas kernels, whose map
+    # lookups ride the in-kernel tent-mask bilinear): the Z-Y-X rotation of
+    # a body offset (bx, by, 0) needs only the first two rotation-matrix
+    # columns, R = Rz(yaw) Ry(pitch) Rx(roll) — identical values to the
+    # quat_rotate(euler_to_quat(...)) formulation (tested). All four wheel
+    # queries batch on a leading corner axis into ONE lookup.
+    cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+    cp, sp = jnp.cos(pitch), jnp.sin(pitch)
+    cr, sr = jnp.cos(roll), jnp.sin(roll)
+    axx = cy * cp
+    axy = cy * sp * sr - sy * cr
+    ayx = sy * cp
+    ayy = sy * sp * sr + cy * cr
     corners = [(_FRONT_X, _HALF_TRACK), (_FRONT_X, -_HALF_TRACK),
                (0.0, _HALF_TRACK), (0.0, -_HALF_TRACK)]
-    offs = jnp.stack([
-        jnp.stack([jnp.full_like(yaw, bx), jnp.full_like(yaw, by),
-                   jnp.zeros_like(yaw)], axis=-1)
-        for bx, by in corners
-    ])  # (4, ..., 3)
-    pts = world[None] + math_utils.quat_rotate(
-        jnp.broadcast_to(q, (4,) + q.shape), offs
-    )
-    fl, fr, rl, rr = elevation_map.query_at_world_pose(pts)
+    px = jnp.stack([pos_x + bx * axx + by * axy for bx, by in corners])
+    py = jnp.stack([pos_y + bx * ayx + by * ayy for bx, by in corners])
+    vals = elevation_map.query_world_components(px, py)
+    fl, fr, rl, rr = vals[0], vals[1], vals[2], vals[3]
 
     # asin via the atan2 polynomial (~1e-5 rad) — jnp.arcsin has no Mosaic
     # lowering, and this keeps the settling path inside the fused kernels

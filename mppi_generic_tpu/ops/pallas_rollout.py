@@ -14,11 +14,14 @@ this; here it is structural).
 
 Coverage boundary: analytic, FNN, and small-LSTM dynamics/costs lower into
 the kernels (NN matmuls ride the MXU via the ``forward_axis0`` twins;
-(H,)-shaped recurrent leaves carry through the horizon loop). Models with
-oversized parameters raise :class:`PallasIncompatible`; map-texture models
-lower too (MXU bilinear) but XLA's batched formulation usually times
-faster — the kernel auto-tuner arbitrates empirically either way,
-mirroring the reference's shared-memory-overflow fallback.
+(H,)-shaped recurrent leaves carry through the horizon loop). Map-texture
+models/costs lower via the in-kernel tent-mask MXU bilinear
+(maps/texture.py::_query_tex_pallas, enabled by the ``_map_query_layout``
+kernel wrapper) for maps <= 512 texels/side — measured 1.4-1.7x over the
+XLA paths on every map-bearing BASELINE config (round 4,
+scripts/map_kernel_probe.py). Models with oversized parameters raise
+:class:`PallasIncompatible` and fall back to the XLA paths, mirroring the
+reference's shared-memory-overflow fallback.
 
 Genericity: like the reference kernel — which is templated over
 Dynamics/Cost and calls them through device pointers — this kernel is
@@ -173,12 +176,11 @@ def _op_weight(jaxpr):
 
 
 # AUTO never predicts a split win for costs carrying a sizable array
-# parameter (a map texture): in-kernel map queries lower only via the
-# one-hot MXU bilinear, whose (points, side) temporaries lose to XLA's
-# batched formulation at every measured size (128x128-map bicycle config:
-# XLA 1.10 ms vs 1.80 in-kernel non-split) and crash the Mosaic compile
-# under split at map sizes past ~32 texels/side. Forced True and the
-# tuner's measured sweep remain available.
+# parameter (a map texture): the tent-mask bilinear made map costs
+# in-kernel-fast (round 4), but their per-row MXU matmuls largely hide
+# under the dynamics chain in the combined loop, so the op-weight model
+# (which scores a dot_general at 32) would over-predict split wins.
+# Forced True and the tuner's measured sweep remain available.
 _SPLIT_MAX_COST_LEAF_ELEMS = 4096
 
 
@@ -396,6 +398,22 @@ def _read_leaf(ref, orig_ndim):
     return ref[...]
 
 
+def _map_query_layout(fn):
+    """Trace a kernel body under ``maps.texture.pallas_layout()`` so any
+    map-texture lookup inside dynamics/cost lowers via the in-kernel
+    tent-mask MXU bilinear (texture.MapTexture2D._query_tex_pallas) instead
+    of the XLA one-hot/gather paths Mosaic cannot lower."""
+
+    @functools.wraps(fn)
+    def wrapped(*refs):
+        from mppi_generic_tpu.maps.texture import pallas_layout
+
+        with pallas_layout():
+            return fn(*refs)
+
+    return wrapped
+
+
 def _broadcast_rec(rec, rows):
     """Broadcast a recurrent-state pytree of (H,) leaves to (H, rows, LANES)
     blocks via per-component scalar fills — Mosaic cannot lower the
@@ -441,6 +459,7 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_ctk,
         if lr_scal is None:
             lr_scal = jnp.zeros((1, 6), jnp.float32)
 
+    @_map_query_layout
     def kernel(*refs):
         leaf_refs = refs[: len(leaves)]
         (x0_ref, u_ref, dt_ref, mean_ref, sigma_ref, coeff_ref,
@@ -1082,14 +1101,14 @@ def fused_weighted_rollout(
     jax.jit,
     static_argnames=("dynamics_static", "cost_static", "T", "C", "S", "K",
                      "K_pad", "tile_k", "interpret", "treedef",
-                     "noise_kind", "table_mode"),
+                     "noise_kind", "table_mode", "recurrent"),
 )
 def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
                        x0, mean, sigma, aux_tab, coeff, constraints, seed,
                        dt, lam, alpha, stride, pure_threshold, dt_smooth,
                        T, C, S, K, K_pad, tile_k, interpret,
                        noise_kind="gaussian", idx_offset=0,
-                       table_mode="smem"):
+                       table_mode="smem", recurrent=False):
     del dynamics_static, cost_static
     rows = tile_k // LANES
     grid = K_pad // tile_k
@@ -1097,6 +1116,7 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
     TWO_PI = 6.2831853071795864
     INV_2_24 = float(2.0 ** -24)
 
+    @_map_query_layout
     def kernel(*refs):
         leaf_refs = refs[: len(leaves)]
         (x0_ref, mean_ref, sigma_ref, aux_ref, coeff_ref, cons_ref,
@@ -1133,10 +1153,14 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
         x = jnp.broadcast_to(x0_ref[...].reshape(S, 1, 1), (S, rows, LANES))
         crash0 = jnp.zeros((rows, LANES), jnp.int32)
         acc0 = jnp.zeros((rows, LANES), jnp.float32)
+        # zero init (never read before the loop overwrites it): OUTPUT_DIM
+        # can exceed STATE_DIM (racer family), so x0 cannot seed it
         y0 = jnp.broadcast_to(
-            x0_ref[...].reshape(S, 1, 1)[: dynamics.OUTPUT_DIM],
+            jnp.zeros((1, 1), jnp.float32),
             (dynamics.OUTPUT_DIM, rows, LANES),
         )
+        # recurrent (LSTM) state rides the loop carry, as in _fused_call
+        rec0 = _broadcast_rec(dynamics.init_recurrent_state(), rows)
 
         def draw_bits():
             # one fused draw for both uniforms (halves PRNG invocations)
@@ -1166,7 +1190,7 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
         def do_step(t, eps, carry):
             """One timestep given its N(0,1) draws: carve-outs, per-channel
             constraint clamp, likelihood-ratio + running cost, dynamics."""
-            x, crash, acc, _ = carry
+            x, rec, crash, acc, _ = carry
             # --- setGaussianControls carve-outs (gaussian.cu:101-121) ---
             # channels unroll to scalar/row broadcasts (lane-transposing
             # reshapes are not lowerable)
@@ -1207,11 +1231,16 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
                 ) / (s_c * s_c)
             lr_t = 0.5 * lam_k * (1.0 - alpha_k) * lr_t
 
-            x_next, y = dynamics.step(x, u, t.astype(jnp.float32), dt_k)
+            t_f = t.astype(jnp.float32)
+            if recurrent:
+                x_next, y, rec = dynamics.step_recurrent(x, rec, u, t_f,
+                                                         dt_k)
+            else:
+                x_next, y = dynamics.step(x, u, t_f, dt_k)
             c, crash = cost.running_cost(y, u, t, crash)
-            return (x_next, crash, acc + c + lr_t, y)
+            return (x_next, rec, crash, acc + c + lr_t, y)
 
-        init = (x, crash0, acc0, y0)
+        init = (x, rec0, crash0, acc0, y0)
         if noise_kind == "nln":
             # log-MPPI: eps = z1 * exp(ln_sigma * z2) — one Box-Muller pair
             # yields both independent normals per timestep (nln.cu:12-24)
@@ -1230,7 +1259,7 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
                 ])
                 return do_step(t, eps, carry)
 
-            _, crash, acc, y_last = jax.lax.fori_loop(0, T, body_nln, init)
+            _, _, crash, acc, y_last = jax.lax.fori_loop(0, T, body_nln, init)
         elif T % 4 == 0:
             # 4 timesteps per loop iteration (two Box-Muller pairs):
             # amortizes the fori_loop carry/branch overhead a bit further
@@ -1246,7 +1275,7 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
                                     carry)
                 return carry
 
-            _, crash, acc, y_last = jax.lax.fori_loop(0, T // 4, body4, init)
+            _, _, crash, acc, y_last = jax.lax.fori_loop(0, T // 4, body4, init)
         elif T % 2 == 0:
             # dual-output Box-Muller: one (u1, u2) draw yields BOTH the cos
             # and sin normals — two timesteps per PRNG/log/sqrt evaluation
@@ -1259,7 +1288,7 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
                 carry = do_step(2 * i2, r * jnp.cos(theta), carry)
                 return do_step(2 * i2 + 1, r * jnp.sin(theta), carry)
 
-            _, crash, acc, y_last = jax.lax.fori_loop(
+            _, _, crash, acc, y_last = jax.lax.fori_loop(
                 0, T // 2, body2, init
             )
         else:
@@ -1270,7 +1299,7 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
                 eps = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(TWO_PI * u2)
                 return do_step(t, eps, carry)
 
-            _, crash, acc, y_last = jax.lax.fori_loop(0, T, body, init)
+            _, _, crash, acc, y_last = jax.lax.fori_loop(0, T, body, init)
         costs_ref[...] = ((acc + cost.terminal_cost(y_last)) / T)[None]
         crash_ref[...] = crash[None]
 
@@ -1352,6 +1381,7 @@ def _fused_rmppi_call(leaves, treedef, dynamics_static, cost_static,
     grid = K_pad // tile_k
     leaf_ndims = tuple(l.ndim for l in leaves)
 
+    @_map_query_layout
     def kernel(*refs):
         leaf_refs = refs[: len(leaves)]
         (xn_ref, xr_ref, u_ref, gains_ref, sigma_ref, coeff_ref, cons_ref,
@@ -1657,7 +1687,8 @@ def fused_sample_rollout_costs(
     K = num_rollouts
     leaves, treedef = jax.tree_util.tree_flatten((dynamics, cost))
     leaves = [jnp.asarray(l) for l in leaves]
-    _check_compatible(dynamics, leaves)
+    recurrent = dynamics.init_recurrent_state() is not None
+    _check_compatible(dynamics, leaves, allow_recurrent=True)
     table_mode = _table_mode((T, C), (T, C), (T, C))  # mean / sigma / aux
 
     # the hardware-PRNG path is compiled-TPU-only (guarded above); the
@@ -1721,6 +1752,7 @@ def fused_sample_rollout_costs(
                 stride_v, pure_v, dts_v, T, C, S, K_local, K_pad_local,
                 tile_local, False, noise_kind=noise_kind,
                 idx_offset=ax * K_local, table_mode=table_mode,
+                recurrent=recurrent,
             )
 
         return jax.shard_map(
@@ -1746,5 +1778,5 @@ def fused_sample_rollout_costs(
         jnp.asarray(optimization_stride, jnp.int32),
         jnp.asarray(pure_threshold, jnp.float32), dt_smooth,
         T, C, S, K, K_pad, tile_k, interpret, noise_kind=noise_kind,
-        table_mode=table_mode,
+        table_mode=table_mode, recurrent=recurrent,
     )

@@ -63,6 +63,7 @@ from mppi_generic_tpu.ops.pallas_rollout import (
     LANES,
     PallasIncompatible,
     _check_compatible,
+    _map_query_layout,
     _mesh_axis,
     _prepare_leaves,
     _read_leaf,
@@ -86,14 +87,14 @@ def _lane_rep(tab):
     jax.jit,
     static_argnames=("treedef", "dynamics_static", "cost_static", "T", "Tp",
                      "Tc", "C", "S", "K", "K_pad", "tile_k", "noise_kind",
-                     "emit_samples", "split_cost", "out_dim"),
+                     "emit_samples", "split_cost", "out_dim", "recurrent"),
 )
 def _fused_solve_call(leaves, treedef, dynamics_static, cost_static,
                       x0, mean_b, sigma_b, aux_b, lrc_b, tpin_b,
                       lo_b, hi_b, db_b, zc_b,
                       seed, scal, T, Tp, Tc, C, S, K, K_pad, tile_k,
                       noise_kind="gaussian", emit_samples=False,
-                      split_cost=False, out_dim=0):
+                      split_cost=False, out_dim=0, recurrent=False):
     del dynamics_static, cost_static
     rows = tile_k // LANES
     grid = K_pad // tile_k
@@ -103,6 +104,7 @@ def _fused_solve_call(leaves, treedef, dynamics_static, cost_static,
     INV_2_24 = float(2.0 ** -24)
     half = (Tc * C + 1) // 2
 
+    @_map_query_layout
     def kernel(*refs):
         leaf_refs = refs[: len(leaves)]
         (x0_ref, mean_ref, sigma_ref, aux_ref, lrc_ref, tpin_ref,
@@ -197,10 +199,23 @@ def _fused_solve_call(leaves, treedef, dynamics_static, cost_static,
         x = jnp.broadcast_to(x0_ref[...].reshape(S, 1, 1), (S, rows, LANES))
         crash0 = jnp.zeros((rows, LANES), jnp.int32)
         acc0 = jnp.zeros((rows, LANES), jnp.float32)
+        # zero init (never read before the loop overwrites it): OUTPUT_DIM
+        # can exceed STATE_DIM (racer family), so x0 cannot seed it
         y0 = jnp.broadcast_to(
-            x0_ref[...].reshape(S, 1, 1)[: dynamics.OUTPUT_DIM],
+            jnp.zeros((1, 1), jnp.float32),
             (dynamics.OUTPUT_DIM, rows, LANES),
         )
+        # recurrent (LSTM) state rides the loop carry as (H, rows, LANES)
+        # blocks built by scalar fills, exactly as in _fused_call
+        from mppi_generic_tpu.ops.pallas_rollout import _broadcast_rec
+
+        rec0 = _broadcast_rec(dynamics.init_recurrent_state(), rows)
+
+        def dyn_step(x, rec, u, t_f):
+            if recurrent:
+                return dynamics.step_recurrent(x, rec, u, t_f, dt_k)
+            x_next, y = dynamics.step(x, u, t_f, dt_k)
+            return x_next, y, rec
 
         if split_cost:
             # in-kernel split-kernel analog (rolloutDynamicsKernel +
@@ -211,13 +226,14 @@ def _fused_solve_call(leaves, treedef, dynamics_static, cost_static,
             # ops. Eligibility: t enters only elementwise and crash is
             # either unused (cost.time_parallel_cost) or sticky-prefix
             # (cost.time_parallel_crash — dual-eval + prefix-OR below).
-            def body_dyn(t, x):
+            def body_dyn(t, carry):
+                x, rec = carry
                 u = u_scr[:, pl.ds(t, 1)].reshape(C, rows, LANES)
-                x_next, y = dynamics.step(x, u, t.astype(jnp.float32), dt_k)
+                x_next, y, rec = dyn_step(x, rec, u, t.astype(jnp.float32))
                 y_scr[:, pl.ds(t, 1)] = y.reshape(out_dim, 1, rows, LANES)
-                return x_next
+                return (x_next, rec)
 
-            jax.lax.fori_loop(0, T, body_dyn, x)
+            jax.lax.fori_loop(0, T, body_dyn, (x, rec0))
             if Tp != T:
                 # the padded tail is never written by the loop; zero it so
                 # the masked cost pass sees finite values
@@ -267,14 +283,14 @@ def _fused_solve_call(leaves, treedef, dynamics_static, cost_static,
             y_last = y_scr[:, pl.ds(T - 1, 1)].reshape(out_dim, rows, LANES)
         else:
             def body(t, carry):
-                x, crash, acc, _ = carry
+                x, rec, crash, acc, _ = carry
                 u = u_scr[:, pl.ds(t, 1)].reshape(C, rows, LANES)
-                x_next, y = dynamics.step(x, u, t.astype(jnp.float32), dt_k)
+                x_next, y, rec = dyn_step(x, rec, u, t.astype(jnp.float32))
                 c, crash = cost.running_cost(y, u, t, crash)
-                return (x_next, crash, acc + c, y)
+                return (x_next, rec, crash, acc + c, y)
 
-            _, crash, acc, y_last = jax.lax.fori_loop(
-                0, T, body, (x, crash0, acc0, y0)
+            _, _, crash, acc, y_last = jax.lax.fori_loop(
+                0, T, body, (x, rec0, crash0, acc0, y0)
             )
         J = (acc + cost.terminal_cost(y_last) + lr_gain * lr_scr[...]) / T
         costs_ref[...] = J[None]
@@ -429,7 +445,10 @@ def fused_solve_iteration(
 
     Eligibility: Gaussian or NLN sampler (their noise generates in-kernel),
     normExp weights (the online-softmax trick is exact only for exp),
-    TPU backend. Raises :class:`PallasIncompatible` otherwise.
+    TPU backend. Raises :class:`PallasIncompatible` otherwise. Recurrent
+    (small-LSTM) dynamics are hosted in-kernel: their (H,) hidden/cell
+    leaves ride the horizon-loop carry as (H, rows, LANES) blocks (round 4
+    — admits the racer LSTM family to the fully-fused path).
 
     ``split_cost``: in-kernel analog of the reference's split-kernel choice
     (rolloutDynamicsKernel + time-tiled rolloutCostKernel,
@@ -466,7 +485,8 @@ def fused_solve_iteration(
     K = num_rollouts
     leaves, treedef = jax.tree_util.tree_flatten((dynamics, cost))
     leaves = [jnp.asarray(l) for l in leaves]
-    _check_compatible(dynamics, leaves)
+    recurrent = dynamics.init_recurrent_state() is not None
+    _check_compatible(dynamics, leaves, allow_recurrent=True)
 
     tile_was_default = tile_k is None
     if tile_k is None:
@@ -565,6 +585,7 @@ def fused_solve_iteration(
                 T, Tp, Tc, C, S, K_local, K_pad_local, tile_local,
                 noise_kind=noise_kind, emit_samples=return_samples,
                 split_cost=split_cost, out_dim=out_dim,
+                recurrent=recurrent,
             )
             m_g, d_g, num_g = flash_combine(m, d, num, axis)
             outs = (costs, crash, num_g / d_g, -lamv * m_g, d_g)
@@ -602,7 +623,7 @@ def fused_solve_iteration(
         jnp.asarray(seed, jnp.int32), scal,
         T, Tp, Tc, C, S, K, K_pad, tile_k,
         noise_kind=noise_kind, emit_samples=return_samples,
-        split_cost=split_cost, out_dim=out_dim,
+        split_cost=split_cost, out_dim=out_dim, recurrent=recurrent,
     )
     lam_f = jnp.asarray(lam, jnp.float32)
     return costs, crash, num / d, -lam_f * m, d, U

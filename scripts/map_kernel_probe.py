@@ -74,19 +74,29 @@ def configs():
         sampler=GaussianDistribution.create(std_dev=[0.3, 0.5]),
         num_timesteps=100, num_rollouts=1920, **common,
     ), jnp.zeros(9).at[0].set(3.0))
+    from mppi_generic_tpu.models import RacerDubinsElevationLSTMUncertainty
+
+    yield ("racer_lstm_unc_flat_K1920", dict(
+        dynamics=RacerDubinsElevationLSTMUncertainty.create(),
+        cost=ARStandardCost(output_indices=(2, 3, 5, 6, 0, 1)),
+        sampler=GaussianDistribution.create(std_dev=[0.3, 0.5]),
+        num_timesteps=150, num_rollouts=1920, **common,
+    ), jnp.zeros(26).at[0].set(3.0))
 
 
 def main():
     for name, kw, x0 in configs():
         row = {"config": name}
-        for kernel in ("combined", "split"):
+        for kernel in ("combined", "split", "pallas", "pallas_fused"):
             ctrl = VanillaMPPI(kernel=kernel, **kw)
             try:
                 row[kernel + "_ms"] = bench._steady_state_ms(ctrl, x0)
-            except Exception as e:  # split may decline a cost; record it
+            except Exception as e:  # a variant may decline a model/cost
                 row[kernel + "_error"] = f"{type(e).__name__}: {e}"[:200]
-        if "combined_ms" in row and "split_ms" in row:
-            row["speedup_split"] = row["combined_ms"] / row["split_ms"]
+        base = row.get("combined_ms")
+        for kernel in ("split", "pallas", "pallas_fused"):
+            if base and row.get(kernel + "_ms"):
+                row["speedup_" + kernel] = base / row[kernel + "_ms"]
         print(json.dumps(row), flush=True)
 
 

@@ -665,6 +665,107 @@ def check_vmem_table_long_horizon():
 CHECKS.append(check_vmem_table_long_horizon)
 
 
+
+
+def check_in_kernel_map_bilinear():
+    """Round 4: the in-kernel tent-mask map bilinear — a map-bearing track
+    cost AND elevation-settling dynamics through the compiled fused kernel
+    vs the XLA combined scan (costs to float tolerance, crash bitwise).
+    The compiled analog of tests/test_pallas_rollout.py::test_map_bearing_*."""
+    from mppi_generic_tpu.costs import ARStandardCost
+    from mppi_generic_tpu.maps.texture import MapTexture2D
+    from mppi_generic_tpu.models import (
+        BicycleSlipDynamics,
+        RacerDubinsElevationDynamics,
+    )
+
+    rng = np.random.RandomState(5)
+    m = (0.4 * np.abs(rng.randn(128, 128))).astype("f")
+    m[64:, 66:] = 3.0
+    tex = MapTexture2D.create(m, origin=(-64, -64, 0), resolution=1.0)
+
+    dyn = BicycleSlipDynamics.create()
+    cost = ARStandardCost(costmap=tex, output_indices=(0, 1, 2, 8, 5, 6),
+                          boundary_threshold=jnp.float32(1.5))
+    x0 = jnp.zeros(dyn.STATE_DIM).at[5].set(3.0)
+    U = jax.random.normal(jax.random.PRNGKey(2), (K, T, 2)) * 0.4
+    c_ref, _, cr_ref = rollout_combined(dyn, cost, x0, U, jnp.float32(DT))
+    c_p, cr_p = fused_rollout_costs(dyn, cost, x0, U, jnp.float32(DT))
+    assert int(jnp.sum(cr_ref)) > 0, "scenario must exercise map crashes"
+    np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_ref),
+                               rtol=1e-4, atol=1e-4)
+    assert bool(jnp.all(cr_p == cr_ref))
+
+    elev = MapTexture2D.create(
+        (0.05 * rng.randn(128, 128)).astype("f"), origin=(-64, -64, 0),
+        resolution=1.0,
+    )
+    dyn2 = RacerDubinsElevationDynamics.create(elevation_map=elev)
+    cost2 = ARStandardCost(costmap=tex, output_indices=(2, 3, 5, 6, 0, 1))
+    x02 = jnp.zeros(dyn2.STATE_DIM).at[0].set(3.0)
+    c_ref2, _, cr_ref2 = rollout_combined(dyn2, cost2, x02, U,
+                                          jnp.float32(DT))
+    c_p2, cr_p2 = fused_rollout_costs(dyn2, cost2, x02, U, jnp.float32(DT))
+    np.testing.assert_allclose(np.asarray(c_p2), np.asarray(c_ref2),
+                               rtol=1e-4, atol=1e-4)
+    assert bool(jnp.all(cr_p2 == cr_ref2))
+
+
+CHECKS.append(check_in_kernel_map_bilinear)
+
+
+
+
+def check_recurrent_map_fused_solve():
+    """Round 4: recurrent (LSTM) dynamics + in-kernel map bilinear on the
+    FULLY-fused solve path: the kernel's emitted samples re-scored by the
+    XLA pipeline must reproduce its costs/crash, and the flash epilogue
+    must match the XLA epilogue given the same samples — on the racer
+    LSTM-steering elevation model (the real-vehicle configuration)."""
+    from mppi_generic_tpu.costs import ARStandardCost
+    from mppi_generic_tpu.maps.texture import MapTexture2D
+    from mppi_generic_tpu.models import RacerDubinsElevationLSTMSteering
+    from mppi_generic_tpu.ops.pallas_solve import fused_solve_iteration
+    from mppi_generic_tpu.ops.weights import norm_exp_weights
+
+    rng = np.random.RandomState(9)
+    elev = MapTexture2D.create(
+        (0.05 * rng.randn(128, 128)).astype("f"), origin=(-64, -64, 0),
+        resolution=1.0,
+    )
+    tex = MapTexture2D.create(
+        np.abs(rng.randn(128, 128)).astype("f"), origin=(-64, -64, 0),
+        resolution=1.0,
+    )
+    dyn = RacerDubinsElevationLSTMSteering.create(elevation_map=elev)
+    cost = ARStandardCost(costmap=tex, output_indices=(2, 3, 5, 6, 0, 1))
+    samp = GaussianDistribution.create(
+        std_dev=[0.3, 0.5], control_cost_coeff=[0.01, 0.02],
+        pure_noise_percentage=0.1,
+    )
+    x0 = jnp.zeros(dyn.STATE_DIM).at[0].set(3.0)
+    lam, dt = 1.0, jnp.float32(DT)
+    mean = jnp.zeros((T, 2))
+    costs, crash, new_mean, baseline, eta, U = fused_solve_iteration(
+        dyn, cost, samp, x0, mean, jnp.int32(77), dt, lam, 0.0, K,
+        return_samples=True,
+    )
+    c_r, _, cr_r = rollout_combined(dyn, cost, x0, U, dt)
+    lr = samp.likelihood_ratio_cost(U, mean, lam, 0.0)
+    np.testing.assert_allclose(np.asarray(costs), np.asarray(c_r + lr / T),
+                               rtol=1e-3, atol=1e-3)
+    assert bool(jnp.all(crash == cr_r))
+    base_r = float(jnp.min(costs))
+    w_r = norm_exp_weights(costs, lam, base_r)
+    mean_r = jnp.sum((w_r / jnp.sum(w_r))[:, None, None] * U, axis=0)
+    np.testing.assert_allclose(float(baseline), base_r, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_mean), np.asarray(mean_r),
+                               rtol=1e-4, atol=1e-5)
+
+
+CHECKS.append(check_recurrent_map_fused_solve)
+
+
 # keep this at the very END of the file: checks appended above must be
 # registered before the standalone script runs them
 if __name__ == "__main__":

@@ -84,3 +84,114 @@ def test_query_at_world_offset_pose():
     )
     direct = tex.query_at_world_pose(jnp.array([1.5, 1.5, 0.0]))
     assert np.isclose(float(val), float(direct), atol=1e-4)
+
+
+def test_query_world_components_matches_pose_path():
+    """The component-wise pipeline (used by fused-kernel-admissible
+    models/costs) must equal the trailing-axis world-pose path, including
+    a rotated + offset map frame."""
+    rng = np.random.RandomState(3)
+    th = 0.4
+    rot = np.array([
+        [np.cos(th), np.sin(th), 0.0],
+        [-np.sin(th), np.cos(th), 0.0],
+        [0.0, 0.0, 1.0],
+    ], np.float32)
+    tex = MapTexture2D.create(
+        rng.randn(24, 40).astype("f"), origin=(1.5, -2.0, 0.3),
+        rotation=rot, resolution=0.25,
+    )
+    wx = jnp.asarray(rng.randn(5, 7) * 3, jnp.float32)
+    wy = jnp.asarray(rng.randn(5, 7) * 3, jnp.float32)
+    pts = jnp.stack([wx, wy, jnp.zeros_like(wx)], axis=-1)
+    np.testing.assert_allclose(
+        tex.query_world_components(wx, wy),
+        tex.query_at_world_pose(pts), rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_tent_mask_pallas_query_matches_gather():
+    """The in-kernel tent-mask MXU bilinear (sample-major layout) must be
+    f32-exact against the explicit gather bilinear, including the clamped
+    boundary region and exact-integer sample positions."""
+    rng = np.random.RandomState(7)
+    H, W = 48, 96
+    tex = MapTexture2D.create(rng.randn(H, W).astype("f"))
+    # (R, 128) lane-major coords incl. out-of-range (clamp) and exact-texel
+    u = jnp.asarray(rng.rand(3, 128) * 1.2 - 0.1, jnp.float32)
+    v = jnp.asarray(rng.rand(3, 128) * 1.2 - 0.1, jnp.float32)
+    u = u.at[0, :4].set(jnp.array([0.0, 1.0, (5 + 0.5) / W, 0.5]))
+    got = tex._query_tex_pallas(u, v)
+    # oracle: the explicit 4-tap gather (the > _MATMUL_GATHER_MAX_SIDE path)
+    big = MapTexture2D(data=tex.data, origin=tex.origin,
+                       rotation=tex.rotation, resolution=tex.resolution)
+    ref_cls_limit = MapTexture2D._MATMUL_GATHER_MAX_SIDE
+    try:
+        MapTexture2D._MATMUL_GATHER_MAX_SIDE = 0
+        ref = big.query_tex(u, v)
+    finally:
+        MapTexture2D._MATMUL_GATHER_MAX_SIDE = ref_cls_limit
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+    # leading-dims flattening: (4, 2, 128) corners x rows
+    u3 = jnp.asarray(rng.rand(4, 2, 128), jnp.float32)
+    v3 = jnp.asarray(rng.rand(4, 2, 128), jnp.float32)
+    got3 = tex._query_tex_pallas(u3, v3)
+    assert got3.shape == (4, 2, 128)
+    try:
+        MapTexture2D._MATMUL_GATHER_MAX_SIDE = 0
+        ref3 = big.query_tex(u3, v3)
+    finally:
+        MapTexture2D._MATMUL_GATHER_MAX_SIDE = ref_cls_limit
+    np.testing.assert_allclose(got3, ref3, rtol=1e-5, atol=1e-5)
+
+
+def test_component_wise_settling_matches_quat_oracle():
+    """static_settling's component-wise Z-Y-X corner rotation must equal
+    the quaternion formulation it replaced."""
+    from mppi_generic_tpu.models.racer_dubins_elevation import (
+        _FRONT_X, _HALF_TRACK, static_settling,
+    )
+    from mppi_generic_tpu.utils import math_utils
+
+    rng = np.random.RandomState(11)
+    tex = MapTexture2D.create(rng.randn(64, 64).astype("f"),
+                              origin=(-32, -32, 0), resolution=1.0)
+    pos_x = jnp.asarray(rng.randn(9) * 10, jnp.float32)
+    pos_y = jnp.asarray(rng.randn(9) * 10, jnp.float32)
+    yaw = jnp.asarray(rng.randn(9), jnp.float32)
+    roll = jnp.asarray(rng.randn(9) * 0.2, jnp.float32)
+    pitch = jnp.asarray(rng.randn(9) * 0.2, jnp.float32)
+
+    # oracle: the original quaternion-rotation corner positions
+    q = math_utils.euler_to_quat(roll, pitch, yaw)
+    world = jnp.stack([pos_x, pos_y, jnp.zeros_like(yaw)], axis=-1)
+    corners = [(_FRONT_X, _HALF_TRACK), (_FRONT_X, -_HALF_TRACK),
+               (0.0, _HALF_TRACK), (0.0, -_HALF_TRACK)]
+    offs = jnp.stack([
+        jnp.stack([jnp.full_like(yaw, bx), jnp.full_like(yaw, by),
+                   jnp.zeros_like(yaw)], axis=-1)
+        for bx, by in corners
+    ])
+    pts = world[None] + math_utils.quat_rotate(
+        jnp.broadcast_to(q, (4,) + q.shape), offs
+    )
+    heights = tex.query_at_world_pose(pts)
+    asin = math_utils.asin_approx
+    fl, fr, rl, rr = heights[0], heights[1], heights[2], heights[3]
+    oracle_roll = 0.5 * (
+        asin(jnp.clip(fl - fr, -1.472, 1.472) / 1.474)
+        + asin(jnp.clip(rl - rr, -1.472, 1.472) / 1.474)
+    )
+    oracle_pitch = 0.5 * (
+        asin(jnp.clip(rl - fl, -2.98, 2.98) / 2.981)
+        + asin(jnp.clip(rr - fr, -2.98, 2.98) / 2.981)
+    )
+    oracle_height = 0.5 * (rl + rr)
+
+    got_roll, got_pitch, got_height = static_settling(
+        tex, pos_x, pos_y, yaw, roll, pitch
+    )
+    np.testing.assert_allclose(got_roll, oracle_roll, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(got_pitch, oracle_pitch, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(got_height, oracle_height, rtol=1e-4,
+                               atol=1e-5)

@@ -449,3 +449,58 @@ def test_fused_weighted_rollout_long_horizon_vmem_tables():
         np.asarray(jnp.sum((w / jnp.sum(w))[:, None, None] * U, axis=0)),
         rtol=1e-4, atol=2e-5,
     )
+
+
+def test_map_bearing_cost_on_fused_path_matches_xla():
+    """The in-kernel tent-mask map bilinear: a map-bearing AR track cost on
+    the fused rollout kernel (interpret mode on CPU; compiled on the TPU
+    tier) must match the XLA combined scan — costs to float tolerance,
+    crash flags bitwise (boundary crashes come from the map values)."""
+    from mppi_generic_tpu.costs import ARStandardCost
+    from mppi_generic_tpu.maps.texture import MapTexture2D
+    from mppi_generic_tpu.models import BicycleSlipDynamics
+
+    rng = np.random.RandomState(5)
+    m = (0.4 * np.abs(rng.randn(48, 48))).astype("f")
+    # hot half-plane ahead of the car (world x >= 1, y >= 0): samples that
+    # drive straight crash mid-horizon, samples that turn right stay safe
+    m[24:, 25:] = 3.0
+    tex = MapTexture2D.create(m, origin=(-24, -24, 0), resolution=1.0)
+    dyn = BicycleSlipDynamics.create()
+    cost = ARStandardCost(costmap=tex, output_indices=(0, 1, 2, 8, 5, 6),
+                          boundary_threshold=jnp.float32(1.5))
+    K, T, C = 256, 40, dyn.CONTROL_DIM
+    x0 = jnp.zeros(dyn.STATE_DIM).at[5].set(3.0)
+    U = jax.random.normal(jax.random.PRNGKey(2), (K, T, C)) * 0.4
+    dt = jnp.float32(0.02)
+    c_ref, _, crash_ref = rollout_combined(dyn, cost, x0, U, dt)
+    c_p, crash_p = fused_rollout_costs(dyn, cost, x0, U, dt, tile_k=128)
+    assert int(jnp.sum(crash_ref)) > 0
+    np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(crash_p), np.asarray(crash_ref))
+
+
+def test_map_bearing_elevation_model_on_fused_path_matches_xla():
+    """Elevation-map dynamics (terrain settling queries INSIDE the horizon
+    loop) through the fused kernel vs the XLA scan."""
+    from mppi_generic_tpu.costs import ARStandardCost
+    from mppi_generic_tpu.maps.texture import MapTexture2D
+    from mppi_generic_tpu.models import RacerDubinsElevationDynamics
+
+    rng = np.random.RandomState(6)
+    elev = MapTexture2D.create(
+        (0.05 * rng.randn(32, 32)).astype("f"), origin=(-16, -16, 0),
+        resolution=1.0,
+    )
+    dyn = RacerDubinsElevationDynamics.create(elevation_map=elev)
+    cost = ARStandardCost(output_indices=(2, 3, 5, 6, 0, 1))
+    K, T, C = 256, 20, dyn.CONTROL_DIM
+    x0 = jnp.zeros(dyn.STATE_DIM).at[0].set(3.0)
+    U = jax.random.normal(jax.random.PRNGKey(3), (K, T, C)) * 0.4
+    dt = jnp.float32(0.02)
+    c_ref, _, crash_ref = rollout_combined(dyn, cost, x0, U, dt)
+    c_p, crash_p = fused_rollout_costs(dyn, cost, x0, U, dt, tile_k=128)
+    np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(crash_p), np.asarray(crash_ref))
