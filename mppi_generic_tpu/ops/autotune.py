@@ -12,6 +12,8 @@ plant that rebuilds controllers does not re-tune.
 
 from __future__ import annotations
 
+import json
+import os
 import time
 
 import jax
@@ -24,6 +26,63 @@ from mppi_generic_tpu.ops.pallas_rollout import (
 
 _CACHE: dict = {}
 DEFAULT_CANDIDATES = ("combined", "split", "pallas", "pallas_fused")
+
+# ---------------------------------------------------------------------------
+# On-disk decision cache: the reference re-measures only 10 launches of 2
+# pre-compiled kernels per construction (mppi_controller.cu:45-143); this
+# tuner's sweep compiles 4+ kernel variants, which through a ~27 ms/dispatch
+# relay dominates plant startup. Decisions persist per (config key, device
+# kind, jax version) so a second process skips the sweep entirely; set
+# MPPI_RETUNE=1 (or pass retune=True) to force a fresh sweep.
+# ---------------------------------------------------------------------------
+_DISK_LOADED = False
+_DISK: dict = {}
+
+
+def _disk_path():
+    root = os.environ.get("MPPI_TUNE_CACHE_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "mppi_generic_tpu"
+    )
+    return os.path.join(root, "autotune.json")
+
+
+def _disk_key(key) -> str:
+    """Stable string form of a _config_key + the environment that could
+    invalidate a measured choice (device kind, jax/jaxlib versions)."""
+    try:
+        dev = jax.devices()[0].device_kind
+    except Exception:
+        dev = "unknown"
+    import jaxlib
+
+    return repr((key, dev, jax.__version__, jaxlib.__version__))
+
+
+def _disk_load():
+    global _DISK_LOADED, _DISK
+    if _DISK_LOADED:
+        return _DISK
+    _DISK_LOADED = True
+    try:
+        with open(_disk_path()) as f:
+            _DISK = json.load(f)
+    except (OSError, ValueError):
+        _DISK = {}
+    return _DISK
+
+
+def _disk_store(key_str, decision):
+    _disk_load()
+    _DISK[key_str] = list(decision)
+    path = _disk_path()
+    tmp = path + f".tmp{os.getpid()}"
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump(_DISK, f, indent=0)
+        os.replace(tmp, path)  # atomic vs concurrent plants
+    except OSError:
+        pass  # read-only home: in-process cache still works
 
 
 def _config_key(controller, candidates):
@@ -136,14 +195,22 @@ def choose_appropriate_kernel(
     ctrl_state=None,
     candidates=DEFAULT_CANDIDATES,
     num_evaluations=10,
+    retune=False,
 ):
     """Return ``controller.replace(kernel=<fastest>)``.
 
     Any candidate that fails to build (e.g. "pallas" with a recurrent or
     oversized model, mirroring the reference's shared-memory fallback) is
-    skipped. Timings are cached per configuration.
+    skipped. Timings are cached per configuration, in-process AND on disk
+    (~/.cache/mppi_generic_tpu/autotune.json, keyed by config + device
+    kind + jax/jaxlib versions) so a restarted plant skips the multi-
+    compile sweep. ``retune=True`` (or env MPPI_RETUNE=1) forces a fresh
+    sweep and overwrites both caches.
     """
     key = _config_key(controller, candidates)
+    retune = retune or os.environ.get("MPPI_RETUNE") == "1"
+    if retune:
+        _CACHE.pop(key, None)
     if key in _CACHE:
         cached_kernel, cached_tile, cached_split = _CACHE[key]
         if _kernel_supported(controller, cached_kernel):
@@ -151,6 +218,16 @@ def choose_appropriate_kernel(
                 kernel=cached_kernel, pallas_tile_k=cached_tile,
                 pallas_split_cost=cached_split,
             )
+    if not retune:
+        hit = _disk_load().get(_disk_key(key))
+        if hit is not None:
+            cached_kernel, cached_tile, cached_split = hit
+            if _kernel_supported(controller, cached_kernel):
+                _CACHE[key] = (cached_kernel, cached_tile, cached_split)
+                return controller.replace(
+                    kernel=cached_kernel, pallas_tile_k=cached_tile,
+                    pallas_split_cost=cached_split,
+                )
 
     if ctrl_state is None:
         ctrl_state = controller.init_state(jax.random.PRNGKey(0))
@@ -250,5 +327,6 @@ def choose_appropriate_kernel(
                 best_split = False
 
     _CACHE[key] = (best, best_tile, best_split)
+    _disk_store(_disk_key(key), (best, best_tile, best_split))
     return controller.replace(kernel=best, pallas_tile_k=best_tile,
                               pallas_split_cost=best_split)

@@ -504,3 +504,54 @@ def test_map_bearing_elevation_model_on_fused_path_matches_xla():
     np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_ref),
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_array_equal(np.asarray(crash_p), np.asarray(crash_ref))
+
+
+def test_autotune_disk_cache_skips_sweep(tmp_path, monkeypatch):
+    """Auto-tune decisions persist on disk: a fresh process (simulated by
+    clearing the in-memory caches) must skip the timing sweep entirely and
+    reuse the stored (kernel, tile, split); retune=True forces a fresh
+    sweep (VERDICT r3 item 7)."""
+    from mppi_generic_tpu.ops import autotune
+
+    monkeypatch.setenv("MPPI_TUNE_CACHE_DIR", str(tmp_path))
+    monkeypatch.delenv("MPPI_RETUNE", raising=False)
+    monkeypatch.setattr(autotune, "_DISK_LOADED", False)
+    monkeypatch.setattr(autotune, "_DISK", {})
+    monkeypatch.setattr(autotune, "_CACHE", {})
+
+    calls = {"n": 0}
+    real_time_solve = autotune.time_solve
+
+    def counting_time_solve(ctrl, x0, cs, n=10):
+        calls["n"] += 1
+        # deterministic fake timings: prefer "split" so the decision is
+        # recognizable; no real compilation needed
+        return {"combined": 2.0, "split": 1.0, "pallas": 3.0,
+                "pallas_fused": 4.0}.get(ctrl.kernel, 5.0) * 1e-3
+
+    monkeypatch.setattr(autotune, "time_solve", counting_time_solve)
+
+    ctrl = _make_controller("combined")
+    x0 = jnp.array([2.0, 0.0, 0.0, 1.0])
+    tuned = autotune.choose_appropriate_kernel(ctrl, x0)
+    assert calls["n"] > 0
+    assert tuned.kernel == "split"
+    assert (tmp_path / "autotune.json").exists()
+
+    # "new process": in-memory caches gone, disk remains
+    monkeypatch.setattr(autotune, "_DISK_LOADED", False)
+    monkeypatch.setattr(autotune, "_DISK", {})
+    monkeypatch.setattr(autotune, "_CACHE", {})
+    calls["n"] = 0
+    tuned2 = autotune.choose_appropriate_kernel(ctrl, x0)
+    assert calls["n"] == 0, "disk hit must skip the sweep"
+    assert tuned2.kernel == "split"
+    assert tuned2.pallas_tile_k == tuned.pallas_tile_k
+    assert tuned2.pallas_split_cost == tuned.pallas_split_cost
+
+    # escape hatch: retune re-measures and overwrites
+    calls["n"] = 0
+    tuned3 = autotune.choose_appropriate_kernel(ctrl, x0, retune=True)
+    assert calls["n"] > 0
+    assert tuned3.kernel == "split"
+    del real_time_solve
