@@ -141,6 +141,202 @@ def mppi_roofline(K, T, device_s):
     }
 
 
+# --- per-config roofline (VERDICT r3 task 2) --------------------------------
+# Peaks assume the bench chip (TPU v5e / 'v5 lite'): 197 bf16 TFLOP/s
+# published; f32 matmuls at Precision.HIGHEST run the 6-pass bf16 algorithm
+# (~1/6 of bf16 peak); VPU f32 = 8 sublanes * 128 lanes * 4 ALUs * 1.5 GHz;
+# transcendental ~1 result/lane/cycle; HBM 819 GB/s.
+_PEAKS = {
+    "mxu_bf16": 197e12,
+    "mxu_f32_highest": 197e12 / 6,
+    "vpu": 8 * 128 * 4 * 1.5e9,
+    "transc": 8 * 128 * 1.5e9,
+    "hbm": 819e9,
+}
+
+# Hand-counted f32 VPU elementwise ops (and transcendental results) per
+# sample-step of the rollout body — dynamics step + cost term + sampling
+# carve-outs/clamps, counted from the model/cost sources the way the DI
+# model in mppi_roofline was. Intended to locate the binding resource
+# within ~2x, not to be exact.
+_VPU_OPS = {
+    "DoubleIntegratorDynamics": (60, 4),
+    "CartpoleDynamics": (90, 8),
+    "BicycleSlipDynamics": (180, 12),
+    "AutorallyNNDynamics": (120, 35),   # transc: tanh per hidden unit
+    "RacerDubinsElevationLSTMSteering": (260, 30),
+    "RacerDubinsElevationLSTMUncertainty": (420, 80),
+}
+
+
+def _model_mxu_flops_per_sample_step(dyn):
+    """MXU FLOPs one sample spends per rollout step in the model's neural
+    nets: every 2D f32 parameter leaf outside a map texture is a weight
+    matrix applied exactly once per step (true for this zoo: FNN layers and
+    LSTM gate/output matrices; the init-LSTM runs once per SOLVE and is
+    excluded by its 'lstm_lstm' path). Counted as 2*m*n per apply."""
+    import jax.tree_util as jtu
+
+    total = 0
+    for path, leaf in jtu.tree_flatten_with_path(dyn)[0]:
+        names = jtu.keystr(path).lower()
+        if "map" in names or "tex" in names or "lstm_lstm" in names:
+            continue
+        if hasattr(leaf, "ndim") and leaf.ndim == 2:
+            total += 2 * leaf.shape[0] * leaf.shape[1]
+    return total
+
+
+def _map_query_work(ctrl):
+    """(points_per_sample_step, mxu_flops_per_point, on_fused_path).
+
+    Query sites per rollout step: the AR track cost samples the costmap at
+    the front AND back axle (ar_standard_cost.cu track term -> 2 points);
+    elevation-coupled dynamics run static settling over the four wheel
+    positions (racer_dubins.cu:359-430 -> 4 points). On the in-kernel
+    tent-mask path each point costs one (H,W)@(W,128) f32-HIGHEST matmul
+    column pair: ~2*H*W MXU FLOPs/point (maps/texture.py::_query_tex_pallas);
+    on the XLA fallback it is a 4-texel serialized gather instead."""
+    points = 0
+    flops = 0.0
+    cm = getattr(ctrl.cost, "costmap", None)
+    if cm is not None:
+        h, w = cm.data.shape[:2]
+        points += 2
+        flops += 2 * (2.0 * h * w)
+    em = getattr(ctrl.dynamics, "elevation_map", None)
+    if em is not None:
+        h, w = em.data.shape[:2]
+        points += 4
+        flops += 4 * (2.0 * h * w)
+    return points, (flops / points if points else 0.0)
+
+
+def suite_roofline(ctrl, K, T, ms):
+    """Analytic roofline for one suite config (VERDICT r3 task 2): convert
+    the hand-counted per-sample-step work model into required busy time on
+    each hardware unit and report each unit's fraction of the measured
+    device time. The binding resource is the largest fraction; if every
+    fraction is < 0.5 the config is issue-latency-bound (the sequential
+    horizon loop's dependent-op chain, same diagnosis as the DI headline,
+    BASELINE.md MFU study)."""
+    device_s = ms / 1e3
+    dyn_name = type(ctrl.dynamics).__name__
+    vpu_ops, transc = _VPU_OPS.get(dyn_name, (150, 10))
+    # Tube/Robust roll real+nominal stacked systems: 2x the rollout work
+    mult = 2.0 if type(ctrl).__name__ in ("TubeMPPI", "RobustMPPI") else 1.0
+    steps = mult * K * T
+
+    model_flops = _model_mxu_flops_per_sample_step(ctrl.dynamics) * steps
+    pts_per_step, flops_per_pt = _map_query_work(ctrl)
+    map_flops = pts_per_step * flops_per_pt * steps
+    colored_flops = 0.0
+    if type(ctrl.sampler).__name__ == "ColoredNoiseDistribution":
+        # exact inverse-DFT matmul: (T, 2T+2) per sample-channel (bf16-pass)
+        C = ctrl.dynamics.CONTROL_DIM
+        colored_flops = 2.0 * T * (2 * T + 2) * C * mult * K
+
+    # HBM traffic by kernel class: fully-fused keeps (K,T,C) in VMEM (only
+    # the (K,) costs cross); precomputed-U pallas writes + reads the samples
+    # once each; the XLA paths stream noise, samples, and the weight pass.
+    C = ctrl.dynamics.CONTROL_DIM
+    ktc = 4.0 * K * T * C * mult
+    hbm = {"pallas_fused": 8.0 * K * mult,
+           "pallas": 2.0 * ktc}.get(ctrl.kernel, 4.0 * ktc)
+
+    t_unit = {
+        "mxu": (model_flops + colored_flops) / _PEAKS["mxu_bf16"]
+               + map_flops / _PEAKS["mxu_f32_highest"],
+        "vpu": vpu_ops * steps / _PEAKS["vpu"],
+        "transcendental": transc * steps / _PEAKS["transc"],
+        "hbm": hbm / _PEAKS["hbm"],
+    }
+    fracs = {u: t / device_s for u, t in t_unit.items()}
+    bound = max(fracs, key=fracs.get)
+    out = {f"mfu_{u}": round(f, 4) for u, f in fracs.items()}
+    out["pct_of_bound"] = round(max(fracs.values()), 4)
+    out["binding_resource"] = (
+        bound if max(fracs.values()) > 0.5
+        else "issue-latency (sequential horizon loop; all unit fracs < 0.5)"
+    )
+    if map_flops:
+        out["map_query_points_per_s"] = round(pts_per_step * steps / device_s)
+    if model_flops:
+        out["model_mxu_tflop_s"] = round(model_flops / device_s / 1e12, 3)
+    return out
+
+
+def tail_latency(ctrl, n_iters=1000, estimator_hz=50.0, max_wall_s=120.0):
+    """Sustained closed-loop tail latency (VERDICT r3 task 3): run the real
+    plant runtime — estimator thread feeding states at ``estimator_hz``,
+    solver loop free-running — for >= ``n_iters`` solver iterations, and
+    report p50/p95/p99/max of the solve wall time, the solver loop, and the
+    publish-to-publish intervals (actuation fast path at estimator rate;
+    solution swaps at solver rate). Soft real-time is judged by tails, not
+    means (reference plant stats: base_plant.hpp:536-563).
+
+    Through this environment's relay every BLOCKING solve carries the
+    ~15-30 ms dispatch RTT (BASELINE.md dispatch study) — a co-located host
+    pays the device slope instead; the relay tail is reported honestly
+    rather than subtracted."""
+    import threading
+
+    from mppi_generic_tpu.runtime.plant import BasePlant
+
+    class _Plant(BasePlant):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            self.n_pub = 0
+
+        def pub_control(self, u):
+            self.n_pub += 1
+
+    cs = ctrl.init_state(_rng_key())
+    plant = _Plant(ctrl, cs, hz=estimator_hz)
+    x = np.array([2.0, 0.0, 0.0, 1.0], np.float32)
+
+    # warm both compiled programs (first-solve and steady-state donated)
+    # outside the timed window
+    plant.update_state(x, 0.02)
+    assert plant.run_control_iteration(timeout=60.0)
+    plant.update_state(x, 0.04)
+    assert plant.run_control_iteration(timeout=60.0)
+    plant.reset_timing()
+
+    stop = threading.Event()
+
+    def estimator():
+        i = 2
+        period = 1.0 / estimator_hz
+        while not stop.is_set():
+            i += 1
+            plant.update_state(x, 0.02 * i)
+            time.sleep(period)
+
+    th = threading.Thread(target=estimator, daemon=True)
+    th.start()
+    t0 = time.perf_counter()
+    while (plant.stats.num_iterations < n_iters
+           and time.perf_counter() - t0 < max_wall_s):
+        plant.run_control_iteration(timeout=0.2)
+    stop.set()
+    th.join(timeout=5)
+    out = {
+        "tail_iterations": plant.stats.num_iterations,
+        "tail_estimator_hz": estimator_hz,
+        "tail_solve_ms": plant.stats.tail("avg_optimize_ms"),
+        "tail_loop_ms": plant.stats.tail("avg_loop_ms"),
+        "tail_publish_interval_ms":
+            plant.stats.tail("avg_publish_interval_ms"),
+        "tail_solution_interval_ms":
+            plant.stats.tail("avg_solution_interval_ms"),
+    }
+    if plant.stats.num_iterations < n_iters:
+        out["tail_note"] = (f"wall budget {max_wall_s:.0f}s hit at "
+                            f"{plant.stats.num_iterations} iterations")
+    return out
+
+
 def main():
     K, T = 8192, 100
     x0 = jnp.array([2.0, 0.0, 0.0, 1.0])
@@ -230,6 +426,13 @@ def main():
     }
     if kernel == "pallas_fused":
         out.update(mppi_roofline(K, T, per_solve))
+
+    # sustained closed-loop tail latency on the winning kernel (VERDICT r3
+    # task 3): >=1000 real plant iterations, estimator at 50 Hz
+    try:
+        out.update(tail_latency(ctrl))
+    except Exception as e:  # the headline numbers must survive a tail crash
+        out["tail_error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(out))
 
 
@@ -323,6 +526,10 @@ def suite(tiny=False):
             "meets_50hz_budget": ms < 20.0,
             "kernel": ctrl.kernel,
         }
+        if not tiny:
+            # per-config roofline: the binding resource and the gap to it
+            # (VERDICT r3 task 2); tiny mode's CPU shapes would be noise
+            entry.update(suite_roofline(ctrl, K, ctrl.num_timesteps, ms))
         if note:
             entry["note"] = note
         results.append(entry)
@@ -417,6 +624,26 @@ def suite(tiny=False):
         num_iters=1, kernel="pallas" if on_tpu else "combined",
     )
     report("colored_flatground_fused_epilogue_K8192", ctrl,
+           jnp.array([2.0, 0.0, 0.0, 1.0]), kt(8192, 100)[0])
+
+    # 3c. the same colored config under TSALLIS weighting — the reference
+    # ships Tsallis as a first-class ColoredMPPI mode
+    # (colored_mppi_controller.cu:206); round 4 admits it to the fused
+    # path via the two-pass in-kernel epilogue (pass 1: rollout + running
+    # min; pass 2: rollout-free tile revisit with Tsallis weights)
+    ctrl = VanillaMPPI(
+        dynamics=DoubleIntegratorDynamics.create(),
+        cost=DoubleIntegratorCircleCost(),
+        sampler=ColoredNoiseDistribution.create(
+            std_dev=[1.0, 1.0], exponents=[1.0, 2.0]
+        ),
+        dt=jnp.float32(0.02), lam=jnp.float32(1.0), alpha=jnp.float32(0.0),
+        num_timesteps=kt(8192, 100)[1], num_rollouts=kt(8192, 100)[0],
+        num_iters=1, kernel="pallas" if on_tpu else "combined",
+        weight_transform="tsallis",
+        tsallis_gamma=jnp.float32(10.0), tsallis_r=jnp.float32(2.0),
+    )
+    report("colored_tsallis_fused_epilogue_K8192", ctrl,
            jnp.array([2.0, 0.0, 0.0, 1.0]), kt(8192, 100)[0])
 
     # 4. autorally NN dynamics at the 50 Hz real-time budget

@@ -59,3 +59,26 @@ if not TPU_TIER:
     assert jax.devices()[0].platform == "cpu", (
         "tests must run on the CPU backend"
     )
+
+
+# ---------------------------------------------------------------------------
+# The kernel auto-tuner persists decisions to an on-disk cache
+# (ops/autotune.py). Tests must neither READ a developer's real cache
+# (stale decisions would mask arbitration bugs) nor WRITE to it (stubbed
+# time_solve results would poison real runs) — point it at a per-session
+# temporary directory.
+# ---------------------------------------------------------------------------
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _isolated_autotune_disk_cache(tmp_path_factory, monkeypatch):
+    from mppi_generic_tpu.ops import autotune
+
+    monkeypatch.setenv(
+        "MPPI_TUNE_CACHE_DIR",
+        str(tmp_path_factory.getbasetemp() / "autotune_cache"),
+    )
+    monkeypatch.setattr(autotune, "_DISK_LOADED", False)
+    monkeypatch.setattr(autotune, "_DISK", {})
+    yield

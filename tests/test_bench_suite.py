@@ -16,6 +16,7 @@ EXPECTED = {
     "cartpole_example_K8192",
     "bicycle_slip_colored_trackmap",
     "colored_flatground_fused_epilogue_K8192",
+    "colored_tsallis_fused_epilogue_K8192",
     "autorally_nn_K1920_T150",
     "racer_lstm_steering_elevation_K1920",
     "racer_lstm_unc_flat_K1920",

@@ -183,7 +183,10 @@ def test_autotune_split_sweep_arbitration(monkeypatch):
             tuned2.pallas_split_cost) == ("pallas", None, True)
 
     # split measuring SLOWER keeps the combined winner's tile and False
+    # (clear the on-disk decision too — the conftest fixture points it at a
+    # temp dir, but the first sweep above stored its triple there)
     autotune._CACHE.clear()
+    autotune._DISK.clear()
     seen.clear()
 
     def fake_slow_split(cand, x0, cs, n=10):

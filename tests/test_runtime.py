@@ -400,3 +400,46 @@ def test_native_solution_matches_jitted_publish_path():
             np.testing.assert_allclose(
                 nat.interp(rel, x), py.interp(rel, x), rtol=1e-6, atol=1e-7
             )
+
+
+def test_plant_stats_tail_percentiles():
+    """PlantStats records a bounded sample window per field and reports
+    p50/p95/p99/max — soft real-time is judged by tails, not means
+    (VERDICT r3 task 3; reference records only averages,
+    base_plant.hpp:536-563)."""
+    from mppi_generic_tpu.runtime.plant import PlantStats
+
+    s = PlantStats()
+    assert s.tail("avg_optimize_ms") is None
+    for v in range(1, 101):  # 1..100 ms
+        s.update("avg_optimize_ms", float(v))
+    t = s.tail("avg_optimize_ms")
+    assert t["n"] == 100 and t["max"] == 100.0
+    assert abs(t["p50"] - 50.5) < 1.0
+    assert 94.0 <= t["p95"] <= 96.5
+    assert 98.0 <= t["p99"] <= 100.0
+    # running average still intact alongside the window
+    assert abs(s.avg_optimize_ms - 50.5) < 1e-9
+    # the window is bounded: old samples age out
+    for v in range(PlantStats.WINDOW + 50):
+        s.update("avg_loop_ms", 1.0)
+    assert s.tail("avg_loop_ms")["n"] == PlantStats.WINDOW
+    # reset clears the windows too
+    s.reset()
+    assert s.tail("avg_optimize_ms") is None
+
+
+def test_plant_records_publish_and_solution_intervals():
+    """The plant records actuation publish-to-publish and solution
+    swap-to-swap intervals into the stats tails."""
+    plant = make_plant()
+    x = np.array([2.0, 0, 0, 1], np.float32)
+    plant.update_state(x, 1.0)
+    assert plant.run_control_iteration(timeout=2.0)
+    plant.update_state(x, 1.01)  # publishes (1st actuation)
+    plant.update_state(x, 1.02)  # publishes (2nd -> one interval)
+    assert plant.run_control_iteration(timeout=2.0)  # 2nd solution swap
+    pub = plant.stats.tail("avg_publish_interval_ms")
+    sol = plant.stats.tail("avg_solution_interval_ms")
+    assert pub is not None and pub["n"] >= 1 and pub["p50"] >= 0.0
+    assert sol is not None and sol["n"] == 1 and sol["p50"] > 0.0
