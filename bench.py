@@ -756,8 +756,11 @@ def suite(tiny=False):
                         + " --xla_force_host_platform_device_count=8").strip()
     try:
         proc = subprocess.run(
+            # --cpu now implies weak scaling (strong-scaling on shared
+            # host cores is noise — round-3 verdict weak-6), so rollouts
+            # is PER DEVICE: 2048/device -> 16384 total on the 8-mesh
             [sys.executable, "scripts/scaling_bench.py", "--cpu",
-             "--rollouts", "16384", "--timesteps", "64", "--scan", "10"],
+             "--rollouts", "2048", "--timesteps", "64", "--scan", "10"],
             env=env, capture_output=True, text=True, timeout=900,
         )
         emitted = 0

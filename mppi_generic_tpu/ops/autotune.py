@@ -147,6 +147,26 @@ def _kernel_supported(controller, name) -> bool:
     return True
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames="length")
+def _solve_chain(controller, x, s, length):
+    """``length`` state-threaded solves in one jitted program. Module-level
+    so repeat time_solve calls on the SAME controller pytree (perf-gate
+    fixture -> tuner sweep, tuner re-runs) hit the jit cache instead of
+    recompiling a fresh closure every call — the combined-XLA chain costs
+    minutes of compile at K=8192."""
+
+    def body(carry, _):
+        x, s = carry
+        _, s2 = controller.solve(x, s)
+        return (x, s2), 0.0
+
+    (_, s_f), _ = jax.lax.scan(body, (x, s), None, length=length)
+    return s_f
+
+
 def time_solve(controller, x0, ctrl_state, num_evaluations=10):
     """Per-solve seconds, dispatch-amortized: times jitted chains of n and
     2n state-threaded solves and returns (t_2n - t_n) / n, so a fixed
@@ -155,38 +175,45 @@ def time_solve(controller, x0, ctrl_state, num_evaluations=10):
     tuner exists to measure. Median of 3 repeats; the reference's 10-launch
     timing loop (mppi_controller.cu:45-143) has the same amortizing effect
     because its launches queue on one CUDA stream."""
-    # chain length sets the jitter floor: relay round-trip noise (~1 ms)
-    # divides by n, so n >= 32 resolves ~0.03 ms kernel differences on TPU;
-    # CPU dispatch is ~us, so short chains suffice (and keep tests fast)
-    n = max(int(num_evaluations), 32 if jax.default_backend() == "tpu" else 4)
-
-    def chain(x, s, length):
-        def body(carry, _):
-            x, s = carry
-            result, s2 = controller.solve(x, s)
-            return (x, s2), 0.0
-        (_, s_f), _ = jax.lax.scan(body, (x, s), None, length=length)
-        return s_f
-
-    chain_j = jax.jit(chain, static_argnames="length")
+    # chain length sets the jitter floor: the n-vs-2n marginal time must
+    # clear the relay's run-to-run dispatch jitter (several ms) or every
+    # delta is noise — observed: a whole 4-kernel sweep reading the 1e-9
+    # clamp for every candidate. Start short and escalate n until the
+    # total marginal signal (median delta * n) is comfortably above the
+    # jitter, exactly like bench._steady_state_ms escalates its scan
+    # lengths. CPU dispatch is ~us: short chains, no escalation.
+    on_tpu = jax.default_backend() == "tpu"
+    n = max(int(num_evaluations), 32 if on_tpu else 4)
 
     def run(length):
-        out = chain_j(x0, ctrl_state, length)
-        jax.block_until_ready(out)
+        out = _solve_chain(controller, x0, ctrl_state, length)
+        # device_get, not block_until_ready: through the axon relay the
+        # latter can report ready before the chain has executed (measured:
+        # a 512-solve chain "blocking" in 0.1 ms while device_get on the
+        # same output waits the real 30+ ms). The extra fetch is one small
+        # leaf and a fixed RTT, which cancels in the n-vs-2n delta.
+        jax.device_get(jax.tree_util.tree_leaves(out)[0])
 
-    run(n)  # compiles both lengths (same program shape, different trip
-    run(2 * n)  # counts -> separate executables) and warms the caches
-    deltas = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        run(n)
-        t1 = time.perf_counter()
-        run(2 * n)
-        t2 = time.perf_counter()
-        deltas.append(((t2 - t1) - (t1 - t0)) / n)
-    deltas.sort()
+    def measure(n):
+        run(n)  # compiles both lengths (same program shape, different
+        run(2 * n)  # trip counts -> separate executables) + warms caches
+        deltas = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            run(n)
+            t1 = time.perf_counter()
+            run(2 * n)
+            t2 = time.perf_counter()
+            deltas.append(((t2 - t1) - (t1 - t0)) / n)
+        deltas.sort()
+        return deltas[len(deltas) // 2]
+
+    med = measure(n)
+    while on_tpu and med * n < 10e-3 and n < 512:
+        n *= 4
+        med = measure(n)
     # guard against relay jitter making the difference negative
-    return max(deltas[len(deltas) // 2], 1e-9)
+    return max(med, 1e-9)
 
 
 def choose_appropriate_kernel(

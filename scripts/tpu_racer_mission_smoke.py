@@ -172,15 +172,25 @@ def run_mission(duration_s=6.0, estimator_hz=50.0, solver_hz=20.0,
 
     t0 = time.monotonic()
     n_est = 0
+    tick = 0
     period = 1.0 / estimator_hz
+    # the device sim step BLOCKS on a device->host fetch (~27 ms through
+    # this environment's relay): stepping it every tick both starves the
+    # 50 Hz sensor loop (measured: 15 Hz effective) and contends with the
+    # solver thread's own result fetch on the relay channel (solve wall
+    # p50 doubled). Publish the sensor state every tick; advance the sim
+    # at a quarter rate — a real estimator outruns its process model the
+    # same way.
+    sim_every = 4
     while time.monotonic() - t0 < duration_s:
         t = 0.2 + time.monotonic() - t0
         plant.update_state(x, t)
         plant.add_buffer_entry(t, x)
         n_est += 1
-        if plant.last_u is not None:
+        if plant.last_u is not None and tick % sim_every == 0:
             u = jnp.asarray(plant.last_u)
             x = np.asarray(step_j(jnp.asarray(x), u), np.float32)
+        tick += 1
         time.sleep(period)
     stop.set()
     th.join(timeout=10)
