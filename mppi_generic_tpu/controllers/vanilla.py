@@ -184,6 +184,36 @@ class VanillaMPPI(ControllerBase):
             seed = jax.random.randint(
                 key, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
             )
+            from mppi_generic_tpu.sampling.smooth import (
+                SmoothMPPIDistribution,
+            )
+
+            if (type(self.sampler) is SmoothMPPIDistribution
+                    and self.weight_transform == "exp"
+                    and self.shaping_function is None):
+                # Smooth-MPPI's flash epilogue accumulates over W in-kernel
+                # (the derivative noise the mean update weights,
+                # smooth-MPPI.cu:203-236) — W never touches HBM
+                try:
+                    costs, crash, U, deriv_mean, baseline, eta = (
+                        pallas_rollout.fused_sample_rollout_costs(
+                            self.dynamics, self.cost, self.sampler, x0,
+                            mean, seed, self.dt, self.lam, self.alpha,
+                            self.num_rollouts, iteration=iteration,
+                            optimization_stride=optimization_stride,
+                            sampler_state=samp_state,
+                            sharding=self.sample_sharding,
+                            tile_k=self.pallas_tile_k, epilogue=True,
+                            emit_samples=self.return_samples,
+                        )
+                    )
+                    new_mean = mean + deriv_mean * self.sampler.dt_smooth
+                    w = weight_ops.norm_exp_weights(costs, self.lam,
+                                                    baseline)
+                    return new_mean, deriv_mean, (U, costs, w, baseline,
+                                                  eta, crash)
+                except pallas_rollout.PallasIncompatible:
+                    pass
             costs, crash, U, aux = pallas_rollout.fused_sample_rollout_costs(
                 self.dynamics, self.cost, self.sampler, x0, mean, seed,
                 self.dt, self.lam, self.alpha, self.num_rollouts,
@@ -211,7 +241,9 @@ class VanillaMPPI(ControllerBase):
         U = self._shard_samples(U)
         if (
             self.kernel == "pallas"
-            and self.weight_transform == "exp"
+            and (self.weight_transform == "exp"
+                 or (self.weight_transform == "tsallis"
+                     and self.sample_sharding is None))
             and self.shaping_function is None
             and aux is None
             and self._gaussian_lr(self.sampler)
@@ -219,11 +251,15 @@ class VanillaMPPI(ControllerBase):
             is sampling_base.SamplingDistribution.update_mean
         ):
             # precomputed-noise fused solve: rollout + in-kernel LR +
-            # normExp weights + flash weighted mean in ONE launch
+            # weights + flash weighted mean in ONE launch
             # (ops/pallas_rollout.fused_weighted_rollout). This is how
             # colored-noise / decayed-sigma solves keep the whole epilogue
             # on-chip; per-sample weights for SolveResult are recomputed
-            # from costs/baseline in XLA (K elementwise exps).
+            # from costs/baseline in XLA (K elementwise ops). Tsallis rides
+            # the two-pass in-kernel epilogue (single-chip; the reference
+            # ships it as a first-class ColoredMPPI mode,
+            # colored_mppi_controller.cu:206); CEM stays on the XLA weight
+            # pass — its elite threshold is a global order statistic.
             K = U.shape[0]
             lr_params = (
                 mean,
@@ -240,9 +276,11 @@ class VanillaMPPI(ControllerBase):
                         lr_params=lr_params, tile_k=self.pallas_tile_k,
                         sharding=self.sample_sharding,
                         split_cost=self.pallas_split_cost,
+                        weight_kind=self.weight_transform,
+                        weight_params=(self.tsallis_gamma, self.tsallis_r),
                     )
                 )
-                w = weight_ops.norm_exp_weights(costs, self.lam, baseline)
+                w = self._transform_weights(costs, baseline)
                 return new_mean, samp_state, (U, costs, w, baseline, eta,
                                               crash)
             except pallas_rollout.PallasIncompatible:

@@ -435,14 +435,14 @@ def _broadcast_rec(rec, rows):
     static_argnames=("dynamics_static", "cost_static", "T", "C", "S",
                      "tile_k", "interpret", "treedef", "per_sample_x0",
                      "recurrent", "with_lr", "state_dtype", "table_mode",
-                     "epilogue", "split_cost", "out_dim"),
+                     "epilogue", "epilogue_kind", "split_cost", "out_dim"),
 )
 def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_ctk,
                 dt, T, C, S, tile_k, interpret, per_sample_x0=False,
                 recurrent=False, with_lr=False, lr_mean=None, lr_sigma=None,
                 lr_coeff=None, lr_scal=None, state_dtype="float32",
-                table_mode="smem", epilogue=False, split_cost=False,
-                out_dim=0):
+                table_mode="smem", epilogue=False, epilogue_kind="exp",
+                split_cost=False, out_dim=0):
     del dynamics_static, cost_static  # only part of the jit cache key
     K_pad = U_ctk.shape[-1]
     rows = tile_k // LANES
@@ -504,165 +504,246 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_ctk,
             pure = sample_idx.astype(jnp.float32) >= pure_thresh
             lr_gain = 0.5 * lam_k * (1.0 - alpha_k)
 
-        if per_sample_x0:
-            # x0 tile is (S, tile_k): minor-dim split into VPU shape
-            x = x0_ref[...].reshape(S, rows, LANES).astype(cd)
-        else:
-            x = jnp.broadcast_to(x0_ref[...].reshape(S, 1, 1),
-                                 (S, rows, LANES)).astype(cd)
-        crash0 = jnp.zeros((rows, LANES), jnp.int32)
-        acc0 = jnp.zeros((rows, LANES), jnp.float32)
-        y0 = jnp.broadcast_to(
-            jnp.zeros((1, 1), cd),
-            (dynamics.OUTPUT_DIM, rows, LANES),
-        )
-        # recurrent (LSTM) state: each (H,) leaf becomes an (H, rows, LANES)
-        # block, built by scalar fills (no lane-transposing reshapes); the
-        # warm-start values ride in as ordinary parameter leaves.
-        rec0 = _broadcast_rec(dynamics.init_recurrent_state(), rows)
+        def run_tile():
+            """Full rollout (+LR) of this grid step's U tile ->
+            (J (rows, LANES), crash). Factored out so the Tsallis
+            two-pass epilogue can SKIP it on revisit passes."""
+            if per_sample_x0:
+                # x0 tile is (S, tile_k): minor-dim split into VPU shape
+                x = x0_ref[...].reshape(S, rows, LANES).astype(cd)
+            else:
+                x = jnp.broadcast_to(x0_ref[...].reshape(S, 1, 1),
+                                     (S, rows, LANES)).astype(cd)
+            crash0 = jnp.zeros((rows, LANES), jnp.int32)
+            acc0 = jnp.zeros((rows, LANES), jnp.float32)
+            y0 = jnp.broadcast_to(
+                jnp.zeros((1, 1), cd),
+                (dynamics.OUTPUT_DIM, rows, LANES),
+            )
+            # recurrent (LSTM) state: each (H,) leaf becomes an (H, rows, LANES)
+            # block, built by scalar fills (no lane-transposing reshapes); the
+            # warm-start values ride in as ordinary parameter leaves.
+            rec0 = _broadcast_rec(dynamics.init_recurrent_state(), rows)
 
-        if split_cost:
-            # in-kernel split-kernel analog (rolloutDynamicsKernel +
-            # time-tiled rolloutCostKernel, mppi_common.cu:148-362): the
-            # sequential loop keeps ONLY the dynamics (and any recurrent
-            # carry) — the truly loop-carried part — writing outputs to
-            # VMEM scratch; the cost (and the likelihood-ratio term, which
-            # is elementwise in t) then evaluates over (Tc, rows, LANES)
-            # time blocks in tall VPU ops. Eligibility: t enters only
-            # elementwise and crash is either unused
-            # (cost.time_parallel_cost) or sticky-prefix
-            # (cost.time_parallel_crash — handled by the dual-eval +
-            # prefix-OR pass below); with_lr forces table_mode="vmem"
-            # so the tables read as (Tc, R8, LANES) blocks.
-            def body_dyn(t, carry):
-                x, rec = carry
-                u = u_ref[:, pl.ds(t, 1)].reshape(C, rows, LANES).astype(cd)
-                if recurrent:
-                    x_next, y, rec = dynamics.step_recurrent(
-                        x, rec, u, t.astype(cd), dt_k
-                    )
-                else:
-                    x_next, y = dynamics.step(x, u, t.astype(cd), dt_k)
-                y_scr[:, pl.ds(t, 1)] = y.astype(jnp.float32).reshape(
-                    out_dim, 1, rows, LANES
-                )
-                return (x_next, rec)
-
-            jax.lax.fori_loop(0, T, body_dyn, (x, rec0))
-
-            # sticky-prefix crash (Cost.time_parallel_crash): dual
-            # evaluation at crash=0/1 (CSE shares everything else) + an
-            # unrolled prefix-OR across the block with a cross-chunk carry
-            tp_crash = (bool(cost.time_parallel_crash())
-                        and not bool(cost.time_parallel_cost()))
-
-            def cost_block(t0, tc, carry):
-                """Time-vectorized cost (+ LR) for timesteps [t0, t0+tc);
-                tc is static (full chunks via fori_loop, one static tail)."""
-                acc, crash_c = carry
-                yb = y_scr[:, pl.ds(t0, tc)]       # (O, tc, rows, LANES)
-                ub = u_ref[:, pl.ds(t0, tc)].reshape(C, tc, rows, LANES)
-                uf = ub.astype(jnp.float32)
-                tb = (jax.lax.broadcasted_iota(jnp.int32, (tc, 1, 1), 0)
-                      .astype(jnp.float32)
-                      + jnp.asarray(t0, jnp.int32).astype(jnp.float32))
-                if tp_crash:
-                    c0_b, trig = cost.running_cost(yb, uf, tb, jnp.int32(0))
-                    c1_b, _ = cost.running_cost(yb, uf, tb, jnp.int32(1))
-                    c0_b = jnp.broadcast_to(c0_b, (tc, rows, LANES))
-                    c1_b = jnp.broadcast_to(c1_b, (tc, rows, LANES))
-                    trig = jnp.broadcast_to(trig, (tc, rows, LANES))
-                    flags = []
-                    cur = crash_c
-                    for i in range(tc):  # static unroll: tc cheap maxes
-                        cur = jnp.maximum(cur, trig[i])
-                        flags.append(cur)
-                    c = jnp.where(jnp.stack(flags) > 0, c1_b, c0_b)
-                    crash_c = cur
-                else:
-                    c, _ = cost.running_cost(yb, uf, tb, jnp.int32(0))
-                    c = jnp.broadcast_to(c, (tc, rows, LANES))
-                c = c.astype(jnp.float32)
-                if with_lr:
-                    blk = mean_ref[pl.ds(t0, tc)]  # (tc, R8, LANES)
-                    lr_t = jnp.zeros((tc, rows, LANES), jnp.float32)
-                    for ch in range(C):
-                        m_c = blk[:, ch: ch + 1, :]
-                        s_c = blk[:, C + ch: C + ch + 1, :]
-                        mu_c = jnp.where(
-                            pure[None], 0.0,
-                            jnp.broadcast_to(m_c, (tc, rows, LANES)),
+            if split_cost:
+                # in-kernel split-kernel analog (rolloutDynamicsKernel +
+                # time-tiled rolloutCostKernel, mppi_common.cu:148-362): the
+                # sequential loop keeps ONLY the dynamics (and any recurrent
+                # carry) — the truly loop-carried part — writing outputs to
+                # VMEM scratch; the cost (and the likelihood-ratio term, which
+                # is elementwise in t) then evaluates over (Tc, rows, LANES)
+                # time blocks in tall VPU ops. Eligibility: t enters only
+                # elementwise and crash is either unused
+                # (cost.time_parallel_cost) or sticky-prefix
+                # (cost.time_parallel_crash — handled by the dual-eval +
+                # prefix-OR pass below); with_lr forces table_mode="vmem"
+                # so the tables read as (Tc, R8, LANES) blocks.
+                def body_dyn(t, carry):
+                    x, rec = carry
+                    u = u_ref[:, pl.ds(t, 1)].reshape(C, rows, LANES).astype(cd)
+                    if recurrent:
+                        x_next, y, rec = dynamics.step_recurrent(
+                            x, rec, u, t.astype(cd), dt_k
                         )
-                        lr_t = lr_t + coeff_ref[0, ch] * mu_c * (
-                            mu_c - 2.0 * uf[ch]
-                        ) / (s_c * s_c)
-                    c = c + lr_gain * lr_t
-                return (acc + jnp.sum(c, axis=0), crash_c)
-
-            Tcb = min(8, T)
-            acc, crash = acc0, crash0
-            if T // Tcb:
-                acc, crash = jax.lax.fori_loop(
-                    0, T // Tcb,
-                    lambda ci, a: cost_block(ci * Tcb, Tcb, a), (acc, crash),
-                )
-            if T % Tcb:
-                acc, crash = cost_block((T // Tcb) * Tcb, T % Tcb,
-                                        (acc, crash))
-            y_last = y_scr[:, pl.ds(T - 1, 1)].reshape(
-                out_dim, rows, LANES
-            )
-        else:
-            def body(t, carry):
-                x, rec, crash, acc, _ = carry
-                u_raw = u_ref[:, pl.ds(t, 1)].reshape(C, rows, LANES)
-                u = u_raw.astype(cd)
-                if recurrent:
-                    x_next, y, rec = dynamics.step_recurrent(
-                        x, rec, u, t.astype(cd), dt_k
+                    else:
+                        x_next, y = dynamics.step(x, u, t.astype(cd), dt_k)
+                    y_scr[:, pl.ds(t, 1)] = y.astype(jnp.float32).reshape(
+                        out_dim, 1, rows, LANES
                     )
-                else:
-                    x_next, y = dynamics.step(x, u, t.astype(cd), dt_k)
-                # the cost evaluates in f32 regardless of the state dtype:
-                # the weights/crash decisions ride on it, and Mosaic's
-                # bf16-derived bool masks hit relayout limits in
-                # comparison-heavy costs
-                c, crash = cost.running_cost(
-                    y.astype(jnp.float32), u_raw, t, crash
+                    return (x_next, rec)
+
+                jax.lax.fori_loop(0, T, body_dyn, (x, rec0))
+
+                # sticky-prefix crash (Cost.time_parallel_crash): dual
+                # evaluation at crash=0/1 (CSE shares everything else) + an
+                # unrolled prefix-OR across the block with a cross-chunk carry
+                tp_crash = (bool(cost.time_parallel_crash())
+                            and not bool(cost.time_parallel_cost()))
+
+                def cost_block(t0, tc, carry):
+                    """Time-vectorized cost (+ LR) for timesteps [t0, t0+tc);
+                    tc is static (full chunks via fori_loop, one static tail)."""
+                    acc, crash_c = carry
+                    yb = y_scr[:, pl.ds(t0, tc)]       # (O, tc, rows, LANES)
+                    ub = u_ref[:, pl.ds(t0, tc)].reshape(C, tc, rows, LANES)
+                    uf = ub.astype(jnp.float32)
+                    tb = (jax.lax.broadcasted_iota(jnp.int32, (tc, 1, 1), 0)
+                          .astype(jnp.float32)
+                          + jnp.asarray(t0, jnp.int32).astype(jnp.float32))
+                    if tp_crash:
+                        c0_b, trig = cost.running_cost(yb, uf, tb, jnp.int32(0))
+                        c1_b, _ = cost.running_cost(yb, uf, tb, jnp.int32(1))
+                        c0_b = jnp.broadcast_to(c0_b, (tc, rows, LANES))
+                        c1_b = jnp.broadcast_to(c1_b, (tc, rows, LANES))
+                        trig = jnp.broadcast_to(trig, (tc, rows, LANES))
+                        flags = []
+                        cur = crash_c
+                        for i in range(tc):  # static unroll: tc cheap maxes
+                            cur = jnp.maximum(cur, trig[i])
+                            flags.append(cur)
+                        c = jnp.where(jnp.stack(flags) > 0, c1_b, c0_b)
+                        crash_c = cur
+                    else:
+                        c, _ = cost.running_cost(yb, uf, tb, jnp.int32(0))
+                        c = jnp.broadcast_to(c, (tc, rows, LANES))
+                    c = c.astype(jnp.float32)
+                    if with_lr:
+                        blk = mean_ref[pl.ds(t0, tc)]  # (tc, R8, LANES)
+                        lr_t = jnp.zeros((tc, rows, LANES), jnp.float32)
+                        for ch in range(C):
+                            m_c = blk[:, ch: ch + 1, :]
+                            s_c = blk[:, C + ch: C + ch + 1, :]
+                            mu_c = jnp.where(
+                                pure[None], 0.0,
+                                jnp.broadcast_to(m_c, (tc, rows, LANES)),
+                            )
+                            lr_t = lr_t + coeff_ref[0, ch] * mu_c * (
+                                mu_c - 2.0 * uf[ch]
+                            ) / (s_c * s_c)
+                        c = c + lr_gain * lr_t
+                    return (acc + jnp.sum(c, axis=0), crash_c)
+
+                Tcb = min(8, T)
+                acc, crash = acc0, crash0
+                if T // Tcb:
+                    acc, crash = jax.lax.fori_loop(
+                        0, T // Tcb,
+                        lambda ci, a: cost_block(ci * Tcb, Tcb, a), (acc, crash),
+                    )
+                if T % Tcb:
+                    acc, crash = cost_block((T // Tcb) * Tcb, T % Tcb,
+                                            (acc, crash))
+                y_last = y_scr[:, pl.ds(T - 1, 1)].reshape(
+                    out_dim, rows, LANES
                 )
-                c = c.astype(jnp.float32)
-                if with_lr:
-                    lr_t = jnp.zeros((rows, LANES), jnp.float32)
-                    if table_mode == "vmem":
-                        # mean/sigma ride the stacked (T, R8, LANES) VMEM
-                        # table: one sublane-block load per timestep, rows
-                        # as static (1, LANES) slices (sublanes [0,C) =
-                        # mean, [C,2C) = sigma)
-                        r8 = mean_ref.shape[1]
-                        blk = mean_ref[pl.ds(t, 1)].reshape(r8, LANES)
-                    for ch in range(C):
+            else:
+                def body(t, carry):
+                    x, rec, crash, acc, _ = carry
+                    u_raw = u_ref[:, pl.ds(t, 1)].reshape(C, rows, LANES)
+                    u = u_raw.astype(cd)
+                    if recurrent:
+                        x_next, y, rec = dynamics.step_recurrent(
+                            x, rec, u, t.astype(cd), dt_k
+                        )
+                    else:
+                        x_next, y = dynamics.step(x, u, t.astype(cd), dt_k)
+                    # the cost evaluates in f32 regardless of the state dtype:
+                    # the weights/crash decisions ride on it, and Mosaic's
+                    # bf16-derived bool masks hit relayout limits in
+                    # comparison-heavy costs
+                    c, crash = cost.running_cost(
+                        y.astype(jnp.float32), u_raw, t, crash
+                    )
+                    c = c.astype(jnp.float32)
+                    if with_lr:
+                        lr_t = jnp.zeros((rows, LANES), jnp.float32)
                         if table_mode == "vmem":
-                            m_c = blk[ch: ch + 1]
-                            s_c = blk[C + ch: C + ch + 1]
-                        else:
-                            m_c = mean_ref[t, ch]
-                            s_c = sigma_ref[t, ch]
-                        mu_c = jnp.where(pure, 0.0, m_c)
-                        lr_t = lr_t + coeff_ref[0, ch] * mu_c * (
-                            mu_c - 2.0 * u[ch]
-                        ) / (s_c * s_c)
-                    c = c + lr_gain * lr_t
-                return (x_next, rec, crash, acc + c, y)
+                            # mean/sigma ride the stacked (T, R8, LANES) VMEM
+                            # table: one sublane-block load per timestep, rows
+                            # as static (1, LANES) slices (sublanes [0,C) =
+                            # mean, [C,2C) = sigma)
+                            r8 = mean_ref.shape[1]
+                            blk = mean_ref[pl.ds(t, 1)].reshape(r8, LANES)
+                        for ch in range(C):
+                            if table_mode == "vmem":
+                                m_c = blk[ch: ch + 1]
+                                s_c = blk[C + ch: C + ch + 1]
+                            else:
+                                m_c = mean_ref[t, ch]
+                                s_c = sigma_ref[t, ch]
+                            mu_c = jnp.where(pure, 0.0, m_c)
+                            lr_t = lr_t + coeff_ref[0, ch] * mu_c * (
+                                mu_c - 2.0 * u[ch]
+                            ) / (s_c * s_c)
+                        c = c + lr_gain * lr_t
+                    return (x_next, rec, crash, acc + c, y)
 
-            _, _, crash, acc, y_last = jax.lax.fori_loop(
-                0, T, body, (x, rec0, crash0, acc0, y0)
+                _, _, crash, acc, y_last = jax.lax.fori_loop(
+                    0, T, body, (x, rec0, crash0, acc0, y0)
+                )
+            term = cost.terminal_cost(y_last.astype(jnp.float32))
+            J = (acc + term) / T
+            return J, crash
+
+        tsallis = epilogue and epilogue_kind == "tsallis"
+        if tsallis:
+            # ---- two-pass Tsallis weight + weighted-mean epilogue ----
+            # Tsallis weights w = (1 - dJ/gamma)_+^{1/(r-1)} need the GLOBAL
+            # baseline rho = min J before any weight exists — unlike normExp
+            # there is no online rescaling (the transform is not an
+            # exponential family), so the grid runs 2x: pass 1 (i < grid)
+            # rolls out each tile, stores J in a VMEM scratch and carries
+            # the running min in SMEM (TPU grids execute sequentially);
+            # pass 2 (i >= grid) SKIPS the rollout, re-fetches the same U
+            # tile (index maps are i % grid), reads its J back and
+            # accumulates the Tsallis-weighted sum. Extra cost vs the exp
+            # epilogue: one more HBM read of U + K floats of VMEM — no
+            # second rollout (TsallisTransform, mppi_common.cu:958-985).
+            base = n_named + (1 if split_cost else 0)
+            j_scr, cr_scr = refs[base], refs[base + 1]
+            k_loc = lrs_ref[0, 5].astype(jnp.int32)
+            gamma_w = lrs_ref[0, 6]
+            pw = lrs_ref[0, 7]  # 1 / (r - 1)
+            ii = pl.program_id(0)
+            lane_e = (
+                jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0) * LANES
+                + jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
             )
-        term = cost.terminal_cost(y_last.astype(jnp.float32))
-        J = (acc + term) / T
-        costs_ref[...] = J[None]
-        crash_ref[...] = crash[None]
+            valid = ((ii % grid) * tile_k + lane_e) < k_loc
 
-        if epilogue:
+            @pl.when(ii < grid)
+            def _pass1():
+                J, crash = run_tile()
+                costs_ref[...] = J[None]
+                crash_ref[...] = crash[None]
+                j_scr[pl.ds(ii, 1)] = J[None]
+                cr_scr[pl.ds(ii, 1)] = crash[None]
+                tmin = jnp.min(jnp.where(valid, J, 1e30))
+
+                @pl.when(ii == 0)
+                def _init_min():
+                    md_ref[0, 0] = tmin
+
+                @pl.when(ii > 0)
+                def _acc_min():
+                    md_ref[0, 0] = jnp.minimum(md_ref[0, 0], tmin)
+
+            @pl.when(ii >= grid)
+            def _pass2():
+                J = j_scr[pl.ds(ii - grid, 1)].reshape(rows, LANES)
+                # Pallas output windows are WRITE-ONLY: a revisited block
+                # that is not stored this grid step is written back from
+                # whatever the (double-buffered) window holds — garbage.
+                # Re-store both outputs from the pass-1 scratches.
+                costs_ref[...] = J[None]
+                crash_ref[...] = cr_scr[pl.ds(ii - grid, 1)]
+                rho = md_ref[0, 0]
+                dj = J - rho
+                # exact mirror of ops/weights.tsallis_weights
+                base = jnp.clip(1.0 - dj / gamma_w, 1e-30, None)
+                w = jnp.where(dj < gamma_w,
+                              jnp.exp(jnp.log(base) * pw), 0.0)
+                w = jnp.where(valid, w, 0.0)
+                u4 = u_ref[...].reshape(C, T, rows, LANES).astype(jnp.float32)
+                lanes = jnp.sum(u4 * w[None, None], axis=3, keepdims=True)
+                ws = jnp.sum(lanes, axis=2, keepdims=True)
+
+                @pl.when(ii == grid)
+                def _init_sum():
+                    num_ref[...] = ws
+                    md_ref[0, 1] = jnp.sum(w)
+
+                @pl.when(ii > grid)
+                def _acc_sum():
+                    num_ref[...] = num_ref[...] + ws
+                    md_ref[0, 1] = md_ref[0, 1] + jnp.sum(w)
+
+        if not tsallis:
+            J, crash = run_tile()
+            costs_ref[...] = J[None]
+            crash_ref[...] = crash[None]
+
+        if epilogue and not tsallis:
             # ---- flash (online-softmax) normExp weight + weighted-mean
             # epilogue over the VMEM-resident U tile: the in-kernel analog
             # of fullGPUcomputeWeights + weightedReductionKernel
@@ -708,8 +789,17 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_ctk,
 
     leaf_shapes, leaf_specs = _prepare_leaves(leaves)
 
+    # Tsallis two-pass epilogue: the launch grid doubles and every
+    # block-indexed operand maps through i % grid, so pass 2 revisits each
+    # tile (outputs it does not write are written back unchanged)
+    two_pass = epilogue and epilogue_kind == "tsallis"
+    launch_grid = 2 * grid if two_pass else grid
+
+    def _tile_idx(i):
+        return i % grid if two_pass else i
+
     if per_sample_x0:
-        x0_spec = pl.BlockSpec((S, tile_k), lambda i: (0, i),
+        x0_spec = pl.BlockSpec((S, tile_k), lambda i: (0, _tile_idx(i)),
                                memory_space=pltpu.VMEM)
         x0_in = x0  # already (S, K_pad)
     else:
@@ -717,7 +807,7 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_ctk,
         x0_in = x0.reshape(S, 1)
     in_specs = leaf_specs + [
         x0_spec,
-        pl.BlockSpec((C, T, tile_k), lambda i: (0, 0, i),
+        pl.BlockSpec((C, T, tile_k), lambda i: (0, 0, _tile_idx(i)),
                      memory_space=pltpu.VMEM),  # U tile (channel-major)
         pl.BlockSpec(memory_space=pltpu.SMEM),  # dt (1, 1)
         # lr mean: (T, C) SMEM scalars, or the stacked (T, R8, LANES)
@@ -731,9 +821,9 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_ctk,
         pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
     out_specs = [
-        pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, rows, LANES), lambda i: (_tile_idx(i), 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, rows, LANES), lambda i: (_tile_idx(i), 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     out_shape = [
@@ -754,9 +844,16 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_ctk,
         scratch.append(
             pltpu.VMEM((out_dim, T, rows, LANES), jnp.float32)  # outputs
         )
+    if two_pass:
+        scratch.append(
+            pltpu.VMEM((grid, rows, LANES), jnp.float32)  # per-tile J
+        )
+        scratch.append(
+            pltpu.VMEM((grid, rows, LANES), jnp.int32)  # per-tile crash
+        )
     outs = pl.pallas_call(
         kernel,
-        grid=(grid,),
+        grid=(launch_grid,),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
@@ -956,7 +1053,7 @@ def _prep_fused_rollout(dynamics, cost, x0, U, lr_params, tile_k, interpret,
         if tail:
             lr_kw["lr_scal"] = jnp.stack(
                 [jnp.float32(0)] * 4 + tail
-            ).reshape(1, 6)
+            ).reshape(1, 4 + len(tail))
     else:
         m_, s_, c_, lam_, al_, pt_ = lr_params
         if table_mode == "vmem":
@@ -997,14 +1094,29 @@ def fused_weighted_rollout(
     _idx_offset=0,
     _raw=False,
     split_cost: bool | None = None,
+    weight_kind: str = "exp",
+    weight_params=None,
 ):
-    """Fused rollout + in-kernel normExp weights + flash weighted-mean for
+    """Fused rollout + in-kernel weights + flash weighted-mean for
     PRECOMPUTED control samples ``U`` (K, T, C). Returns ``(costs (K,),
     crash (K,), new_mean (T, C), baseline (), eta ())`` — the whole MPPI
     iteration epilogue (``fullGPUcomputeWeights`` +
     ``weightedReductionKernel``, mppi_common.cu:902-1053,710-765) runs as
     an online softmax over the VMEM-resident U tiles, so the cost vector
     is the only per-sample tensor XLA touches afterwards.
+
+    ``weight_kind``: "exp" (normExp, online-softmax single pass) or
+    "tsallis" (``weight_params = (gamma, r)``; TsallisTransform,
+    mppi_common.cu:958-985). Tsallis needs the global min cost before any
+    weight exists and has no online rescaling, so the kernel runs a second
+    rollout-free pass over the tiles (one extra HBM read of U); it is
+    single-chip only — per-shard partial sums against per-shard minima
+    cannot be merged exactly, so sharded Tsallis raises
+    :class:`PallasIncompatible` (callers fall back to the XLA weight
+    pass). CEM stays off this path entirely: its elite threshold is a
+    global ORDER STATISTIC of the costs (cem_shaping_function.cuh:8-41) —
+    it needs a sort after all costs exist, which the (K,) cost output
+    already serves in XLA at negligible cost.
 
     This is the precomputed-noise complement of
     ``pallas_solve.fused_solve_iteration``: it admits every sampler whose
@@ -1025,7 +1137,16 @@ def fused_weighted_rollout(
     """
     K, T, C = U.shape
     lam_f = jnp.asarray(lam, jnp.float32)
+    if weight_kind not in ("exp", "tsallis"):
+        raise PallasIncompatible(
+            f"fused epilogue supports exp/tsallis weights, got {weight_kind}"
+        )
     mesh, axis, n_shards = _mesh_axis(sharding)
+    if weight_kind == "tsallis" and mesh is not None:
+        raise PallasIncompatible(
+            "the Tsallis fused epilogue is single-chip: per-shard partial "
+            "sums against per-shard minima cannot be merged exactly"
+        )
     if mesh is not None:
         from jax.sharding import PartitionSpec as P
 
@@ -1065,10 +1186,16 @@ def fused_weighted_rollout(
 
     # lr_scal rows 4-5 carry the epilogue's weighting lambda + this
     # shard's valid sample count (the padded tail must not enter the
-    # softmax: exp(-inf - max) = 0 keeps it out exactly)
+    # softmax: exp(-inf - max) = 0 keeps it out exactly); the Tsallis
+    # variant appends [6]=gamma, [7]=1/(r-1)
+    epi_scal = [lam_f, jnp.float32(K)]
+    if weight_kind == "tsallis":
+        gamma_w, r_w = weight_params
+        epi_scal += [jnp.asarray(gamma_w, jnp.float32),
+                     1.0 / (jnp.asarray(r_w, jnp.float32) - 1.0)]
     prep = _prep_fused_rollout(dynamics, cost, x0, U, lr_params, tile_k,
                                interpret, _idx_offset,
-                               epilogue_scal=(lam_f, jnp.float32(K)),
+                               epilogue_scal=tuple(epi_scal),
                                split_cost=split_cost)
     (leaves, treedef, x0, U_ctk, S, tile_k, interpret, per_sample_x0,
      recurrent, lr_kw, split_cost, out_dim) = prep
@@ -1076,12 +1203,15 @@ def fused_weighted_rollout(
         leaves, treedef, type(dynamics).__name__, type(cost).__name__,
         x0, U_ctk, dt, T, C, S, tile_k, interpret,
         per_sample_x0=per_sample_x0, recurrent=recurrent,
-        state_dtype=state_dtype, epilogue=True, split_cost=split_cost,
-        out_dim=out_dim, **lr_kw,
+        state_dtype=state_dtype, epilogue=True, epilogue_kind=weight_kind,
+        split_cost=split_cost, out_dim=out_dim, **lr_kw,
     )
     costs, crash = costs[:K], crash[:K]
     if _raw:
         return costs, crash, num, md
+    if weight_kind == "tsallis":
+        # md = [rho (min cost), eta (sum of Tsallis weights)]
+        return costs, crash, num / md[0, 1], md[0, 0], md[0, 1]
     return costs, crash, num / md[0, 1], -lam_f * md[0, 0], md[0, 1]
 
 
@@ -1101,27 +1231,52 @@ def fused_weighted_rollout(
     jax.jit,
     static_argnames=("dynamics_static", "cost_static", "T", "C", "S", "K",
                      "K_pad", "tile_k", "interpret", "treedef",
-                     "noise_kind", "table_mode", "recurrent"),
+                     "noise_kind", "table_mode", "recurrent", "epilogue",
+                     "emit_samples"),
 )
 def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
                        x0, mean, sigma, aux_tab, coeff, constraints, seed,
                        dt, lam, alpha, stride, pure_threshold, dt_smooth,
                        T, C, S, K, K_pad, tile_k, interpret,
                        noise_kind="gaussian", idx_offset=0,
-                       table_mode="smem", recurrent=False):
+                       table_mode="smem", recurrent=False, epilogue=False,
+                       emit_samples=True):
     del dynamics_static, cost_static
     rows = tile_k // LANES
     grid = K_pad // tile_k
     leaf_ndims = tuple(l.ndim for l in leaves)
     TWO_PI = 6.2831853071795864
     INV_2_24 = float(2.0 ** -24)
+    if epilogue and noise_kind != "smooth":
+        raise PallasIncompatible(
+            "the in-sample-kernel flash epilogue is the Smooth-MPPI W "
+            "variant; Gaussian/NLN ride pallas_solve.fused_solve_iteration"
+        )
 
     @_map_query_layout
     def kernel(*refs):
         leaf_refs = refs[: len(leaves)]
         (x0_ref, mean_ref, sigma_ref, aux_ref, coeff_ref, cons_ref,
          seed_ref, scal_ref) = refs[len(leaves): len(leaves) + 8]
-        if noise_kind == "smooth":
+        if epilogue:
+            # W stays in VMEM scratch (never leaves the chip); the flash
+            # carries replace it as the kernel's reduction output. When the
+            # caller does not want the samples either (the common
+            # return_samples=False solve), U moves to scratch too — the
+            # kernel then emits ONLY (K,) costs/crash + the carries.
+            n_out = len(leaves) + 8
+            costs_ref, crash_ref = refs[n_out: n_out + 2]
+            n_out += 2
+            if emit_samples:
+                u_out_ref = refs[n_out]
+                n_out += 1
+            num_ref, md_ref = refs[n_out: n_out + 2]
+            n_out += 2
+            if not emit_samples:
+                u_out_ref = refs[n_out]
+                n_out += 1
+            w_out_ref = refs[n_out]
+        elif noise_kind == "smooth":
             costs_ref, crash_ref, u_out_ref, w_out_ref = refs[len(leaves) + 8:]
         else:
             costs_ref, crash_ref, u_out_ref = refs[len(leaves) + 8:]
@@ -1300,8 +1455,46 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
                 return do_step(t, eps, carry)
 
             _, _, crash, acc, y_last = jax.lax.fori_loop(0, T, body, init)
-        costs_ref[...] = ((acc + cost.terminal_cost(y_last)) / T)[None]
+        J = (acc + cost.terminal_cost(y_last)) / T
+        costs_ref[...] = J[None]
         crash_ref[...] = crash[None]
+
+        if epilogue:
+            # ---- flash (online-softmax) normExp epilogue over W ----
+            # Smooth-MPPI's mean update is the weighted mean of the
+            # UNCLAMPED derivative noise W, not U (smooth-MPPI.cu:203-236).
+            # W is generated above IN THIS KERNEL, so the same flash carry
+            # convention as _fused_call / pallas_solve applies with zero
+            # extra HBM traffic — W lives in VMEM scratch and never leaves
+            # the chip (VERDICT r3 task 5: the round-3 decline assumed a
+            # second (K, T, C) HBM read that does not exist).
+            local_idx = lane - idx_off
+            valid = local_idx < K
+            s = jnp.where(valid, -J / lam_k, -1e30)
+            tmax = jnp.max(s)
+            W4 = w_out_ref[...].reshape(T, C, rows, LANES)
+
+            def wsum(w):
+                lanes_r = jnp.sum(W4 * w[None, None], axis=3, keepdims=True)
+                return jnp.sum(lanes_r, axis=2, keepdims=True)
+
+            @pl.when(i == 0)
+            def _init():
+                w = jnp.exp(s - tmax)
+                num_ref[...] = wsum(w)
+                md_ref[0, 0] = tmax
+                md_ref[0, 1] = jnp.sum(w)
+
+            @pl.when(i > 0)
+            def _accum():
+                m_old = md_ref[0, 0]
+                d_old = md_ref[0, 1]
+                m_new = jnp.maximum(m_old, tmax)
+                scale = jnp.exp(m_old - m_new)
+                w = jnp.exp(s - m_new)
+                num_ref[...] = num_ref[...] * scale + wsum(w)
+                md_ref[0, 0] = m_new
+                md_ref[0, 1] = d_old * scale + jnp.sum(w)
 
     leaf_shapes, leaf_specs = _prepare_leaves(leaves)
 
@@ -1331,15 +1524,29 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((T, C, tile_k), lambda i: (0, 0, i),
-                     memory_space=pltpu.VMEM),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((grid, rows, LANES), jnp.float32),
         jax.ShapeDtypeStruct((grid, rows, LANES), jnp.int32),
-        jax.ShapeDtypeStruct((T, C, K_pad), jnp.float32),
     ]
-    if noise_kind == "smooth":
+    if emit_samples or not epilogue:
+        out_specs.append(pl.BlockSpec((T, C, tile_k), lambda i: (0, 0, i),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((T, C, K_pad), jnp.float32))
+    scratch = []
+    if epilogue:
+        out_specs += [
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # num (T, C, 1, 1)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # [m, d] (1, 2)
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((T, C, 1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 2), jnp.float32),
+        ]
+        if not emit_samples:
+            scratch.append(pltpu.VMEM((T, C, tile_k), jnp.float32))  # U
+        scratch.append(pltpu.VMEM((T, C, tile_k), jnp.float32))  # W
+    elif noise_kind == "smooth":
         out_specs.append(pl.BlockSpec((T, C, tile_k), lambda i: (0, 0, i),
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((T, C, K_pad), jnp.float32))
@@ -1349,6 +1556,7 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
+        scratch_shapes=scratch,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=60 * K_pad * T * (S + C),
@@ -1357,11 +1565,18 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
         ),
     )(*leaf_shapes, x0.reshape(S, 1), mean, sigma, aux_tab,
       coeff.reshape(1, C), constraints, seed.reshape(1, 1), scalars)
-    costs3d, crash3d, U_tck = outs[:3]
+    costs3d, crash3d = outs[:2]
     costs = costs3d.reshape(-1)[:K]
     crash = crash3d.reshape(-1)[:K]
-    U = jnp.transpose(U_tck, (2, 0, 1))[:K]  # (K, T, C)
-    aux = (jnp.transpose(outs[3], (2, 0, 1))[:K]
+    n_out = 2
+    U = None
+    if emit_samples or not epilogue:
+        U = jnp.transpose(outs[n_out], (2, 0, 1))[:K]  # (K, T, C)
+        n_out += 1
+    if epilogue:
+        num, md = outs[n_out], outs[n_out + 1]
+        return costs, crash, U, num[:, :, 0, 0], md
+    aux = (jnp.transpose(outs[n_out], (2, 0, 1))[:K]
            if noise_kind == "smooth" else None)
     return costs, crash, U, aux
 
@@ -1637,6 +1852,8 @@ def fused_sample_rollout_costs(
     interpret: bool | None = None,
     sampler_state=None,
     sharding=None,
+    epilogue: bool = False,
+    emit_samples: bool = True,
 ):
     """Fully-fused sample + rollout. Returns
     (costs (K,), crash (K,), U (K, T, C), aux) where ``costs`` already
@@ -1644,6 +1861,17 @@ def fused_sample_rollout_costs(
     semantics, mppi_common.cu:126-145), ``U`` is the clamped sample tensor
     for the weighted mean update, and ``aux`` is the derivative sample
     tensor W (K, T, C) for Smooth-MPPI (None otherwise).
+
+    ``epilogue=True`` (Smooth-MPPI only): the flash (online-softmax)
+    normExp weights + weighted mean accumulate IN-KERNEL over the
+    derivative noise W — which smooth's mean update weights instead of U
+    (smooth-MPPI.cu:203-236) — so W stays in VMEM scratch and never
+    crosses HBM at all. Returns ``(costs, crash, U, new_deriv_mean (T, C),
+    baseline, eta)`` instead; under sharding the carries merge via
+    ``pallas_solve.flash_combine``. With ``emit_samples=False`` (only
+    meaningful with the epilogue) U stays in VMEM scratch too and the
+    returned U is None — the kernel emits only the (K,) costs/crash and
+    the carries, like ``pallas_solve.fused_solve_iteration``.
 
     Gaussian, NLN (log-MPPI) and Smooth-MPPI samplers qualify — their noise
     processes generate in-kernel; other distributions (colored/FFT,
@@ -1745,22 +1973,37 @@ def fused_sample_rollout_costs(
         def body(x0_v, mean_v, sigma_v, aux_v, coeff_v, cons_v, seed_v,
                  dt_v, lam_v, alpha_v, stride_v, pure_v, dts_v, *leaf_vals):
             ax = jax.lax.axis_index(axis)
-            return _fused_sample_call(
+            res = _fused_sample_call(
                 list(leaf_vals), treedef, dyn_name, cost_name,
                 x0_v, mean_v, sigma_v, aux_v, coeff_v, cons_v,
                 seed_v + ax * grid_local, dt_v, lam_v, alpha_v,
                 stride_v, pure_v, dts_v, T, C, S, K_local, K_pad_local,
                 tile_local, False, noise_kind=noise_kind,
                 idx_offset=ax * K_local, table_mode=table_mode,
-                recurrent=recurrent,
+                recurrent=recurrent, epilogue=epilogue,
+                emit_samples=emit_samples or not epilogue,
             )
+            if not epilogue:
+                return res
+            from mppi_generic_tpu.ops.pallas_solve import flash_combine
 
-        return jax.shard_map(
+            costs, crash, U, num, md = res
+            m_g, d_g, num_g = flash_combine(md[0, 0], md[0, 1], num, axis)
+            out = (costs, crash, num_g / d_g, -lam_v * m_g, d_g)
+            return out + ((U,) if emit_samples else ())
+
+        if epilogue:
+            out_specs = (P(axis), P(axis), P(), P(), P())
+            if emit_samples:
+                out_specs = out_specs + (P(axis),)
+        else:
+            out_specs = (P(axis), P(axis), P(axis),
+                         P(axis) if noise_kind == "smooth" else None)
+        res = jax.shard_map(
             body,
             mesh=mesh,
             in_specs=_replicated(13) + _replicated(len(leaves)),
-            out_specs=(P(axis), P(axis), P(axis),
-                       P(axis) if noise_kind == "smooth" else None),
+            out_specs=out_specs,
             check_vma=False,
         )(x0, mean_arg, sigma_arg, aux_arg, sampler.control_cost_coeff,
           constraints,
@@ -1769,8 +2012,13 @@ def fused_sample_rollout_costs(
           jnp.asarray(optimization_stride, jnp.int32),
           jnp.asarray(pure_threshold, jnp.float32),
           jnp.asarray(dt_smooth, jnp.float32), *leaves)
+        if not epilogue:
+            return res
+        costs, crash, mean_w, baseline, eta = res[:5]
+        U = res[5] if emit_samples else None
+        return costs, crash, U, mean_w, baseline, eta
 
-    return _fused_sample_call(
+    res = _fused_sample_call(
         leaves, treedef, type(dynamics).__name__, type(cost).__name__,
         x0, mean_arg, sigma_arg, aux_arg, sampler.control_cost_coeff,
         constraints,
@@ -1778,5 +2026,11 @@ def fused_sample_rollout_costs(
         jnp.asarray(optimization_stride, jnp.int32),
         jnp.asarray(pure_threshold, jnp.float32), dt_smooth,
         T, C, S, K, K_pad, tile_k, interpret, noise_kind=noise_kind,
-        table_mode=table_mode, recurrent=recurrent,
+        table_mode=table_mode, recurrent=recurrent, epilogue=epilogue,
+        emit_samples=emit_samples or not epilogue,
     )
+    if not epilogue:
+        return res
+    costs, crash, U, num, md = res
+    lam_f = jnp.asarray(lam, jnp.float32)
+    return costs, crash, U, num / md[0, 1], -lam_f * md[0, 0], md[0, 1]

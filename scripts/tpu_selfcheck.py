@@ -766,6 +766,113 @@ def check_recurrent_map_fused_solve():
 CHECKS.append(check_recurrent_map_fused_solve)
 
 
+def check_smooth_flash_epilogue():
+    """Round-4 (VERDICT r3 task 5): the Smooth-MPPI in-kernel flash
+    epilogue over W must equal the XLA update weighting the emitted W of
+    the SAME seed's non-epilogue run — W is generated in-kernel, so both
+    paths see identical derivative noise and the comparison is exact up to
+    reduction order (smooth-MPPI.cu:203-236 mean update)."""
+    from mppi_generic_tpu.ops.weights import norm_exp_weights
+    from mppi_generic_tpu.sampling import SmoothMPPIDistribution
+
+    dyn, cost, x0, dt = _fixtures()
+    dyn_free = DoubleIntegratorDynamics.create()
+    mean = jnp.tile(jnp.array([0.3, -0.2]), (T, 1))
+    sm = SmoothMPPIDistribution.create(
+        std_dev=[2.0, 2.0], num_timesteps=T, dt=0.2,
+        control_cost_coeff=[0.01, 0.02], pure_noise_percentage=0.1,
+    )
+    dmean = jnp.tile(jnp.array([0.5, -0.4]), (T, 1))
+    lam = 1.3
+    costs0, crash0, U0, W0 = fused_sample_rollout_costs(
+        dyn_free, cost, sm, x0, mean, jnp.int32(77), dt, lam, 0.0, K,
+        optimization_stride=2, sampler_state=dmean,
+    )
+    costs1, crash1, U1, dmean_new, baseline, eta = (
+        fused_sample_rollout_costs(
+            dyn_free, cost, sm, x0, mean, jnp.int32(77), dt, lam, 0.0, K,
+            optimization_stride=2, sampler_state=dmean, epilogue=True,
+        )
+    )
+    np.testing.assert_allclose(np.asarray(costs1), np.asarray(costs0),
+                               rtol=1e-6, atol=1e-7)
+    assert bool(jnp.all(crash0 == crash1))
+    np.testing.assert_allclose(np.asarray(U1), np.asarray(U0),
+                               rtol=1e-6, atol=1e-7)
+    base_r = float(jnp.min(costs0))
+    w_r = norm_exp_weights(costs0, lam, base_r)
+    eta_r = float(jnp.sum(w_r))
+    dmean_r = jnp.sum((w_r / eta_r)[:, None, None] * W0, axis=0)
+    np.testing.assert_allclose(float(baseline), base_r, rtol=1e-6)
+    np.testing.assert_allclose(float(eta), eta_r, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(dmean_new), np.asarray(dmean_r),
+                               rtol=1e-4, atol=1e-5)
+    # U-less variant (the return_samples=False solve): U stays in VMEM
+    # scratch, the kernel emits only costs/crash + carries
+    costs2, crash2, U2, dmean2, base2, eta2 = fused_sample_rollout_costs(
+        dyn_free, cost, sm, x0, mean, jnp.int32(77), dt, lam, 0.0, K,
+        optimization_stride=2, sampler_state=dmean, epilogue=True,
+        emit_samples=False,
+    )
+    assert U2 is None
+    np.testing.assert_allclose(np.asarray(costs2), np.asarray(costs0),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(dmean2), np.asarray(dmean_new),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(float(base2), float(baseline), rtol=1e-6)
+    # controller-level: kernel="pallas_fused" smooth solve (epilogue path)
+    # matches kernel="combined" with the same samples? different RNG
+    # sources — instead check the solve runs and returns finite output
+    from mppi_generic_tpu.controllers import VanillaMPPI
+
+    ctrl = VanillaMPPI(
+        dynamics=dyn_free, cost=cost, sampler=sm,
+        dt=dt, lam=jnp.float32(lam), alpha=jnp.float32(0.0),
+        num_timesteps=T, num_rollouts=K, num_iters=1,
+        kernel="pallas_fused",
+    )
+    res, _ = jax.jit(ctrl.solve)(x0, ctrl.init_state(
+        jax.random.key(3, impl="rbg")))
+    assert bool(jnp.all(jnp.isfinite(res.control_mean)))
+
+
+CHECKS.append(check_smooth_flash_epilogue)
+
+
+def check_tsallis_fused_epilogue():
+    """Round-4 (VERDICT r3 task 6): the two-pass Tsallis fused epilogue
+    (Mosaic-compiled — grid revisit, dynamic VMEM scratch indexing, SMEM
+    running min) vs the XLA weight pass on the same precomputed U
+    (TsallisTransform, mppi_common.cu:958-985)."""
+    from mppi_generic_tpu.ops.pallas_rollout import fused_weighted_rollout
+    from mppi_generic_tpu.ops.weights import baseline_cost, tsallis_weights
+
+    dyn, cost, x0, dt = _fixtures()
+    dyn_free = DoubleIntegratorDynamics.create()
+    mean = jnp.tile(jnp.array([0.3, -0.2]), (T, 1))
+    gamma, r = jnp.float32(0.2), jnp.float32(2.0)
+    U = mean[None] + 0.5 * jax.random.normal(jax.random.PRNGKey(9),
+                                             (K, T, 2))
+    costs, crash, new_mean, baseline, eta = fused_weighted_rollout(
+        dyn_free, cost, x0, U, dt, jnp.float32(1.0), tile_k=256,
+        weight_kind="tsallis", weight_params=(gamma, r),
+    )
+    c_r, _, _ = rollout_combined(dyn_free, cost, x0, U, dt)
+    np.testing.assert_allclose(np.asarray(costs), np.asarray(c_r),
+                               rtol=1e-5, atol=1e-6)
+    bl_r = baseline_cost(c_r)
+    w_r = tsallis_weights(c_r, gamma, r, bl_r)
+    assert float(jnp.min(w_r)) == 0.0  # clamp branch exercised on chip
+    mean_r = jnp.sum((w_r / jnp.sum(w_r))[:, None, None] * U, axis=0)
+    np.testing.assert_allclose(float(baseline), float(bl_r), rtol=1e-6)
+    np.testing.assert_allclose(float(eta), float(jnp.sum(w_r)), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_mean), np.asarray(mean_r),
+                               rtol=1e-4, atol=1e-5)
+
+
+CHECKS.append(check_tsallis_fused_epilogue)
+
+
 # keep this at the very END of the file: checks appended above must be
 # registered before the standalone script runs them
 if __name__ == "__main__":

@@ -555,3 +555,120 @@ def test_autotune_disk_cache_skips_sweep(tmp_path, monkeypatch):
     assert calls["n"] > 0
     assert tuned3.kernel == "split"
     del real_time_solve
+
+
+def test_fused_weighted_rollout_tsallis_matches_xla():
+    """weight_kind="tsallis": the two-pass in-kernel epilogue (pass 1
+    rollout + running min, pass 2 rollout-free tile revisit with Tsallis
+    weights) equals the XLA epilogue (tsallis_weights + update_mean) —
+    incl. a ragged K exercising the padded-tail mask and a gamma small
+    enough that some weights clamp to exactly 0 (TsallisTransform,
+    mppi_common.cu:958-985)."""
+    from mppi_generic_tpu.ops import weights as weight_ops
+    from mppi_generic_tpu.ops.pallas_rollout import fused_weighted_rollout
+    from mppi_generic_tpu.sampling import GaussianDistribution
+
+    dyn = DoubleIntegratorDynamics.create(control_ranges=[[-3, 3], [-3, 3]])
+    cost = DoubleIntegratorCircleCost()
+    samp = GaussianDistribution.create(
+        std_dev=[1.0, 0.7], control_cost_coeff=[0.02, 0.01],
+        pure_noise_percentage=0.25,
+    )
+    T, C = 24, 2
+    x0 = jnp.array([2.0, 0.0, 0.0, 1.0])
+    mean = jnp.tile(jnp.array([0.3, -0.2]), (T, 1))
+    lam, alpha = jnp.float32(1.3), jnp.float32(0.2)
+    gamma, r = jnp.float32(0.12), jnp.float32(2.4)
+
+    for K in (256, 300):
+        U = mean[None] + 0.5 * jax.random.normal(
+            jax.random.PRNGKey(3), (K, T, C)
+        )
+        lr_params = (mean, samp._sigma(T, 0), samp.control_cost_coeff,
+                     lam, alpha, (1.0 - samp.pure_noise_percentage) * K)
+        costs, crash, new_mean, baseline, eta = fused_weighted_rollout(
+            dyn, cost, x0, U, jnp.float32(0.02), lam,
+            lr_params=lr_params, tile_k=128,
+            weight_kind="tsallis", weight_params=(gamma, r),
+        )
+        c_ref, crash_ref = fused_rollout_costs(
+            dyn, cost, x0, U, jnp.float32(0.02), lr_params=lr_params,
+            tile_k=128,
+        )
+        np.testing.assert_allclose(np.asarray(costs), np.asarray(c_ref),
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_array_equal(np.asarray(crash),
+                                      np.asarray(crash_ref))
+        bl_ref = weight_ops.baseline_cost(c_ref)
+        w_ref = weight_ops.tsallis_weights(c_ref, gamma, r, bl_ref)
+        assert float(jnp.min(w_ref)) == 0.0  # the clamp branch is exercised
+        eta_ref = weight_ops.normalizer(w_ref)
+        mean_ref, _ = samp.update_mean(U, None, w_ref, eta_ref, mean)
+        np.testing.assert_allclose(float(baseline), float(bl_ref),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(float(eta), float(eta_ref),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(new_mean),
+                                   np.asarray(mean_ref),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_fused_weighted_rollout_tsallis_sharded_refuses():
+    """Sharded Tsallis must raise PallasIncompatible (per-shard partial
+    sums against per-shard minima cannot be merged exactly) so controllers
+    fall back to the XLA weight pass."""
+    from mppi_generic_tpu.ops.pallas_rollout import fused_weighted_rollout
+
+    if len(jax.devices()) < 2:
+        import pytest
+        pytest.skip("needs the virtual multi-device CPU mesh")
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    mesh = Mesh(np.array(jax.devices()[:2]), ("samples",))
+    sh = NamedSharding(mesh, PartitionSpec("samples"))
+    dyn = DoubleIntegratorDynamics.create()
+    cost = DoubleIntegratorCircleCost()
+    U = 0.4 * jax.random.normal(jax.random.PRNGKey(5), (256, 16, 2))
+    import pytest
+    with pytest.raises(PallasIncompatible):
+        fused_weighted_rollout(
+            dyn, cost, jnp.array([2.0, 0.0, 0.0, 1.0]), U,
+            jnp.float32(0.02), jnp.float32(1.0), sharding=sh,
+            weight_kind="tsallis", weight_params=(2.5, 2.0),
+        )
+
+
+def test_vanilla_tsallis_colored_pallas_matches_combined():
+    """End-to-end: a ColoredMPPI-style solve (colored noise + Tsallis
+    weighting, colored_mppi_controller.cu:206) on kernel="pallas" — which
+    routes through the two-pass Tsallis fused epilogue — produces the same
+    solution as the XLA combined path."""
+    from mppi_generic_tpu.controllers import VanillaMPPI
+    from mppi_generic_tpu.sampling import ColoredNoiseDistribution
+
+    def build(kernel):
+        return VanillaMPPI(
+            dynamics=DoubleIntegratorDynamics.create(),
+            cost=DoubleIntegratorCircleCost(),
+            sampler=ColoredNoiseDistribution.create(
+                std_dev=[1.0, 0.8], exponents=[1.0, 2.0],
+                control_cost_coeff=[0.02, 0.01],
+            ),
+            dt=jnp.float32(0.02), lam=jnp.float32(1.0),
+            alpha=jnp.float32(0.0), num_timesteps=16, num_rollouts=256,
+            num_iters=2, kernel=kernel,
+            weight_transform="tsallis",
+            tsallis_gamma=jnp.float32(5.0), tsallis_r=jnp.float32(2.0),
+        )
+
+    x0 = jnp.array([2.0, 0.0, 0.0, 1.0])
+    key = jax.random.PRNGKey(11)
+    res_p, _ = build("pallas").solve(x0, build("pallas").init_state(key))
+    res_c, _ = build("combined").solve(x0, build("combined").init_state(key))
+    np.testing.assert_allclose(np.asarray(res_p.costs),
+                               np.asarray(res_c.costs), rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res_p.control_mean),
+                               np.asarray(res_c.control_mean),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(float(res_p.baseline), float(res_c.baseline),
+                               rtol=1e-5)
