@@ -79,6 +79,11 @@ _SPLIT_SCRATCH_BYTES = 11 * 1024 * 1024
 # at 4096) — so a DEFAULT tile shrinks until the working set fits this;
 # a caller-chosen tile (e.g. the auto-tuner sweep) is left alone.
 _SPLIT_TILE_TARGET = 6 * 1024 * 1024
+# timesteps per DMA-streamed table chunk (table_mode="stream"): the
+# double-buffered VMEM window costs 2 * chunk * R8 * 128 * 4 B (2 MB at
+# 256 steps, 8 rows) and one DMA wait per chunk amortizes over the chunk's
+# sequential dynamics steps
+_STREAM_CHUNK_T = 256
 
 
 def _table_mode(*tables):
@@ -448,6 +453,16 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_ctk,
     rows = tile_k // LANES
     grid = K_pad // tile_k
     leaf_ndims = tuple(l.ndim for l in leaves)
+    # DMA table streaming (table_mode="stream"): chunk geometry + pad the
+    # HBM-resident stacked table to a whole number of chunks
+    stream_tc = stream_n = 0
+    if table_mode == "stream":
+        stream_tc = min(_STREAM_CHUNK_T, _round_up(T, 8))
+        stream_n = -(-T // stream_tc)
+        pad_rows = stream_n * stream_tc - lr_mean.shape[0]
+        if pad_rows:
+            lr_mean = jnp.pad(lr_mean, ((0, pad_rows), (0, 0), (0, 0)),
+                              constant_values=1.0)
     if not with_lr:
         # (1, 1) dummy SMEM operands keep one call structure for both
         # variants; the kernel only reads them under the static with_lr
@@ -473,6 +488,11 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_ctk,
             n_named += 2
         if split_cost:
             y_scr = refs[n_named]
+        if table_mode == "stream":
+            _sb = n_named + (1 if split_cost else 0) + (
+                2 if (epilogue and epilogue_kind == "tsallis") else 0
+            )
+            tbuf_ref, tsem_ref = refs[_sb], refs[_sb + 1]
 
         cd = jnp.dtype(state_dtype)
         n_dyn = treedef.children()[0].num_leaves  # dynamics' leaf count
@@ -617,7 +637,7 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_ctk,
                     out_dim, rows, LANES
                 )
             else:
-                def body(t, carry):
+                def body(t, carry, blk=None):
                     x, rec, crash, acc, _ = carry
                     u_raw = u_ref[:, pl.ds(t, 1)].reshape(C, rows, LANES)
                     u = u_raw.astype(cd)
@@ -645,7 +665,7 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_ctk,
                             r8 = mean_ref.shape[1]
                             blk = mean_ref[pl.ds(t, 1)].reshape(r8, LANES)
                         for ch in range(C):
-                            if table_mode == "vmem":
+                            if table_mode in ("vmem", "stream"):
                                 m_c = blk[ch: ch + 1]
                                 s_c = blk[C + ch: C + ch + 1]
                             else:
@@ -658,9 +678,55 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_ctk,
                         c = c + lr_gain * lr_t
                     return (x_next, rec, crash, acc + c, y)
 
-                _, _, crash, acc, y_last = jax.lax.fori_loop(
-                    0, T, body, (x, rec0, crash0, acc0, y0)
-                )
+                if table_mode == "stream":
+                    # DMA table streaming (horizons whose stacked table
+                    # exceeds the resident-VMEM budget, T > ~1024): the
+                    # (Tp_s, R8, LANES) table stays HBM-resident; a
+                    # double-buffered (2, Tcs, R8, LANES) VMEM scratch
+                    # prefetches chunk ci+1 while the horizon loop consumes
+                    # chunk ci — per-step table reads become static sublane
+                    # slices of the live slot, the same layout the resident
+                    # VMEM mode uses. This removes the horizon ceiling from
+                    # the fused kernels entirely (the reference's CUDA smem
+                    # tables never had one, core/mppi_common.cu:98-137).
+                    def get_dma(slot, ci):
+                        return pltpu.make_async_copy(
+                            mean_ref.at[pl.ds(ci * stream_tc, stream_tc)],
+                            tbuf_ref.at[slot],
+                            tsem_ref.at[slot],
+                        )
+
+                    def chunk(ci, carry):
+                        slot = ci % 2
+
+                        @pl.when(ci + 1 < stream_n)
+                        def _prefetch():
+                            get_dma((ci + 1) % 2, ci + 1).start()
+
+                        get_dma(slot, ci).wait()
+
+                        def step(tl, carry):
+                            t = ci * stream_tc + tl
+                            r8 = tbuf_ref.shape[2]
+                            blk = tbuf_ref[pl.ds(slot, 1),
+                                           pl.ds(tl, 1)].reshape(r8, LANES)
+                            return body(t, carry, blk=blk)
+
+                        # the tail chunk stops at T (the table is padded
+                        # to stream_n * stream_tc rows host-side)
+                        n_steps = jnp.minimum(
+                            stream_tc, T - ci * stream_tc
+                        )
+                        return jax.lax.fori_loop(0, n_steps, step, carry)
+
+                    get_dma(0, 0).start()
+                    _, _, crash, acc, y_last = jax.lax.fori_loop(
+                        0, stream_n, chunk, (x, rec0, crash0, acc0, y0)
+                    )
+                else:
+                    _, _, crash, acc, y_last = jax.lax.fori_loop(
+                        0, T, body, (x, rec0, crash0, acc0, y0)
+                    )
             term = cost.terminal_cost(y_last.astype(jnp.float32))
             J = (acc + term) / T
             return J, crash
@@ -810,10 +876,13 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_ctk,
         pl.BlockSpec((C, T, tile_k), lambda i: (0, 0, _tile_idx(i)),
                      memory_space=pltpu.VMEM),  # U tile (channel-major)
         pl.BlockSpec(memory_space=pltpu.SMEM),  # dt (1, 1)
-        # lr mean: (T, C) SMEM scalars, or the stacked (T, R8, LANES)
-        # VMEM table holding BOTH mean and sigma rows (long horizons)
+        # lr mean: (T, C) SMEM scalars, the stacked (T, R8, LANES) VMEM
+        # table holding BOTH mean and sigma rows (long horizons), or the
+        # HBM-resident padded table the kernel DMA-streams (T > the
+        # resident-VMEM budget)
         pl.BlockSpec(memory_space=(
-            pltpu.VMEM if table_mode == "vmem" else pltpu.SMEM)),
+            pltpu.ANY if table_mode == "stream"
+            else pltpu.VMEM if table_mode == "vmem" else pltpu.SMEM)),
         pl.BlockSpec(memory_space=pltpu.SMEM),  # lr sigma (T, C) | dummy
         pl.BlockSpec(memory_space=pltpu.SMEM),  # lr coeff (1, C)
         # lr scalars: (1, 4) [lam, alpha, pure_thresh, idx_off]; the
@@ -851,6 +920,11 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_ctk,
         scratch.append(
             pltpu.VMEM((grid, rows, LANES), jnp.int32)  # per-tile crash
         )
+    if table_mode == "stream":
+        scratch.append(pltpu.VMEM(
+            (2, stream_tc, lr_mean.shape[1], LANES), jnp.float32
+        ))  # double-buffered table chunks
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
     outs = pl.pallas_call(
         kernel,
         grid=(launch_grid,),
@@ -1030,10 +1104,19 @@ def _prep_fused_rollout(dynamics, cost, x0, U, lr_params, tile_k, interpret,
     if lr_params is not None:
         # the split variant's vectorized LR pass reads the tables as
         # (Tc, R8, LANES) blocks — SMEM scalars only support per-t reads
-        table_mode = ("vmem" if split_cost
-                      else _table_mode((T, C), (T, C)))
-        if split_cost:
-            _table_mode((T, C), (T, C))  # still enforce the VMEM ceiling
+        try:
+            table_mode = ("vmem" if split_cost
+                          else _table_mode((T, C), (T, C)))
+            if split_cost:
+                _table_mode((T, C), (T, C))  # enforce the VMEM ceiling
+        except PallasIncompatible:
+            # past the resident-VMEM table budget (T > ~1024): the table
+            # stays HBM-resident and the kernel DMA-streams double-buffered
+            # chunks through VMEM — no horizon ceiling. The split variant's
+            # block-wise table reads are not wired to the stream buffer, so
+            # the combined loop is used.
+            table_mode = "stream"
+            split_cost = False
 
     K_pad = _round_up(K, tile_k)
     U_ctk = jnp.transpose(U, (2, 1, 0))
@@ -1056,7 +1139,7 @@ def _prep_fused_rollout(dynamics, cost, x0, U, lr_params, tile_k, interpret,
             ).reshape(1, 4 + len(tail))
     else:
         m_, s_, c_, lam_, al_, pt_ = lr_params
-        if table_mode == "vmem":
+        if table_mode in ("vmem", "stream"):
             lr_mean_arg = _stack_time_tables(m_, s_)  # (T, R8, LANES)
             lr_sigma_arg = jnp.ones((1, 1), jnp.float32)  # unused dummy
         else:

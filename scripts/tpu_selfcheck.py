@@ -873,6 +873,54 @@ def check_tsallis_fused_epilogue():
 CHECKS.append(check_tsallis_fused_epilogue)
 
 
+def check_streamed_long_horizon():
+    """Round-4 (VERDICT r3 task 8): T=2048 in-kernel-LR — past the resident
+    VMEM table budget the stacked table stays HBM-resident and the kernel
+    DMA-streams double-buffered chunks (table_mode="stream"). A colored
+    solve at T=2048 through the fused kernel must match the XLA combined
+    path; horizon length is no longer a fused-kernel boundary."""
+    from mppi_generic_tpu.ops.pallas_rollout import _prep_fused_rollout
+    from mppi_generic_tpu.sampling import ColoredNoiseDistribution
+
+    dyn, cost, x0, dt = _fixtures()
+    T_long, K_long = 2048, 512
+    samp = ColoredNoiseDistribution.create(
+        std_dev=[1.0, 0.7], exponents=[1.0, 2.0],
+        control_cost_coeff=[0.02, 0.01], pure_noise_percentage=0.1,
+    )
+
+    def ctrl(kernel):
+        return VanillaMPPI(
+            dynamics=dyn, cost=cost, sampler=samp,
+            dt=dt, lam=jnp.float32(1.0), alpha=jnp.float32(0.0),
+            num_timesteps=T_long, num_rollouts=K_long, num_iters=1,
+            kernel=kernel, pallas_tile_k=128,
+        )
+
+    # the fused path must actually be in stream mode at this horizon
+    lr_params = (jnp.zeros((T_long, 2)), jnp.ones((T_long, 2)),
+                 samp.control_cost_coeff, 1.0, 0.0, K_long)
+    prep = _prep_fused_rollout(
+        dyn, cost, x0, jnp.zeros((K_long, T_long, 2)), lr_params,
+        128, False, 0, epilogue_scal=None, split_cost=None,
+    )
+    lr_kw = prep[9]
+    assert lr_kw["table_mode"] == "stream", lr_kw["table_mode"]
+
+    cs = ctrl("combined").init_state(jax.random.PRNGKey(0))
+    r_ref, _ = jax.jit(ctrl("combined").solve)(x0, cs)
+    r_pal, _ = jax.jit(ctrl("pallas").solve)(x0, cs)
+    np.testing.assert_allclose(np.asarray(r_pal.costs),
+                               np.asarray(r_ref.costs),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(r_pal.control_mean),
+                               np.asarray(r_ref.control_mean),
+                               rtol=1e-3, atol=1e-4)
+
+
+CHECKS.append(check_streamed_long_horizon)
+
+
 # keep this at the very END of the file: checks appended above must be
 # registered before the standalone script runs them
 if __name__ == "__main__":
