@@ -201,10 +201,17 @@ class RobustMPPI(ControllerBase):
                 # tile_k=None: the candidate-eval batch (n * S_per) is
                 # much smaller than the main solve's K — a tile tuned for
                 # the big batch would pad it several-fold
-                costs, _ = pallas_rollout.fused_rollout_costs(
-                    self.dynamics, self.cost, x0_all, U_flat, self.dt,
-                    sharding=sh, split_cost=self.pallas_split_cost,
-                )
+                try:
+                    costs, _ = pallas_rollout.fused_rollout_costs(
+                        self.dynamics, self.cost, x0_all, U_flat, self.dt,
+                        sharding=sh, split_cost=self.pallas_split_cost,
+                    )
+                except pallas_rollout.PallasIncompatible:
+                    # e.g. a map texture the in-kernel path cannot host —
+                    # fall back to the XLA combined rollout
+                    costs, _, _ = rollout_ops.rollout_combined(
+                        self.dynamics, self.cost, x0_all, U_flat, self.dt
+                    )
                 cand_costs = costs.reshape(n, S_per) + lr / T
             else:
                 def eval_candidate(x0, cand_stride):

@@ -130,13 +130,23 @@ class VanillaMPPI(ControllerBase):
         elif self.kernel == "pallas":
             # multi-chip: the fused kernel runs per-shard under shard_map
             # (sample_sharding → one kernel launch per chip on its K/n slice)
-            state_costs, crash = pallas_rollout.fused_rollout_costs(
-                self.dynamics, self.cost, x0, U, self.dt,
-                sharding=self.sample_sharding, tile_k=self.pallas_tile_k,
-                split_cost=self.pallas_split_cost,
-            )
-            costs = state_costs + lr / T
-            Y = None  # never materialized — the fused kernel's HBM win
+            try:
+                state_costs, crash = pallas_rollout.fused_rollout_costs(
+                    self.dynamics, self.cost, x0, U, self.dt,
+                    sharding=self.sample_sharding, tile_k=self.pallas_tile_k,
+                    split_cost=self.pallas_split_cost,
+                )
+                costs = state_costs + lr / T
+                Y = None  # never materialized — the fused kernel's HBM win
+            except pallas_rollout.PallasIncompatible:
+                # e.g. a map texture the in-kernel tent-mask path cannot
+                # host (multichannel / past the VMEM side budget): fall
+                # back to the XLA combined rollout, the reference's
+                # shared-mem-overflow fallback behavior
+                costs, Y, crash = rollout_ops.rollout_combined(
+                    self.dynamics, self.cost, x0, U, self.dt
+                )
+                costs = costs + lr / T
         else:
             costs, Y, crash = rollout_ops.rollout_combined(
                 self.dynamics, self.cost, x0, U, self.dt

@@ -251,10 +251,27 @@ class MapTexture2D(struct.PyTreeNode):
     def query_tex(self, u, v):
         """Bilinear lookup at normalized (u, v); u indexes width (x),
         v indexes height (y). Batched over leading dims."""
-        if (in_pallas_layout() and self.data.ndim == 2 and jnp.ndim(u) >= 2
-                and self.height <= self._PALLAS_VMEM_MAX_SIDE
-                and self.width <= self._PALLAS_VMEM_MAX_SIDE):
-            return self._query_tex_pallas(u, v)
+        if in_pallas_layout() and jnp.ndim(u) >= 2:
+            if (self.data.ndim == 2
+                    and self.height <= self._PALLAS_VMEM_MAX_SIDE
+                    and self.width <= self._PALLAS_VMEM_MAX_SIDE):
+                return self._query_tex_pallas(u, v)
+            # refuse here rather than fall through: the one-hot/gather
+            # paths below need lane-transposing reshapes / per-lane
+            # gathers Mosaic cannot lower, so inside a kernel trace they
+            # die with a raw Mosaic error that bypasses the controllers'
+            # `except PallasIncompatible` fallback (round-4 review
+            # finding: multichannel costmaps and 513..1024-texel maps
+            # under an explicit kernel="pallas")
+            from mppi_generic_tpu.ops.pallas_rollout import (
+                PallasIncompatible,
+            )
+
+            raise PallasIncompatible(
+                f"in-kernel map query supports single-channel maps up to "
+                f"{self._PALLAS_VMEM_MAX_SIDE} texels/side (got "
+                f"{self.data.shape}) — use the XLA rollout paths"
+            )
         if (self.height <= self._MATMUL_GATHER_MAX_SIDE
                 and self.width <= self._MATMUL_GATHER_MAX_SIDE):
             # under vmap the per-element trace sees scalars; the one-hot

@@ -12,6 +12,7 @@ plant that rebuilds controllers does not re-tune.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -77,9 +78,21 @@ def _disk_store(key_str, decision):
     path = _disk_path()
     tmp = path + f".tmp{os.getpid()}"
     try:
+        # merge the CURRENT file contents first: another plant process may
+        # have persisted its own decisions since this process loaded, and
+        # dumping our stale snapshot would silently drop them (its next
+        # restart would re-run the multi-compile sweep the cache exists to
+        # avoid). Our own fresh entries win on key collisions.
+        try:
+            with open(path) as f:
+                merged = json.load(f)
+        except (OSError, ValueError):
+            merged = {}
+        merged.update(_DISK)
+        _DISK.update(merged)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(tmp, "w") as f:
-            json.dump(_DISK, f, indent=0)
+            json.dump(merged, f, indent=0)
         os.replace(tmp, path)  # atomic vs concurrent plants
     except OSError:
         pass  # read-only home: in-process cache still works
@@ -145,9 +158,6 @@ def _kernel_supported(controller, name) -> bool:
         if jax.default_backend() != "tpu":
             return False
     return True
-
-
-import functools
 
 
 @functools.partial(jax.jit, static_argnames="length")

@@ -1551,8 +1551,12 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
             # extra HBM traffic — W lives in VMEM scratch and never leaves
             # the chip (VERDICT r3 task 5: the round-3 decline assumed a
             # second (K, T, C) HBM read that does not exist).
-            local_idx = lane - idx_off
-            valid = local_idx < K
+            # valid = LOCAL sample index < this shard's K: `lane` is the
+            # within-tile index, so the tile offset must be added (and the
+            # global idx_off must NOT enter — K here is already the local
+            # shard size). Padded tail lanes otherwise leak phantom
+            # rollouts into the softmax max/eta/weighted-W sum.
+            valid = (i * tile_k + lane) < K
             s = jnp.where(valid, -J / lam_k, -1e30)
             tmax = jnp.max(s)
             W4 = w_out_ref[...].reshape(T, C, rows, LANES)

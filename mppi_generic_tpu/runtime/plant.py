@@ -89,7 +89,9 @@ class PlantStats:
 
     def update(self, field, value_ms):
         n = self._counts.get(field, 0)
-        old = getattr(self, field, 0.0)
+        # no getattr default: an unknown field name must raise, not
+        # silently create a shadow attribute nothing reads
+        old = getattr(self, field)
         setattr(self, field, (old * n + value_ms) / (n + 1))
         self._counts[field] = n + 1
         buf = self._samples.get(field)

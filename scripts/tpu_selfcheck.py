@@ -820,6 +820,26 @@ def check_smooth_flash_epilogue():
     np.testing.assert_allclose(np.asarray(dmean2), np.asarray(dmean_new),
                                rtol=1e-6, atol=1e-7)
     np.testing.assert_allclose(float(base2), float(baseline), rtol=1e-6)
+    # ragged K: padded tail lanes must not leak phantom rollouts into the
+    # softmax max / eta / weighted-W sum (round-4 review finding: the
+    # valid mask needs the TILE offset, i*tile_k + lane)
+    Kr = 900  # tile 128 -> K_pad 1024: 124 padded lanes
+    c0r, _, U0r, W0r = fused_sample_rollout_costs(
+        dyn_free, cost, sm, x0, mean, jnp.int32(31), dt, lam, 0.0, Kr,
+        sampler_state=dmean, tile_k=128,
+    )
+    c1r, _, U1r, dmean1, bl1, eta1 = fused_sample_rollout_costs(
+        dyn_free, cost, sm, x0, mean, jnp.int32(31), dt, lam, 0.0, Kr,
+        sampler_state=dmean, tile_k=128, epilogue=True, emit_samples=False,
+    )
+    np.testing.assert_allclose(np.asarray(c1r), np.asarray(c0r),
+                               rtol=1e-6, atol=1e-7)
+    w_rr = norm_exp_weights(c0r, lam, float(jnp.min(c0r)))
+    np.testing.assert_allclose(float(bl1), float(jnp.min(c0r)), rtol=1e-6)
+    np.testing.assert_allclose(float(eta1), float(jnp.sum(w_rr)), rtol=1e-5)
+    dmean_rr = jnp.sum((w_rr / jnp.sum(w_rr))[:, None, None] * W0r, axis=0)
+    np.testing.assert_allclose(np.asarray(dmean1), np.asarray(dmean_rr),
+                               rtol=1e-4, atol=1e-5)
     # controller-level: kernel="pallas_fused" smooth solve (epilogue path)
     # matches kernel="combined" with the same samples? different RNG
     # sources — instead check the solve runs and returns finite output

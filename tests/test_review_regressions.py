@@ -177,3 +177,47 @@ def test_shaping_function_pluggable_into_controller():
     w = np.asarray(res.weights)
     assert set(np.unique(w)) <= {0.0, 1.0}
     assert int(w.sum()) == 16  # 25% of 64 elites
+
+
+def test_in_kernel_map_query_refuses_cleanly_and_falls_back():
+    """Round-4 review finding: inside a Pallas kernel trace, map queries
+    that cannot take the tent-mask path (multichannel data, or side past
+    the VMEM budget but under the one-hot ceiling) must raise
+    PallasIncompatible — so the controllers' fallback fires — instead of
+    falling through to one-hot/gather lowerings Mosaic rejects with a raw
+    error."""
+    import numpy as np
+
+    from mppi_generic_tpu.controllers import VanillaMPPI
+    from mppi_generic_tpu.costs import ARStandardCost
+    from mppi_generic_tpu.maps.texture import MapTexture2D
+    from mppi_generic_tpu.models import BicycleSlipDynamics
+    from mppi_generic_tpu.sampling import GaussianDistribution
+
+    rng = np.random.default_rng(0)
+    for data in (
+        np.abs(rng.normal(size=(600, 600))).astype("f"),   # > 512/side
+        np.abs(rng.normal(size=(64, 64, 4))).astype("f"),  # multichannel
+    ):
+        tex = MapTexture2D.create(data, origin=(-32, -32, 0),
+                                  resolution=1.0)
+
+        def build(kernel):
+            return VanillaMPPI(
+                dynamics=BicycleSlipDynamics.create(),
+                cost=ARStandardCost(costmap=tex,
+                                    output_indices=(0, 1, 2, 8, 5, 6)),
+                sampler=GaussianDistribution.create(std_dev=[0.3, 0.5]),
+                dt=jnp.float32(0.02), lam=jnp.float32(1.0),
+                alpha=jnp.float32(0.0), num_timesteps=8, num_rollouts=128,
+                num_iters=1, kernel=kernel,
+            )
+
+        key = jax.random.PRNGKey(5)
+        x0 = jnp.zeros(10)
+        res_p, _ = build("pallas").solve(x0, build("pallas").init_state(key))
+        res_c, _ = build("combined").solve(
+            x0, build("combined").init_state(key))
+        np.testing.assert_allclose(np.asarray(res_p.control_mean),
+                                   np.asarray(res_c.control_mean),
+                                   rtol=1e-4, atol=1e-5)
