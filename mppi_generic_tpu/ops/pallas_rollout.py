@@ -881,7 +881,7 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_ctk,
         # HBM-resident padded table the kernel DMA-streams (T > the
         # resident-VMEM budget)
         pl.BlockSpec(memory_space=(
-            pltpu.ANY if table_mode == "stream"
+            pl.ANY if table_mode == "stream"
             else pltpu.VMEM if table_mode == "vmem" else pltpu.SMEM)),
         pl.BlockSpec(memory_space=pltpu.SMEM),  # lr sigma (T, C) | dummy
         pl.BlockSpec(memory_space=pltpu.SMEM),  # lr coeff (1, C)
