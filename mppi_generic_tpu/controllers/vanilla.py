@@ -224,20 +224,33 @@ class VanillaMPPI(ControllerBase):
                                                   eta, crash)
                 except pallas_rollout.PallasIncompatible:
                     pass
-            costs, crash, U, aux = pallas_rollout.fused_sample_rollout_costs(
-                self.dynamics, self.cost, self.sampler, x0, mean, seed,
-                self.dt, self.lam, self.alpha, self.num_rollouts,
-                iteration=iteration, optimization_stride=optimization_stride,
-                sampler_state=samp_state, sharding=self.sample_sharding,
-                tile_k=self.pallas_tile_k,
-            )
-            baseline = weight_ops.baseline_cost(costs)
-            w = self._transform_weights(costs, baseline)
-            eta = weight_ops.normalizer(w)
-            new_mean, new_samp_state = self.sampler.update_mean(
-                U, aux, w, eta, mean, samp_state
-            )
-            return new_mean, new_samp_state, (U, costs, w, baseline, eta, crash)
+            try:
+                costs, crash, U, aux = (
+                    pallas_rollout.fused_sample_rollout_costs(
+                        self.dynamics, self.cost, self.sampler, x0, mean,
+                        seed, self.dt, self.lam, self.alpha,
+                        self.num_rollouts, iteration=iteration,
+                        optimization_stride=optimization_stride,
+                        sampler_state=samp_state,
+                        sharding=self.sample_sharding,
+                        tile_k=self.pallas_tile_k,
+                    )
+                )
+            except pallas_rollout.PallasIncompatible:
+                # e.g. a map the in-kernel path cannot host, or a horizon
+                # past the sample kernel's table ceiling — fall through to
+                # XLA sampling + the generic rollout below (the reference's
+                # shared-mem-overflow fallback)
+                pass
+            else:
+                baseline = weight_ops.baseline_cost(costs)
+                w = self._transform_weights(costs, baseline)
+                eta = weight_ops.normalizer(w)
+                new_mean, new_samp_state = self.sampler.update_mean(
+                    U, aux, w, eta, mean, samp_state
+                )
+                return new_mean, new_samp_state, (U, costs, w, baseline,
+                                                  eta, crash)
 
         U, aux = self.sampler.sample(
             key,

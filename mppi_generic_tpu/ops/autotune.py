@@ -82,18 +82,24 @@ def _disk_store(key_str, decision):
         # have persisted its own decisions since this process loaded, and
         # dumping our stale snapshot would silently drop them (its next
         # restart would re-run the multi-compile sweep the cache exists to
-        # avoid). Our own fresh entries win on key collisions.
+        # avoid). Only the entry being stored RIGHT NOW wins a collision —
+        # re-asserting this process's whole snapshot would undo keys a
+        # peer re-tuned since we loaded (e.g. an operator's MPPI_RETUNE=1
+        # run). Peers' entries are adopted in-process too.
         try:
             with open(path) as f:
                 merged = json.load(f)
         except (OSError, ValueError):
             merged = {}
-        merged.update(_DISK)
-        _DISK.update(merged)
+        merged[key_str] = list(decision)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(tmp, "w") as f:
             json.dump(merged, f, indent=0)
         os.replace(tmp, path)  # atomic vs concurrent plants
+        # adopt the merged view only after the write landed (a failed
+        # write must not drop this process's unpersisted entries)
+        _DISK.clear()
+        _DISK.update(merged)
     except OSError:
         pass  # read-only home: in-process cache still works
 

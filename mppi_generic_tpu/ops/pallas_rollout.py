@@ -1095,6 +1095,7 @@ def _prep_fused_rollout(dynamics, cost, x0, U, lr_params, tile_k, interpret,
     # working set: the (O, T, tile) output scratch plus the double-buffered
     # (C, T, tile) U input block; the shrink target tracks scratch only
     # (the U block exists for the combined variant too)
+    forced_split = split_cost is True  # caller pinned it (not AUTO)
     split_cost, tile_k = _arbitrate_split(
         dynamics, cost, split_cost, T, tile_k, tile_was_default,
         ws_rows=2 * C + out_dim, shrink_rows=C + out_dim, cap_k=K,
@@ -1114,7 +1115,12 @@ def _prep_fused_rollout(dynamics, cost, x0, U, lr_params, tile_k, interpret,
             # stays HBM-resident and the kernel DMA-streams double-buffered
             # chunks through VMEM — no horizon ceiling. The split variant's
             # block-wise table reads are not wired to the stream buffer, so
-            # the combined loop is used.
+            # AUTO-chosen split downgrades to the combined loop; an
+            # EXPLICITLY forced split must keep its documented raise
+            # semantics (silently running a different kernel variant than
+            # configured would invalidate cached tuner timings).
+            if forced_split:
+                raise
             table_mode = "stream"
             split_cost = False
 

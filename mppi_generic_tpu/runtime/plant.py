@@ -101,6 +101,13 @@ class PlantStats:
             buf = self._samples[field] = deque(maxlen=self.WINDOW)
         buf.append(value_ms)
 
+    def samples(self, field):
+        """The recorded sample window for ``field`` as a float64 array
+        (empty if nothing was recorded) — the public accessor for callers
+        needing more than :meth:`tail`'s fixed percentiles (e.g. the
+        mission smoke's outage-filtered gate)."""
+        return np.asarray(self._samples.get(field, ()), np.float64)
+
     def tail(self, field):
         """{p50, p95, p99, max, n} over the recorded window for ``field``
         (e.g. ``avg_optimize_ms``), or None if nothing was recorded."""

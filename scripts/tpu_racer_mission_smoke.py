@@ -248,9 +248,7 @@ def main():
             float(probe(jnp.float32(1)))
             rtts.append((time.monotonic() - t0) * 1e3)
         rtt_ms = float(np.median(rtts))
-        samples = np.asarray(
-            plant.stats._samples["avg_optimize_ms"], np.float64
-        )
+        samples = plant.stats.samples("avg_optimize_ms")
         outages = samples[samples >= 1000.0]
         kept = samples[samples < 1000.0]
         assert len(outages) <= 3, (

@@ -105,19 +105,35 @@ def test_fused_solve_refuses_non_gaussian():
 
 def test_pallas_fused_controller_falls_back_on_cpu():
     """kernel='pallas_fused' with a non-exp weight transform must skip the
-    fused-solve route entirely (its online softmax is exp-only) and the
-    whole controller path still raises the fused-sample refusal on CPU —
-    i.e. the gating never silently produces wrong weights."""
-    ctrl = VanillaMPPI(
-        dynamics=DoubleIntegratorDynamics.create(),
-        cost=DoubleIntegratorCircleCost(),
-        sampler=GaussianDistribution.create(std_dev=[1.0, 1.0]),
-        num_timesteps=16, num_rollouts=128, kernel="pallas_fused",
-        weight_transform="tsallis",
-    )
-    cs = ctrl.init_state(jax.random.PRNGKey(0))
-    with pytest.raises(PallasIncompatible):
-        ctrl.solve(jnp.array([2.0, 0.0, 0.0, 1.0]), cs)
+    fused-solve route entirely (its online softmax is exp-only), and since
+    the round-4 review pass the whole pallas_fused branch falls back to
+    XLA sampling + the combined rollout when the sample kernel refuses
+    (here: CPU has no hardware-PRNG lowering) instead of letting the raise
+    escape solve(). The fallback samples with the same key the combined
+    path would use, so the solves must MATCH — the gating never silently
+    produces wrong weights."""
+
+    def build(kernel):
+        return VanillaMPPI(
+            dynamics=DoubleIntegratorDynamics.create(),
+            cost=DoubleIntegratorCircleCost(),
+            sampler=GaussianDistribution.create(std_dev=[1.0, 1.0]),
+            num_timesteps=16, num_rollouts=128, kernel=kernel,
+            weight_transform="tsallis",
+        )
+
+    key = jax.random.PRNGKey(0)
+    x0 = jnp.array([2.0, 0.0, 0.0, 1.0])
+    res_f, _ = build("pallas_fused").solve(
+        x0, build("pallas_fused").init_state(key))
+    res_c, _ = build("combined").solve(
+        x0, build("combined").init_state(key))
+    np.testing.assert_allclose(np.asarray(res_f.control_mean),
+                               np.asarray(res_c.control_mean),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res_f.weights),
+                               np.asarray(res_c.weights),
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_autotune_skips_fused_on_cpu():

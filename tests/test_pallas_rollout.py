@@ -700,16 +700,29 @@ def test_streamed_tables_match_resident(monkeypatch):
         dyn, cost, x0, U, jnp.float32(0.02), lr_params=lr_params,
         tile_k=128,
     )
-    # shrink the budget so T=40 tables overflow -> stream, with 8-step
-    # chunks so the double-buffered prefetch crosses 5 chunk boundaries
+    # shrink the budget so T=40 tables overflow -> stream. Chunk 8: five
+    # exact chunks (the double-buffered prefetch crosses 4 boundaries).
+    # Chunk 16: a RAGGED tail — chunks 16/16/8 with 8 padded table rows,
+    # exercising the dynamic n_steps tail bound and the host-side pad.
     monkeypatch.setattr(pr, "_MAX_SMEM_TABLE_BYTES", 0)
     monkeypatch.setattr(pr, "_MAX_VMEM_TABLE_BYTES", 0)
-    monkeypatch.setattr(pr, "_STREAM_CHUNK_T", 8)
-    c_s, crash_s = fused_rollout_costs(
-        dyn, cost, x0, U, jnp.float32(0.02), lr_params=lr_params,
-        tile_k=128,
-    )
-    np.testing.assert_allclose(np.asarray(c_s), np.asarray(c_ref),
-                               rtol=1e-6, atol=1e-7)
-    np.testing.assert_array_equal(np.asarray(crash_s),
-                                  np.asarray(crash_ref))
+    for chunk in (8, 16):
+        monkeypatch.setattr(pr, "_STREAM_CHUNK_T", chunk)
+        c_s, crash_s = fused_rollout_costs(
+            dyn, cost, x0, U, jnp.float32(0.02), lr_params=lr_params,
+            tile_k=128,
+        )
+        np.testing.assert_allclose(np.asarray(c_s), np.asarray(c_ref),
+                                   rtol=1e-6, atol=1e-7,
+                                   err_msg=f"chunk={chunk}")
+        np.testing.assert_array_equal(np.asarray(crash_s),
+                                      np.asarray(crash_ref))
+    # an explicitly forced split must keep its raise semantics rather
+    # than silently downgrading to the streamed combined loop
+    import pytest
+
+    with pytest.raises(PallasIncompatible):
+        fused_rollout_costs(
+            dyn, cost, x0, U, jnp.float32(0.02), lr_params=lr_params,
+            tile_k=128, split_cost=True,
+        )
