@@ -5,6 +5,7 @@ refuse (PallasIncompatible) so the auto-tuner and controllers fall back."""
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import pytest
 
 from mppi_generic_tpu.controllers import VanillaMPPI
