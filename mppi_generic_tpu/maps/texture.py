@@ -27,9 +27,18 @@ from __future__ import annotations
 
 import contextlib
 import contextvars
+import os
 
 import jax.numpy as jnp
 from flax import struct
+
+# MXU precision for the in-kernel tent-mask bilinear (_query_tex_pallas).
+# "highest" = exact f32 (6-pass emulation); "high" = bf16x3 (3 passes, ~2x
+# MXU rate, rel err ~1e-7 on bilinear weights — still ~5 orders of magnitude
+# tighter than the reference's own interpolation: CUDA texture units quantize
+# the lerp fraction to 9-bit fixed point, ~2e-3). Trace-time constant: set
+# the env var BEFORE building controllers (the A/B probe runs subprocesses).
+_MAP_MXU_PRECISION = os.environ.get("MPPI_MAP_MXU_PRECISION", "highest")
 
 # Set while a Pallas kernel body traces (ops/pallas_rollout, ops/pallas_solve
 # wrap their kernels in ``pallas_layout()``): queries then use the
@@ -242,7 +251,9 @@ class MapTexture2D(struct.PyTreeNode):
             tmp = jax.lax.dot_general(
                 d, wx, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=(jax.lax.Precision.DEFAULT
+                           if _MAP_MXU_PRECISION == "default"
+                           else jax.lax.Precision.HIGHEST),
             )
             outs.append(jnp.sum(tmp * wy, axis=0, keepdims=True))
         out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
