@@ -36,9 +36,17 @@ from flax import struct
 # "highest" = exact f32 (6-pass emulation); "high" = bf16x3 (3 passes, ~2x
 # MXU rate, rel err ~1e-7 on bilinear weights — still ~5 orders of magnitude
 # tighter than the reference's own interpolation: CUDA texture units quantize
-# the lerp fraction to 9-bit fixed point, ~2e-3). Trace-time constant: set
-# the env var BEFORE building controllers (the A/B probe runs subprocesses).
+# the lerp fraction to 9-bit fixed point, ~2e-3); "default" = single-pass
+# bf16 (~2e-3 — enough to flip near-threshold crash flags; measure first).
+# Trace-time constant: set the env var BEFORE building controllers (the A/B
+# probe runs subprocesses). Unknown values fail HERE, at import: a typo'd
+# A/B arm must not silently measure the wrong precision.
 _MAP_MXU_PRECISION = os.environ.get("MPPI_MAP_MXU_PRECISION", "highest")
+if _MAP_MXU_PRECISION not in ("highest", "high", "default"):
+    raise ValueError(
+        f"MPPI_MAP_MXU_PRECISION={_MAP_MXU_PRECISION!r}: expected one of "
+        "'highest' (exact f32), 'high' (bf16x3), 'default' (bf16)"
+    )
 
 # Set while a Pallas kernel body traces (ops/pallas_rollout, ops/pallas_solve
 # wrap their kernels in ``pallas_layout()``): queries then use the
@@ -225,12 +233,15 @@ class MapTexture2D(struct.PyTreeNode):
           out[p] = sum_h tmp[h, p] * wy[h, p]          sublane reduce
 
         No transposes, gathers, or lane-dim reshapes — everything Mosaic
-        lowers. The matmul runs at Precision.HIGHEST (f32-exact vs the XLA
-        gather path: rel err ~3e-7 measured; default bf16 MXU passes cost
-        ~2e-3, enough to flip near-threshold crash flags). ~0.7 ns/point
-        device time at 128x128 on v5e vs 5-20 ns for XLA's serialized
-        gather. Leading dims (map-query corners, split-cost time chunks)
-        flatten into extra sample rows.
+        lowers. The matmul precision is the MPPI_MAP_MXU_PRECISION
+        env knob, read at IMPORT time (a trace-time constant — set it
+        before building controllers): "highest" (default) is f32-exact vs
+        the XLA gather path (rel err ~3e-7 measured), "high" is bf16x3
+        (~1e-7 rel err on the weights, ~2x MXU rate), "default" is
+        single-pass bf16 (~2e-3 — enough to flip near-threshold crash
+        flags). ~0.7 ns/point device time at 128x128 on v5e vs 5-20 ns for
+        XLA's serialized gather. Leading dims (map-query corners,
+        split-cost time chunks) flatten into extra sample rows.
         """
         import jax
 
@@ -251,9 +262,11 @@ class MapTexture2D(struct.PyTreeNode):
             tmp = jax.lax.dot_general(
                 d, wx, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=(jax.lax.Precision.DEFAULT
-                           if _MAP_MXU_PRECISION == "default"
-                           else jax.lax.Precision.HIGHEST),
+                precision={
+                    "highest": jax.lax.Precision.HIGHEST,
+                    "high": jax.lax.Precision.HIGH,
+                    "default": jax.lax.Precision.DEFAULT,
+                }[_MAP_MXU_PRECISION],
             )
             outs.append(jnp.sum(tmp * wy, axis=0, keepdims=True))
         out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)

@@ -48,6 +48,12 @@ def run_cell(config_name, precision, out_npz):
     import bench
     from map_kernel_probe import configs
     from mppi_generic_tpu.controllers import VanillaMPPI
+    from mppi_generic_tpu.maps import texture
+
+    # the argv label and the import-time constant must agree, or the cell
+    # would be silently mislabeled (the precision is trace-time state)
+    assert texture._MAP_MXU_PRECISION == precision, (
+        texture._MAP_MXU_PRECISION, precision)
 
     for name, kw, x0 in configs():
         if name != config_name:

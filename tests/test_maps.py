@@ -195,3 +195,50 @@ def test_component_wise_settling_matches_quat_oracle():
     np.testing.assert_allclose(got_pitch, oracle_pitch, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(got_height, oracle_height, rtol=1e-4,
                                atol=1e-5)
+
+
+def test_map_mxu_precision_env_knob():
+    """ADVICE r4: the MPPI_MAP_MXU_PRECISION knob must map each allowed
+    value to a DISTINCT lax.Precision (in particular "high" -> HIGH, not
+    HIGHEST — the r4 A/B probe's two arms compiled identical kernels) and
+    reject unknown values at import."""
+    import subprocess
+    import sys
+
+    prog = (
+        "import jax, mppi_generic_tpu.maps.texture as t;"
+        "print(t._MAP_MXU_PRECISION);"
+        "import jax.numpy as jnp;"
+        "jx = jax.make_jaxpr(lambda d, w: t.MapTexture2D.create(d)"
+        "._query_tex_pallas(w, w))"
+        "(jnp.zeros((8, 8)), jnp.zeros((1, 128)));"
+        "print([str(e.params.get('precision')) for e in jx.eqns"
+        " if e.primitive.name == 'dot_general'] or"
+        " [str(e.params.get('precision')) for sub in jx.eqns"
+        " if (sub.params.get('jaxpr') or sub.params.get('call_jaxpr'))"
+        " for e in (sub.params.get('jaxpr') or"
+        " sub.params.get('call_jaxpr')).eqns"
+        " if e.primitive.name == 'dot_general'])"
+    )
+    import os
+
+    for val, expect in (
+        ("highest", "Precision.HIGHEST"),
+        ("high", "Precision.HIGH"),
+        ("default", "Precision.DEFAULT"),
+    ):
+        env = dict(os.environ, MPPI_MAP_MXU_PRECISION=val,
+                   JAX_PLATFORMS="cpu")
+        out = subprocess.run(
+            [sys.executable, "-c", prog], env=env, capture_output=True,
+            text=True, timeout=300,
+        )
+        assert out.returncode == 0, out.stderr
+        assert expect in out.stdout, (val, out.stdout)
+    env = dict(os.environ, MPPI_MAP_MXU_PRECISION="hihgest",
+               JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "-c", "import mppi_generic_tpu.maps.texture"],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode != 0 and "MPPI_MAP_MXU_PRECISION" in out.stderr
