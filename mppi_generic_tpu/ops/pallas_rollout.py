@@ -1321,7 +1321,7 @@ def fused_weighted_rollout(
     static_argnames=("dynamics_static", "cost_static", "T", "C", "S", "K",
                      "K_pad", "tile_k", "interpret", "treedef",
                      "noise_kind", "table_mode", "recurrent", "epilogue",
-                     "emit_samples"),
+                     "emit_samples", "inject"),
 )
 def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
                        x0, mean, sigma, aux_tab, coeff, constraints, seed,
@@ -1329,7 +1329,7 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
                        T, C, S, K, K_pad, tile_k, interpret,
                        noise_kind="gaussian", idx_offset=0,
                        table_mode="smem", recurrent=False, epilogue=False,
-                       emit_samples=True):
+                       emit_samples=True, inject=False, zinj=None):
     del dynamics_static, cost_static
     rows = tile_k // LANES
     grid = K_pad // tile_k
@@ -1341,12 +1341,17 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
             "the in-sample-kernel flash epilogue is the Smooth-MPPI W "
             "variant; Gaussian/NLN ride pallas_solve.fused_solve_iteration"
         )
+    n_z = 2 if noise_kind == "nln" else 1
+    if not inject:
+        # (1,)*4 dummy keeps one call structure; never read when not inject
+        zinj = jnp.zeros((1, 1, 1, 1), jnp.float32)
 
     @_map_query_layout
     def kernel(*refs):
         leaf_refs = refs[: len(leaves)]
         (x0_ref, mean_ref, sigma_ref, aux_ref, coeff_ref, cons_ref,
-         seed_ref, scal_ref) = refs[len(leaves): len(leaves) + 8]
+         seed_ref, scal_ref, zinj_ref) = refs[len(leaves): len(leaves) + 9]
+        refs = refs[:len(leaves) + 8] + refs[len(leaves) + 9:]
         if epilogue:
             # W stays in VMEM scratch (never leaves the chip); the flash
             # carries replace it as the kernel's reduction output. When the
@@ -1382,7 +1387,8 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
         idx_off = scal_ref[0, 6].astype(jnp.int32)  # shard's global offset
 
         i = pl.program_id(0)
-        pltpu.prng_seed(seed_k + i)  # independent stream per sample tile
+        if not inject:
+            pltpu.prng_seed(seed_k + i)  # independent stream per tile
 
         lane = (jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0) * LANES
                 + jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1))
@@ -1485,7 +1491,29 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
             return (x_next, rec, crash, acc + c + lr_t, y)
 
         init = (x, rec0, crash0, acc0, y0)
-        if noise_kind == "nln":
+        if inject:
+            # test-only injected standard normals (interpret mode): replace
+            # the HW-PRNG draw one-for-one so the CPU suite can
+            # parity-check everything downstream of the draw against the
+            # XLA oracle (the reference's injected-noise test pattern,
+            # rollout_kernel_tests.cu:211-213)
+            def body_inj(t, carry):
+                z1 = zinj_ref[0, pl.ds(t, 1)].reshape(C, rows, LANES)
+                if noise_kind == "nln":
+                    z2 = zinj_ref[1, pl.ds(t, 1)].reshape(C, rows, LANES)
+                    a_cs = tab_rows(t)[2]
+                    eps = jnp.stack([
+                        z1[ch] * jnp.exp(a_cs[ch] * z2[ch])
+                        for ch in range(C)
+                    ])
+                else:
+                    eps = z1
+                return do_step(t, eps, carry)
+
+            _, _, crash, acc, y_last = jax.lax.fori_loop(
+                0, T, body_inj, init
+            )
+        elif noise_kind == "nln":
             # log-MPPI: eps = z1 * exp(ln_sigma * z2) — one Box-Muller pair
             # yields both independent normals per timestep (nln.cu:12-24)
             def body_nln(t, carry):
@@ -1611,6 +1639,10 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
         pl.BlockSpec(memory_space=pltpu.SMEM),  # constraints (4, C) scalars
         pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1, 1) int32
         pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars (1, 7)
+        # injected normals (n_z, T, C, tile_k) per tile | (1,1,1,1) dummy
+        (pl.BlockSpec((n_z, T, C, tile_k), lambda i: (0, 0, 0, i),
+                      memory_space=pltpu.VMEM) if inject
+         else pl.BlockSpec(memory_space=pltpu.VMEM)),
     ]
     out_specs = [
         pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
@@ -1657,7 +1689,7 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
             transcendentals=6 * K_pad * T * C,
         ),
     )(*leaf_shapes, x0.reshape(S, 1), mean, sigma, aux_tab,
-      coeff.reshape(1, C), constraints, seed.reshape(1, 1), scalars)
+      coeff.reshape(1, C), constraints, seed.reshape(1, 1), scalars, zinj)
     costs3d, crash3d = outs[:2]
     costs = costs3d.reshape(-1)[:K]
     crash = crash3d.reshape(-1)[:K]
@@ -1947,6 +1979,7 @@ def fused_sample_rollout_costs(
     sharding=None,
     epilogue: bool = False,
     emit_samples: bool = True,
+    injected_noise=None,
 ):
     """Fully-fused sample + rollout. Returns
     (costs (K,), crash (K,), U (K, T, C), aux) where ``costs`` already
@@ -1977,6 +2010,14 @@ def fused_sample_rollout_costs(
     indexing (the shard's ``idx_offset`` keeps sample 0 / pure-noise-tail
     semantics identical to single-chip). Statistically equivalent to, but
     not bit-identical with, the single-chip stream.
+
+    ``injected_noise``: TEST-ONLY — pre-drawn standard normals replacing
+    the in-kernel HW-PRNG draw one-for-one: (K, T, C), or (2, K, T, C)
+    for NLN (z1, z2 with eps = z1 * exp(ln_sigma * z2)). The kernel then
+    runs in Pallas interpret mode on ANY backend so the CPU suite can
+    parity-check everything downstream of the draw against the XLA oracle
+    (the reference's injected-noise test pattern,
+    rollout_kernel_tests.cu:211-213). Never set on the production path.
     """
     from mppi_generic_tpu.sampling.gaussian import GaussianDistribution
     from mppi_generic_tpu.sampling.nln import NLNDistribution
@@ -1998,10 +2039,12 @@ def fused_sample_rollout_costs(
             f"fused sampling requires a Gaussian, NLN or Smooth-MPPI "
             f"distribution, got {type(sampler).__name__}"
         )
-    if jax.default_backend() != "tpu":
+    inject = injected_noise is not None
+    if not inject and jax.default_backend() != "tpu":
         raise PallasIncompatible(
             "fused sampling uses the TPU hardware PRNG (pltpu.prng_*), "
-            "which has no CPU/interpret lowering"
+            "which has no CPU/interpret lowering — pass injected_noise "
+            "to algorithm-test it off-TPU"
         )
     T, C = mean.shape
     S = dynamics.STATE_DIM
@@ -2012,9 +2055,9 @@ def fused_sample_rollout_costs(
     _check_compatible(dynamics, leaves, allow_recurrent=True)
     table_mode = _table_mode((T, C), (T, C), (T, C))  # mean / sigma / aux
 
-    # the hardware-PRNG path is compiled-TPU-only (guarded above); the
-    # interpret parameter is accepted for signature symmetry
-    interpret = False
+    # the hardware-PRNG path is compiled-TPU-only (guarded above); with
+    # injected noise the kernel runs interpreted on any backend
+    interpret = inject
     if tile_k is None:
         tile_k = default_tile_k(K, T, C)
     if tile_k % LANES:
@@ -2037,6 +2080,25 @@ def fused_sample_rollout_costs(
         dt_smooth = jnp.float32(0.0)
     pure_threshold = (1.0 - sampler.pure_noise_percentage) * K
     constraints = _constraint_rows(dynamics)
+
+    n_z = 2 if noise_kind == "nln" else 1
+    if inject:
+        zi = jnp.asarray(injected_noise, jnp.float32)
+        if zi.ndim == 3:
+            zi = zi[None]
+        if zi.shape != (n_z, K, T, C):
+            raise ValueError(
+                f"injected_noise must be ({n_z}, K, T, C) = "
+                f"({n_z}, {K}, {T}, {C}), got {zi.shape}"
+            )
+    else:
+        zi = jnp.zeros((1, 1, 1, 1), jnp.float32)
+
+    def _prep_zinj(zi_l, K_loc, K_pad_loc):
+        """(n_z, K_loc, T, C) -> the kernel's (n_z, T, C, K_pad_loc)."""
+        z = jnp.transpose(zi_l, (0, 2, 3, 1))
+        return jnp.pad(z, ((0, 0), (0, 0), (0, 0),
+                           (0, K_pad_loc - K_loc)))
 
     sigma = jnp.broadcast_to(
         jnp.asarray(sigma, jnp.float32).reshape(-1, C), (T, C)
@@ -2064,17 +2126,21 @@ def fused_sample_rollout_costs(
         dyn_name, cost_name = type(dynamics).__name__, type(cost).__name__
 
         def body(x0_v, mean_v, sigma_v, aux_v, coeff_v, cons_v, seed_v,
-                 dt_v, lam_v, alpha_v, stride_v, pure_v, dts_v, *leaf_vals):
+                 dt_v, lam_v, alpha_v, stride_v, pure_v, dts_v, zi_l,
+                 *leaf_vals):
             ax = jax.lax.axis_index(axis)
             res = _fused_sample_call(
                 list(leaf_vals), treedef, dyn_name, cost_name,
                 x0_v, mean_v, sigma_v, aux_v, coeff_v, cons_v,
                 seed_v + ax * grid_local, dt_v, lam_v, alpha_v,
                 stride_v, pure_v, dts_v, T, C, S, K_local, K_pad_local,
-                tile_local, False, noise_kind=noise_kind,
+                tile_local, inject, noise_kind=noise_kind,
                 idx_offset=ax * K_local, table_mode=table_mode,
                 recurrent=recurrent, epilogue=epilogue,
                 emit_samples=emit_samples or not epilogue,
+                inject=inject,
+                zinj=(_prep_zinj(zi_l, K_local, K_pad_local)
+                      if inject else zi_l),
             )
             if not epilogue:
                 return res
@@ -2095,7 +2161,9 @@ def fused_sample_rollout_costs(
         res = jax.shard_map(
             body,
             mesh=mesh,
-            in_specs=_replicated(13) + _replicated(len(leaves)),
+            in_specs=_replicated(13)
+            + ((P(None, axis),) if inject else _replicated(1))
+            + _replicated(len(leaves)),
             out_specs=out_specs,
             check_vma=False,
         )(x0, mean_arg, sigma_arg, aux_arg, sampler.control_cost_coeff,
@@ -2104,7 +2172,7 @@ def fused_sample_rollout_costs(
           jnp.asarray(lam, jnp.float32), jnp.asarray(alpha, jnp.float32),
           jnp.asarray(optimization_stride, jnp.int32),
           jnp.asarray(pure_threshold, jnp.float32),
-          jnp.asarray(dt_smooth, jnp.float32), *leaves)
+          jnp.asarray(dt_smooth, jnp.float32), zi, *leaves)
         if not epilogue:
             return res
         costs, crash, mean_w, baseline, eta = res[:5]
@@ -2121,6 +2189,7 @@ def fused_sample_rollout_costs(
         T, C, S, K, K_pad, tile_k, interpret, noise_kind=noise_kind,
         table_mode=table_mode, recurrent=recurrent, epilogue=epilogue,
         emit_samples=emit_samples or not epilogue,
+        inject=inject, zinj=_prep_zinj(zi, K, K_pad) if inject else zi,
     )
     if not epilogue:
         return res

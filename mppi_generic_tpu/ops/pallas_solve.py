@@ -87,14 +87,16 @@ def _lane_rep(tab):
     jax.jit,
     static_argnames=("treedef", "dynamics_static", "cost_static", "T", "Tp",
                      "Tc", "C", "S", "K", "K_pad", "tile_k", "noise_kind",
-                     "emit_samples", "split_cost", "out_dim", "recurrent"),
+                     "emit_samples", "split_cost", "out_dim", "recurrent",
+                     "inject", "interpret"),
 )
 def _fused_solve_call(leaves, treedef, dynamics_static, cost_static,
                       x0, mean_b, sigma_b, aux_b, lrc_b, tpin_b,
                       lo_b, hi_b, db_b, zc_b,
                       seed, scal, T, Tp, Tc, C, S, K, K_pad, tile_k,
                       noise_kind="gaussian", emit_samples=False,
-                      split_cost=False, out_dim=0, recurrent=False):
+                      split_cost=False, out_dim=0, recurrent=False,
+                      inject=False, zinj=None, interpret=False):
     del dynamics_static, cost_static
     rows = tile_k // LANES
     grid = K_pad // tile_k
@@ -103,14 +105,18 @@ def _fused_solve_call(leaves, treedef, dynamics_static, cost_static,
     TWO_PI = 6.2831853071795864
     INV_2_24 = float(2.0 ** -24)
     half = (Tc * C + 1) // 2
+    n_z = 2 if noise_kind == "nln" else 1
+    if not inject:
+        # (1,)*4 dummy keeps one call structure; never read when not inject
+        zinj = jnp.zeros((1, 1, 1, 1), jnp.float32)
 
     @_map_query_layout
     def kernel(*refs):
         leaf_refs = refs[: len(leaves)]
         (x0_ref, mean_ref, sigma_ref, aux_ref, lrc_ref, tpin_ref,
          lo_ref, hi_ref, db_ref, zc_ref,
-         seed_ref, scal_ref) = refs[len(leaves): len(leaves) + 12]
-        outs = refs[len(leaves) + 12:]
+         seed_ref, scal_ref, zinj_ref) = refs[len(leaves): len(leaves) + 13]
+        outs = refs[len(leaves) + 13:]
         costs_ref, crash_ref, num_ref, md_ref = outs[:4]
         idx = 4
         if emit_samples:
@@ -130,7 +136,8 @@ def _fused_solve_call(leaves, treedef, dynamics_static, cost_static,
         k_local = scal_ref[0, 5].astype(jnp.int32)
 
         i = pl.program_id(0)
-        pltpu.prng_seed(seed_ref[0, 0] + i)
+        if not inject:
+            pltpu.prng_seed(seed_ref[0, 0] + i)
 
         lane = (jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0) * LANES
                 + jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1))
@@ -164,10 +171,25 @@ def _fused_solve_call(leaves, treedef, dynamics_static, cost_static,
             dependency chains; channel-major so the split cost pass can
             hand component slices straight to ``cost.running_cost``)."""
             t0 = ci * Tc
-            z = draw_normals(half)[: Tc * C].reshape(C, Tc, rows, LANES)
+            if inject:
+                # test-only injected standard normals (interpret mode): the
+                # operand replaces the HW-PRNG draw one-for-one, so the CPU
+                # suite can parity-check everything downstream of the draw
+                # — carve-outs, clamp, LR, rollout, flash epilogue —
+                # against the XLA oracle (the reference's own test-noise
+                # injection pattern, rollout_kernel_tests.cu:211-213)
+                z = zinj_ref[0, :, pl.ds(t0, Tc)].reshape(
+                    C, Tc, rows, LANES)
+            else:
+                z = draw_normals(half)[: Tc * C].reshape(C, Tc, rows, LANES)
             if noise_kind == "nln":
                 # log-MPPI: eps = z1 * exp(ln_sigma * z2) (nln.cu:12-24)
-                z2 = draw_normals(half)[: Tc * C].reshape(C, Tc, rows, LANES)
+                if inject:
+                    z2 = zinj_ref[1, :, pl.ds(t0, Tc)].reshape(
+                        C, Tc, rows, LANES)
+                else:
+                    z2 = draw_normals(half)[: Tc * C].reshape(
+                        C, Tc, rows, LANES)
                 z = z * jnp.exp(aux_ref[:, pl.ds(t0, Tc)] * z2)
             mean_c = mean_ref[:, pl.ds(t0, Tc)]    # (C, Tc, 1, LANES)
             sigma_c = sigma_ref[:, pl.ds(t0, Tc)]
@@ -348,6 +370,10 @@ def _fused_solve_call(leaves, treedef, dynamics_static, cost_static,
         pl.BlockSpec(memory_space=pltpu.VMEM),  # zero-ctrl (C, 1, 1, LANES)
         pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1, 1) int32
         pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars (1, 6)
+        # injected normals (n_z, C, Tp, tile_k) per tile | (1,1,1,1) dummy
+        (pl.BlockSpec((n_z, C, Tp, tile_k), lambda i: (0, 0, 0, i),
+                      memory_space=pltpu.VMEM) if inject
+         else pl.BlockSpec(memory_space=pltpu.VMEM)),
     ]
     out_specs = [
         pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
@@ -382,13 +408,14 @@ def _fused_solve_call(leaves, treedef, dynamics_static, cost_static,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         scratch_shapes=scratch,
+        interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=60 * K_pad * T * (S + C),
             bytes_accessed=K_pad * 8 + Tp * C * 4,
             transcendentals=4 * K_pad * T * C,
         ),
     )(*leaf_shapes, x0.reshape(S, 1), mean_b, sigma_b, aux_b, lrc_b, tpin_b,
-      lo_b, hi_b, db_b, zc_b, seed.reshape(1, 1), scal)
+      lo_b, hi_b, db_b, zc_b, seed.reshape(1, 1), scal, zinj)
     costs3d, crash3d, num, md = outs[:4]
     costs = costs3d.reshape(-1)[:K]
     crash = crash3d.reshape(-1)[:K]
@@ -434,6 +461,7 @@ def fused_solve_iteration(
     return_samples: bool = False,
     chunk_t: int | None = None,
     split_cost: bool | None = None,
+    injected_noise=None,
 ):
     """One fully-fused MPPI optimization iteration. Returns
     ``(costs (K,), crash (K,), new_mean (T, C), baseline (), eta (),
@@ -462,6 +490,16 @@ def fused_solve_iteration(
     prefix-OR pass), the op-weight model predicts a win, and the extra
     (O, Tp, tile_k) output scratch fits the VMEM budget; ``True`` forces
     it (raising if the cost is ineligible); ``False`` disables.
+
+    ``injected_noise``: TEST-ONLY — pre-drawn standard normals replacing
+    the in-kernel HW-PRNG draw one-for-one: (K, T, C) for Gaussian, or
+    (2, K, T, C) for NLN (z1, z2 with eps = z1 * exp(ln_sigma * z2)). The
+    kernel then runs in Pallas interpret mode on ANY backend, so the CPU
+    suite can parity-check everything downstream of the draw (carve-outs,
+    clamp, LR, rollout, flash epilogue) against the XLA oracle — the
+    reference's own injected-noise test pattern
+    (rollout_kernel_tests.cu:211-213). Works under ``sharding`` too (each
+    shard consumes its K/n slice). Never set on the production path.
     """
     from mppi_generic_tpu.sampling.gaussian import GaussianDistribution
     from mppi_generic_tpu.sampling.nln import NLNDistribution
@@ -475,10 +513,12 @@ def fused_solve_iteration(
             f"fused solve iteration requires a Gaussian or NLN "
             f"distribution, got {type(sampler).__name__}"
         )
-    if jax.default_backend() != "tpu":
+    inject = injected_noise is not None
+    if not inject and jax.default_backend() != "tpu":
         raise PallasIncompatible(
             "fused solve iteration uses the TPU hardware PRNG "
-            "(pltpu.prng_*), which has no CPU/interpret lowering"
+            "(pltpu.prng_*), which has no CPU/interpret lowering — "
+            "pass injected_noise to algorithm-test it off-TPU"
         )
     T, C = mean.shape
     S = dynamics.STATE_DIM
@@ -541,6 +581,25 @@ def fused_solve_iteration(
     )
     dyn_name, cost_name = type(dynamics).__name__, type(cost).__name__
 
+    n_z = 2 if noise_kind == "nln" else 1
+    if inject:
+        zi = jnp.asarray(injected_noise, jnp.float32)
+        if zi.ndim == 3:
+            zi = zi[None]
+        if zi.shape != (n_z, K, T, C):
+            raise ValueError(
+                f"injected_noise must be ({n_z}, K, T, C) = "
+                f"({n_z}, {K}, {T}, {C}), got {zi.shape}"
+            )
+    else:
+        zi = jnp.zeros((1, 1, 1, 1), jnp.float32)
+
+    def _prep_zinj(zi_l, K_loc, K_pad_loc):
+        """(n_z, K_loc, T, C) -> the kernel's (n_z, C, Tp, K_pad_loc)."""
+        z = jnp.transpose(zi_l, (0, 3, 2, 1))
+        return jnp.pad(z, ((0, 0), (0, 0), (0, Tp - T),
+                           (0, K_pad_loc - K_loc)))
+
     out_dim = int(dynamics.OUTPUT_DIM)
     # working set: the (C, Tp, tile) in-kernel sample scratch + the
     # (O, Tp, tile) output scratch, plus the double-buffered sample-
@@ -571,7 +630,7 @@ def fused_solve_iteration(
         grid_local = K_pad_local // tile_local
 
         def body(x0_v, mb, sb, ab, lb, tb, lov, hiv, dbv, zcv,
-                 seed_v, lamv, lrg, pt, dt_v, *leaf_vals):
+                 seed_v, lamv, lrg, pt, dt_v, zi_l, *leaf_vals):
             ax = jax.lax.axis_index(axis)
             scal = jnp.stack([
                 dt_v, lamv, lrg, pt,
@@ -585,7 +644,9 @@ def fused_solve_iteration(
                 T, Tp, Tc, C, S, K_local, K_pad_local, tile_local,
                 noise_kind=noise_kind, emit_samples=return_samples,
                 split_cost=split_cost, out_dim=out_dim,
-                recurrent=recurrent,
+                recurrent=recurrent, inject=inject, interpret=inject,
+                zinj=(_prep_zinj(zi_l, K_local, K_pad_local)
+                      if inject else zi_l),
             )
             m_g, d_g, num_g = flash_combine(m, d, num, axis)
             outs = (costs, crash, num_g / d_g, -lamv * m_g, d_g)
@@ -597,13 +658,15 @@ def fused_solve_iteration(
         res = jax.shard_map(
             body,
             mesh=mesh,
-            in_specs=_replicated(15) + _replicated(len(leaves)),
+            in_specs=_replicated(15)
+            + ((P(None, axis),) if inject else _replicated(1))
+            + _replicated(len(leaves)),
             out_specs=out_specs,
             check_vma=False,
         )(x0, mean_b, sigma_b, aux_b, lrc_b, tpin_b, lo_b, hi_b, db_b, zc_b,
           jnp.asarray(seed, jnp.int32), jnp.asarray(lam, jnp.float32),
           lr_gain, jnp.asarray(pure_threshold, jnp.float32),
-          jnp.asarray(dt, jnp.float32), *leaves)
+          jnp.asarray(dt, jnp.float32), zi, *leaves)
         costs, crash, new_mean, baseline, eta = res[:5]
         U = res[5] if return_samples else None
         return costs, crash, new_mean, baseline, eta, U
@@ -624,6 +687,8 @@ def fused_solve_iteration(
         T, Tp, Tc, C, S, K, K_pad, tile_k,
         noise_kind=noise_kind, emit_samples=return_samples,
         split_cost=split_cost, out_dim=out_dim, recurrent=recurrent,
+        inject=inject, interpret=inject,
+        zinj=_prep_zinj(zi, K, K_pad) if inject else zi,
     )
     lam_f = jnp.asarray(lam, jnp.float32)
     return costs, crash, num / d, -lam_f * m, d, U
