@@ -74,11 +74,14 @@ class ARStandardCost(Cost):
             # costmapToTexture before use; a zero map is the benign default)
             return jnp.zeros_like(x)
         # component-wise query (no trailing-axis stack) so the track cost
-        # lowers in the fused Pallas kernels via the tent-mask bilinear
-        val = self.costmap.query_world_components(x, y)
-        if val.ndim > jnp.ndim(x):  # multichannel costmap: channel 0
-            val = val[..., 0]
-        return val
+        # lowers in the fused Pallas kernels via the tent-mask bilinear.
+        # Multichannel costmaps (the reference's float4 layout) read only
+        # channel 0, exactly like ar_standard_cost.cu:356-360 reads .x —
+        # the static-channel query lowers on every path incl. the
+        # in-kernel windowed one.
+        if self.costmap.channels:
+            return self.costmap.query_world_components_channel(x, y, 0)
+        return self.costmap.query_world_components(x, y)
 
     def _track_query(self, y, crash):
         """Front/back costmap samples + boundary crash flag — shared by the

@@ -29,6 +29,7 @@ import contextlib
 import contextvars
 import os
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -47,6 +48,15 @@ if _MAP_MXU_PRECISION not in ("highest", "high", "default"):
         f"MPPI_MAP_MXU_PRECISION={_MAP_MXU_PRECISION!r}: expected one of "
         "'highest' (exact f32), 'high' (bf16x3), 'default' (bf16)"
     )
+_MXU_PRECISION = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}[_MAP_MXU_PRECISION]
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
 
 # Set while a Pallas kernel body traces (ops/pallas_rollout, ops/pallas_solve
 # wrap their kernels in ``pallas_layout()``): queries then use the
@@ -70,6 +80,59 @@ def in_pallas_layout() -> bool:
     return _PALLAS_LAYOUT.get()
 
 
+class _WindowedMapData:
+    """In-kernel stand-in for a ``MapTexture2D.data`` leaf that stayed in
+    HBM: the fused kernels route oversized maps through a lazily-fetched
+    (win_h, win_w) VMEM window instead of a resident VMEM copy (whose
+    tent-mask work scales with map AREA — ~17 ns/point at 512^2 and a
+    compile failure at 1024^2, vs a map-size-CONSTANT ~4-15 ns/point for
+    the window; scripts/map_size_sweep.py). The window origin lives in
+    SMEM scratch and persists across grid steps; each query call re-DMAs
+    the window only when its coordinate bounding box escapes the cached
+    window (scripts/mosaic_capability_probe4.py validates the
+    composition).
+
+    This is the TPU-native answer to the reference's arbitrary-size CUDA
+    texture objects (texture_helper.cuh:12-127): HBM is the texture
+    memory, the VMEM window is the texture cache, and the refetch check
+    is the (software) cache fill. Built by ops/pallas_rollout's leaf
+    plumbing — never by user code.
+    """
+
+    def __init__(self, hbm_ref, win_ref, org_ref, sem, logical_shape,
+                 win_hw, channel_major):
+        self.hbm_ref = hbm_ref
+        self.win_ref = win_ref
+        self.org_ref = org_ref
+        self.sem = sem
+        self.shape = tuple(logical_shape)  # (H, W) or (CH, H, W) logical
+        self.win_hw = tuple(win_hw)
+        self.channel_major = bool(channel_major)
+
+    @property
+    def ndim(self):
+        return len(self.shape)
+
+    @property
+    def dtype(self):
+        return jnp.float32
+
+
+# In-kernel resident-vs-windowed crossover (bench chip, f32 HIGHEST,
+# scripts/map_size_sweep.py): the VMEM-resident tent-mask wins below this
+# side (1.1 ns at 128, 4.4 at 256), the HBM-windowed form above it (4.9 ns
+# at 512 vs 16.9 resident).
+_PALLAS_RESIDENT_MAX_SIDE = 256
+# Default window side for the HBM-windowed in-kernel path: 256 texels
+# measured ~4 ns/point independent of map size; 512 measured ~14 ns/point
+# (still 3x the XLA gather) and covers 4x the query-cluster area. The auto
+# policy takes 256; set ``window_texels`` on the texture when one solve's
+# per-timestep sample cloud can spread wider than ~(window - 130) texels
+# in x / (window - 10) in y (beyond that, queries CLAMP to the window
+# edge — see query_tex).
+_DEFAULT_WINDOW_TEXELS = 256
+
+
 def _bilinear_axis(coord_norm, n):
     """CUDA linear-filter sample setup along one axis: normalized coord ->
     (lo_index, hi_index, fraction) with clamp addressing."""
@@ -84,16 +147,30 @@ def _bilinear_axis(coord_norm, n):
 
 
 class MapTexture2D(struct.PyTreeNode):
-    """One 2D map layer (TwoDTextureHelper analog)."""
+    """One 2D map layer (TwoDTextureHelper analog).
 
-    data: jnp.ndarray = None  # (H, W) or (H, W, CH)
+    ``channel_major=True`` stores multichannel data as (CH, H, W) — the
+    layout the in-kernel windowed query DMAs per-channel bands from (the
+    reference's float4 texture layout, ``texture_helper.cuh:12-127``,
+    interleaves channels per texel because CUDA texture units fetch 16-byte
+    texels; on TPU the channel-separable band layout is what the DMA
+    engine wants). ``window_texels`` overrides the windowed path's window
+    side (0 = the 256-texel auto policy; see ``_DEFAULT_WINDOW_TEXELS``).
+    """
+
+    data: jnp.ndarray = None  # (H, W); (H, W, CH); (CH, H, W) channel_major
     origin: jnp.ndarray = None  # (3,)
     rotation: jnp.ndarray = None  # (3, 3), rows like the reference
     resolution: jnp.ndarray = None  # (3,) meters per texel per axis
+    channel_major: bool = struct.field(pytree_node=False, default=False)
+    window_texels: int = struct.field(pytree_node=False, default=0)
 
     @classmethod
-    def create(cls, data, origin=(0, 0, 0), rotation=None, resolution=1.0):
+    def create(cls, data, origin=(0, 0, 0), rotation=None, resolution=1.0,
+               channel_major=False, window_texels=0):
         data = jnp.asarray(data, jnp.float32)
+        if channel_major and data.ndim != 3:
+            raise ValueError("channel_major requires (CH, H, W) data")
         if rotation is None:
             rotation = jnp.eye(3)
         resolution = jnp.asarray(resolution, jnp.float32)
@@ -104,15 +181,24 @@ class MapTexture2D(struct.PyTreeNode):
             origin=jnp.asarray(origin, jnp.float32),
             rotation=jnp.asarray(rotation, jnp.float32),
             resolution=resolution,
+            channel_major=bool(channel_major),
+            window_texels=int(window_texels),
         )
 
     @property
     def height(self):
-        return self.data.shape[0]
+        return self.data.shape[1 if self.channel_major else 0]
 
     @property
     def width(self):
-        return self.data.shape[1]
+        return self.data.shape[2 if self.channel_major else 1]
+
+    @property
+    def channels(self):
+        """0 for single-channel (H, W) data."""
+        if self.data.ndim == 2:
+            return 0
+        return self.data.shape[0 if self.channel_major else 2]
 
     # --- coordinate pipeline (texture_helper.cu:94-134) -------------------
     def world_to_map(self, world):
@@ -153,13 +239,20 @@ class MapTexture2D(struct.PyTreeNode):
         u, v = self.world_to_tex_components(wx, wy, wz)
         return self.query_tex(u, v)
 
+    def query_world_components_channel(self, wx, wy, ch, wz=0.0):
+        """``query_world_components`` of ONE channel (``ch`` static) — the
+        multichannel-map entry point that lowers on every path including
+        the in-kernel windowed one."""
+        u, v = self.world_to_tex_components(wx, wy, wz)
+        return self.query_tex_channel(u, v, ch)
+
     # --- queries -----------------------------------------------------------
-    # XLA's TPU gather serializes (~5-20 ns/point); for maps up to this many
-    # texels per side the separable one-hot MXU formulation below is 10-45x
-    # faster at identical (float32) accuracy. The (chunk, H) interpolation-
-    # weight intermediates are kept under a fixed byte budget by chunking
-    # the query batch; genuinely huge maps fall back to the gather.
-    _MATMUL_GATHER_MAX_SIDE = 1024
+    # XLA's TPU gather serializes (flat 32-45 ns/point measured); for maps
+    # up to this many texels per side the separable one-hot MXU formulation
+    # below is faster at identical (float32) accuracy (6.8 ns at 256^2,
+    # 20.8 at 512^2), but its area-scaling work loses to the gather past
+    # 512 (77.7 ns at 1024^2) — scripts/map_size_sweep.py, bench chip.
+    _MATMUL_GATHER_MAX_SIDE = 512
     _MATMUL_CHUNK_BYTES = 64 * 1024 * 1024
 
     def _query_tex_matmul(self, u, v):
@@ -217,6 +310,114 @@ class MapTexture2D(struct.PyTreeNode):
     # map is 1 MB — within the 2 MB parameter-leaf budget).
     _PALLAS_VMEM_MAX_SIDE = 512
 
+    def pallas_window(self):
+        """The fused kernels' routing decision for this texture's data
+        leaf: ``None`` = leave it a plain leaf (small single-channel maps
+        ride VMEM-resident below the measured resident/windowed crossover,
+        ``_PALLAS_RESIDENT_MAX_SIDE``; trailing-channel multichannel
+        layouts are XLA-only); ``(win_h, win_w)`` = route it through the
+        HBM-windowed in-kernel path (``_query_tex_windowed``). Static —
+        depends only on shapes and the ``window_texels`` policy field."""
+        d = self.data
+        if isinstance(d, _WindowedMapData) or d is None:
+            return None
+        if d.ndim not in (2, 3) or (d.ndim == 3 and not self.channel_major):
+            return None
+        H, W = int(self.height), int(self.width)
+        if d.ndim == 2 and max(H, W) <= _PALLAS_RESIDENT_MAX_SIDE:
+            return None
+        win = int(self.window_texels) or _DEFAULT_WINDOW_TEXELS
+        wh = min(_round_up(win, 8), _round_up(H, 8))
+        ww = min(_round_up(win, 128), _round_up(W, 128))
+        return wh, ww
+
+    def _query_tex_windowed(self, u, v, ch):
+        """In-kernel bilinear through the lazily-cached HBM window (see
+        ``_WindowedMapData``). Identical values to the XLA paths whenever
+        each query call's coordinate bounding box fits the window
+        (win - ~130 texels of x coverage, win - ~10 of y, after
+        alignment slack); wider clusters CLAMP to the window edge — the
+        documented degradation, chosen over the reference semantics only
+        past the texture's configured window (``window_texels``).
+
+        Per call: 4 VPU min/max reductions + scalar compares; the window
+        DMA re-fires only when the cluster escapes the cached window
+        (every few solve iterations for a moving vehicle), so its
+        ~win^2*4-byte cost amortizes to ~nothing. The tent matmul runs at
+        the MPPI_MAP_MXU_PRECISION knob like ``_query_tex_pallas``."""
+        import jax
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        d = self.data
+        H, W = int(self.height), int(self.width)
+        wh, ww = d.win_hw
+        n_ch = d.shape[0] if d.ndim == 3 else 0
+        hbm = d.hbm_ref
+        Hp, Wp = int(hbm.shape[-2]), int(hbm.shape[-1])
+        lead = u.shape[:-1]
+        lanes = int(u.shape[-1])
+        x = jnp.clip(u * W - 0.5, 0.0, W - 1.0).reshape((-1, lanes))
+        y = jnp.clip(v * H - 0.5, 0.0, H - 1.0).reshape((-1, lanes))
+        org = d.org_ref
+        xmin = jnp.min(x).astype(jnp.int32)
+        ymin = jnp.min(y).astype(jnp.int32)
+        # highest texel index any query touches (the bilinear hi neighbor,
+        # clamped like the 4-tap path clamps it)
+        xhi = jnp.minimum(jnp.max(x).astype(jnp.int32) + 1, W - 1)
+        yhi = jnp.minimum(jnp.max(y).astype(jnp.int32) + 1, H - 1)
+        need = ((ymin < org[0]) | (yhi > org[0] + (wh - 1))
+                | (xmin < org[1]) | (xhi > org[1] + (ww - 1)))
+
+        @pl.when(need)
+        def _fetch():
+            # center the cluster: slack below the min (so drift in either
+            # direction survives a while), then align down — alignment can
+            # eat up to 127/7 texels of the x/y slack
+            sx = jnp.maximum((ww - 130 - (xhi - xmin)) // 2, 0)
+            sy = jnp.maximum((wh - 10 - (yhi - ymin)) // 2, 0)
+            x0n = jnp.clip((xmin - sx) // 128 * 128, 0, Wp - ww)
+            y0n = jnp.clip((ymin - sy) // 8 * 8, 0, Hp - wh)
+            org[0] = y0n
+            org[1] = x0n
+            y0a = pl.multiple_of(y0n, 8)
+            x0a = pl.multiple_of(x0n, 128)
+            if n_ch:
+                for c in range(n_ch):
+                    dma = pltpu.make_async_copy(
+                        hbm.at[c, pl.ds(y0a, wh), pl.ds(x0a, ww)],
+                        d.win_ref.at[c], d.sem,
+                    )
+                    dma.start()
+                    dma.wait()
+            else:
+                dma = pltpu.make_async_copy(
+                    hbm.at[pl.ds(y0a, wh), pl.ds(x0a, ww)], d.win_ref,
+                    d.sem,
+                )
+                dma.start()
+                dma.wait()
+
+        xl = jnp.clip(x - org[1].astype(jnp.float32), 0.0, ww - 1.0)
+        yl = jnp.clip(y - org[0].astype(jnp.float32), 0.0, wh - 1.0)
+        win = d.win_ref[ch] if n_ch else d.win_ref[...]
+        iw = jax.lax.broadcasted_iota(
+            jnp.int32, (ww, lanes), 0).astype(jnp.float32)
+        ih = jax.lax.broadcasted_iota(
+            jnp.int32, (wh, lanes), 0).astype(jnp.float32)
+        outs = []
+        for r in range(xl.shape[0]):
+            wxr = jnp.maximum(0.0, 1.0 - jnp.abs(iw - xl[r: r + 1]))
+            wyr = jnp.maximum(0.0, 1.0 - jnp.abs(ih - yl[r: r + 1]))
+            tmp = jax.lax.dot_general(
+                win, wxr, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_MXU_PRECISION,
+            )
+            outs.append(jnp.sum(tmp * wyr, axis=0, keepdims=True))
+        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+        return out.reshape(lead + (lanes,))
+
     def _query_tex_pallas(self, u, v):
         """In-kernel bilinear in sample-major layout — the TPU-native analog
         of the reference's hardware texture units (texture_helper.cuh:12-127)
@@ -262,11 +463,7 @@ class MapTexture2D(struct.PyTreeNode):
             tmp = jax.lax.dot_general(
                 d, wx, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision={
-                    "highest": jax.lax.Precision.HIGHEST,
-                    "high": jax.lax.Precision.HIGH,
-                    "default": jax.lax.Precision.DEFAULT,
-                }[_MAP_MXU_PRECISION],
+                precision=_MXU_PRECISION,
             )
             outs.append(jnp.sum(tmp * wy, axis=0, keepdims=True))
         out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
@@ -274,7 +471,20 @@ class MapTexture2D(struct.PyTreeNode):
 
     def query_tex(self, u, v):
         """Bilinear lookup at normalized (u, v); u indexes width (x),
-        v indexes height (y). Batched over leading dims."""
+        v indexes height (y). Batched over leading dims. Multichannel
+        textures return a trailing channel axis (both layouts)."""
+        if isinstance(self.data, _WindowedMapData):
+            if self.data.ndim == 3:
+                from mppi_generic_tpu.ops.pallas_rollout import (
+                    PallasIncompatible,
+                )
+
+                raise PallasIncompatible(
+                    "multichannel windowed map: query one channel at a "
+                    "time with query_tex_channel (the trailing channel "
+                    "axis the XLA paths return does not lower in Mosaic)"
+                )
+            return self._query_tex_windowed(u, v, None)
         if in_pallas_layout() and jnp.ndim(u) >= 2:
             if (self.data.ndim == 2
                     and self.height <= self._PALLAS_VMEM_MAX_SIDE
@@ -285,16 +495,25 @@ class MapTexture2D(struct.PyTreeNode):
             # gathers Mosaic cannot lower, so inside a kernel trace they
             # die with a raw Mosaic error that bypasses the controllers'
             # `except PallasIncompatible` fallback (round-4 review
-            # finding: multichannel costmaps and 513..1024-texel maps
-            # under an explicit kernel="pallas")
+            # finding). Maps larger than the resident cap normally never
+            # reach here: the kernels' leaf plumbing routes them through
+            # the HBM-windowed path (pallas_window) — this branch fires
+            # only for direct _query_tex_pallas-era callers.
             from mppi_generic_tpu.ops.pallas_rollout import (
                 PallasIncompatible,
             )
 
             raise PallasIncompatible(
-                f"in-kernel map query supports single-channel maps up to "
-                f"{self._PALLAS_VMEM_MAX_SIDE} texels/side (got "
-                f"{self.data.shape}) — use the XLA rollout paths"
+                f"in-kernel map query: resident maps are single-channel "
+                f"up to {self._PALLAS_VMEM_MAX_SIDE} texels/side (got "
+                f"{self.data.shape}); larger/multichannel maps ride the "
+                "windowed path via the fused kernels' leaf plumbing"
+            )
+        if self.channel_major:
+            return jnp.stack(
+                [self.query_tex_channel(u, v, c)
+                 for c in range(self.channels)],
+                axis=-1,
             )
         if (self.height <= self._MATMUL_GATHER_MAX_SIDE
                 and self.width <= self._MATMUL_GATHER_MAX_SIDE):
@@ -314,6 +533,25 @@ class MapTexture2D(struct.PyTreeNode):
         top = v00 + fx * (v01 - v00)
         bot = v10 + fx * (v11 - v10)
         return top + fy * (bot - top)
+
+    def query_tex_channel(self, u, v, ch: int):
+        """Bilinear lookup of ONE channel (``ch`` static). The in-kernel
+        entry point for multichannel maps — the reference's AR costs read
+        only channel .x of their float4 costmap the same way
+        (ar_standard_cost.cu:356-360). Single-channel textures accept
+        ch=0."""
+        d = self.data
+        if isinstance(d, _WindowedMapData):
+            return self._query_tex_windowed(u, v, ch if d.ndim == 3 else None)
+        if d.ndim == 2:
+            if ch != 0:
+                raise ValueError(f"channel {ch} of a single-channel map")
+            return self.query_tex(u, v)
+        if self.channel_major:
+            return self.replace(data=d[ch], channel_major=False).query_tex(
+                u, v
+            )
+        return self.replace(data=d[..., ch]).query_tex(u, v)
 
     def query_at_map_pose(self, map_pose):
         u, v = self.map_to_tex(map_pose)

@@ -17,9 +17,13 @@ the kernels (NN matmuls ride the MXU via the ``forward_axis0`` twins;
 (H,)-shaped recurrent leaves carry through the horizon loop). Map-texture
 models/costs lower via the in-kernel tent-mask MXU bilinear
 (maps/texture.py::_query_tex_pallas, enabled by the ``_map_query_layout``
-kernel wrapper) for maps <= 512 texels/side — measured 1.4-1.7x over the
-XLA paths on every map-bearing BASELINE config (round 4,
-scripts/map_kernel_probe.py). Models with oversized parameters raise
+kernel wrapper): maps up to 256 texels/side ride VMEM-resident, larger
+and channel-major multichannel maps stay HBM-resident behind a
+lazily-refetched VMEM window (``_windowed_spec`` routes their data leaves
+through memory_space=ANY + per-map window scratch; see
+maps/texture._WindowedMapData) — no map-size ceiling, ~1-4 ns/query-point
+either way (scripts/map_size_sweep.py, scripts/large_map_probe.py).
+Models with oversized non-map parameters raise
 :class:`PallasIncompatible` and fall back to the XLA paths, mirroring the
 reference's shared-memory-overflow fallback.
 
@@ -290,7 +294,8 @@ def _arbitrate_split(dynamics, cost, split_cost, T, tile_k,
     return True, cand_tile
 
 
-def _check_compatible(dynamics: Dynamics, leaves, allow_recurrent=False):
+def _check_compatible(dynamics: Dynamics, leaves, allow_recurrent=False,
+                      skip=frozenset()):
     rec = dynamics.init_recurrent_state()
     if rec is not None:
         if not allow_recurrent:
@@ -304,7 +309,9 @@ def _check_compatible(dynamics: Dynamics, leaves, allow_recurrent=False):
                     "recurrent leaves must be small 1-D vectors "
                     f"(got shape {arr.shape})"
                 )
-    for leaf in leaves:
+    for i, leaf in enumerate(leaves):
+        if i in skip:  # HBM-windowed map leaves never land in VMEM whole
+            continue
         arr = jnp.asarray(leaf)
         if arr.size * arr.dtype.itemsize > _MAX_PARAM_BYTES:
             raise PallasIncompatible(
@@ -313,6 +320,95 @@ def _check_compatible(dynamics: Dynamics, leaves, allow_recurrent=False):
             )
         if arr.ndim > 3:
             raise PallasIncompatible(f"parameter leaf of rank {arr.ndim} > 3")
+
+
+def _windowed_spec(tree, leaves):
+    """Static spec of the map-texture leaves the fused kernels route
+    through the HBM-windowed query path (maps/texture._WindowedMapData)
+    instead of loading VMEM-resident: a tuple of
+    ``(leaf_index, H, W, CH, win_h, win_w)`` rows (CH=0 for single-channel
+    maps), one per ``MapTexture2D`` in ``tree`` whose ``pallas_window()``
+    policy says so. ``leaves`` must be the UNconverted flatten of ``tree``
+    (matching is by leaf object identity)."""
+    from mppi_generic_tpu.maps.texture import MapTexture2D
+
+    metas = {}
+
+    def visit(node):
+        if isinstance(node, MapTexture2D):
+            w = node.pallas_window()
+            if w is not None:
+                d = node.data
+                ch = int(d.shape[0]) if d.ndim == 3 else 0
+                metas[id(d)] = (int(node.height), int(node.width), ch,
+                                int(w[0]), int(w[1]))
+        return node
+
+    jax.tree_util.tree_map(
+        visit, tree, is_leaf=lambda n: isinstance(n, MapTexture2D)
+    )
+    if not metas:
+        return ()
+    return tuple(
+        (i,) + metas[id(l)] for i, l in enumerate(leaves)
+        if id(l) in metas
+    )
+
+
+def _pad_windowed(leaves, windowed):
+    """Edge-pad the windowed map leaves to DMA-aligned (…, H8, W128)
+    trailing dims (window origins align down to 8-sublane/128-lane
+    boundaries, so the padded extent must admit aligned starts whose
+    window stays in bounds). Edge values mirror CUDA clamp addressing —
+    and the tent weights at in-range coords are exactly zero on padded
+    texels anyway. For a loop-invariant map operand XLA hoists the pad
+    out of closed-loop scans."""
+    out = list(leaves)
+    for (i, H, W, _ch, _wh, _ww) in windowed:
+        Hp, Wp = _round_up(H, 8), _round_up(W, 128)
+        if Hp != H or Wp != W:
+            l = out[i]
+            pad = [(0, 0)] * (l.ndim - 2) + [(0, Hp - H), (0, Wp - W)]
+            out[i] = jnp.pad(l, pad, mode="edge")
+    return out
+
+
+def _windowed_holders(windowed, leaf_refs, scratch_tail):
+    """Build the in-kernel ``_WindowedMapData`` holders: returns
+    ``{leaf_index: holder}``. ``scratch_tail`` is the 3-per-map
+    (window VMEM, origin SMEM, DMA sem) scratch-ref slice appended at
+    the very end of the kernel's refs."""
+    from mppi_generic_tpu.maps.texture import _WindowedMapData
+
+    holders = {}
+    for j, (li, H, W, CH, wh, ww) in enumerate(windowed):
+        shape = (CH, H, W) if CH else (H, W)
+        holders[li] = _WindowedMapData(
+            leaf_refs[li], scratch_tail[3 * j], scratch_tail[3 * j + 1],
+            scratch_tail[3 * j + 2], shape, (wh, ww), bool(CH),
+        )
+    return holders
+
+
+def _init_window_origins(windowed, scratch_tail):
+    """Invalidate every windowed map's cached origin (run under a
+    first-program ``pl.when``): forces the first query call to fetch."""
+    for j in range(len(windowed)):
+        org = scratch_tail[3 * j + 1]
+        org[0] = -(2 ** 30)
+        org[1] = -(2 ** 30)
+
+
+def _windowed_scratch(windowed):
+    """The 3-per-map scratch shapes, appended LAST in scratch_shapes."""
+    scratch = []
+    for (_i, _h, _w, CH, wh, ww) in windowed:
+        scratch.append(pltpu.VMEM(
+            (CH, wh, ww) if CH else (wh, ww), jnp.float32
+        ))
+        scratch.append(pltpu.SMEM((2,), jnp.int32))
+        scratch.append(pltpu.SemaphoreType.DMA(()))
+    return scratch
 
 
 def default_tile_k(K: int, T: int, C: int) -> int:
@@ -366,10 +462,16 @@ def _constraint_rows(dynamics):
     ]).astype(jnp.float32)
 
 
-def _prepare_leaves(leaves):
-    """(kernel-shaped arrays, BlockSpecs) for the flattened param leaves."""
+def _prepare_leaves(leaves, windowed_idx=frozenset()):
+    """(kernel-shaped arrays, BlockSpecs) for the flattened param leaves.
+    Leaves in ``windowed_idx`` stay HBM-resident (memory_space=ANY) for
+    the windowed map query; everything else rides VMEM/SMEM whole."""
     shapes, specs = [], []
-    for l in leaves:
+    for j, l in enumerate(leaves):
+        if j in windowed_idx:
+            shapes.append(l)
+            specs.append(pl.BlockSpec(memory_space=pl.ANY))
+            continue
         shp, spec = _leaf_spec(l)
         shapes.append(l.reshape(shp))
         specs.append(spec)
@@ -440,18 +542,20 @@ def _broadcast_rec(rec, rows):
     static_argnames=("dynamics_static", "cost_static", "T", "C", "S",
                      "tile_k", "interpret", "treedef", "per_sample_x0",
                      "recurrent", "with_lr", "state_dtype", "table_mode",
-                     "epilogue", "epilogue_kind", "split_cost", "out_dim"),
+                     "epilogue", "epilogue_kind", "split_cost", "out_dim",
+                     "windowed"),
 )
 def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_ctk,
                 dt, T, C, S, tile_k, interpret, per_sample_x0=False,
                 recurrent=False, with_lr=False, lr_mean=None, lr_sigma=None,
                 lr_coeff=None, lr_scal=None, state_dtype="float32",
                 table_mode="smem", epilogue=False, epilogue_kind="exp",
-                split_cost=False, out_dim=0):
+                split_cost=False, out_dim=0, windowed=()):
     del dynamics_static, cost_static  # only part of the jit cache key
     K_pad = U_ctk.shape[-1]
     rows = tile_k // LANES
     grid = K_pad // tile_k
+    leaves = _pad_windowed(leaves, windowed)
     leaf_ndims = tuple(l.ndim for l in leaves)
     # DMA table streaming (table_mode="stream"): chunk geometry + pad the
     # HBM-resident stacked table to a whole number of chunks
@@ -502,7 +606,18 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_ctk,
                 return v.astype(cd)  # dynamics params only; cost stays f32
             return v
 
-        vals = [_cast(_read_leaf(r, nd), i)
+        if windowed:
+            holders = _windowed_holders(windowed, leaf_refs,
+                                        refs[len(refs) - 3 * len(windowed):])
+
+            @pl.when(pl.program_id(0) == 0)
+            def _invalidate_windows():
+                _init_window_origins(windowed,
+                                     refs[len(refs) - 3 * len(windowed):])
+        else:
+            holders = {}
+
+        vals = [holders[i] if i in holders else _cast(_read_leaf(r, nd), i)
                 for i, (r, nd) in enumerate(zip(leaf_refs, leaf_ndims))]
         dynamics, cost = jax.tree_util.tree_unflatten(treedef, vals)
         dt_k = dt_ref[0, 0].astype(cd)
@@ -853,7 +968,8 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_ctk,
                 md_ref[0, 0] = m_new
                 md_ref[0, 1] = d_old * scale + jnp.sum(w)
 
-    leaf_shapes, leaf_specs = _prepare_leaves(leaves)
+    leaf_shapes, leaf_specs = _prepare_leaves(
+        leaves, windowed_idx=frozenset(w[0] for w in windowed))
 
     # Tsallis two-pass epilogue: the launch grid doubles and every
     # block-indexed operand maps through i % grid, so pass 2 revisits each
@@ -925,6 +1041,7 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_ctk,
             (2, stream_tc, lr_mean.shape[1], LANES), jnp.float32
         ))  # double-buffered table chunks
         scratch.append(pltpu.SemaphoreType.DMA((2,)))
+    scratch += _windowed_scratch(windowed)  # stays LAST (kernel slices tail)
     outs = pl.pallas_call(
         kernel,
         grid=(launch_grid,),
@@ -1080,9 +1197,11 @@ def _prep_fused_rollout(dynamics, cost, x0, U, lr_params, tile_k, interpret,
     S = dynamics.STATE_DIM
     out_dim = int(dynamics.OUTPUT_DIM)
     leaves, treedef = jax.tree_util.tree_flatten((dynamics, cost))
+    windowed = _windowed_spec((dynamics, cost), leaves)
     leaves = [jnp.asarray(l) for l in leaves]
     recurrent = dynamics.init_recurrent_state() is not None
-    _check_compatible(dynamics, leaves, allow_recurrent=True)
+    _check_compatible(dynamics, leaves, allow_recurrent=True,
+                      skip=frozenset(w[0] for w in windowed))
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -1164,6 +1283,7 @@ def _prep_fused_rollout(dynamics, cost, x0, U, lr_params, tile_k, interpret,
             lr_scal=jnp.stack(scal).reshape(1, len(scal)),
             table_mode=table_mode,
         )
+    lr_kw["windowed"] = windowed
     return (leaves, treedef, x0, U_ctk, S, tile_k, interpret,
             per_sample_x0, recurrent, lr_kw, split_cost, out_dim)
 
@@ -1321,7 +1441,7 @@ def fused_weighted_rollout(
     static_argnames=("dynamics_static", "cost_static", "T", "C", "S", "K",
                      "K_pad", "tile_k", "interpret", "treedef",
                      "noise_kind", "table_mode", "recurrent", "epilogue",
-                     "emit_samples", "inject"),
+                     "emit_samples", "inject", "windowed"),
 )
 def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
                        x0, mean, sigma, aux_tab, coeff, constraints, seed,
@@ -1329,10 +1449,12 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
                        T, C, S, K, K_pad, tile_k, interpret,
                        noise_kind="gaussian", idx_offset=0,
                        table_mode="smem", recurrent=False, epilogue=False,
-                       emit_samples=True, inject=False, zinj=None):
+                       emit_samples=True, inject=False, zinj=None,
+                       windowed=()):
     del dynamics_static, cost_static
     rows = tile_k // LANES
     grid = K_pad // tile_k
+    leaves = _pad_windowed(leaves, windowed)
     leaf_ndims = tuple(l.ndim for l in leaves)
     TWO_PI = 6.2831853071795864
     INV_2_24 = float(2.0 ** -24)
@@ -1348,6 +1470,18 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
 
     @_map_query_layout
     def kernel(*refs):
+        if windowed:  # map-window scratch rides at the very end
+            map_scr = refs[len(refs) - 3 * len(windowed):]
+            refs = refs[: len(refs) - 3 * len(windowed)]
+
+            @pl.when(pl.program_id(0) == 0)
+            def _invalidate_windows():
+                _init_window_origins(windowed, map_scr)
+
+            holders = _windowed_holders(windowed, refs[: len(leaves)],
+                                        map_scr)
+        else:
+            holders = {}
         leaf_refs = refs[: len(leaves)]
         (x0_ref, mean_ref, sigma_ref, aux_ref, coeff_ref, cons_ref,
          seed_ref, scal_ref, zinj_ref) = refs[len(leaves): len(leaves) + 9]
@@ -1375,7 +1509,8 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
         else:
             costs_ref, crash_ref, u_out_ref = refs[len(leaves) + 8:]
 
-        vals = [_read_leaf(r, nd) for r, nd in zip(leaf_refs, leaf_ndims)]
+        vals = [holders[i] if i in holders else _read_leaf(r, nd)
+                for i, (r, nd) in enumerate(zip(leaf_refs, leaf_ndims))]
         dynamics, cost = jax.tree_util.tree_unflatten(treedef, vals)
         seed_k = seed_ref[0, 0]
         dt_k = scal_ref[0, 0]
@@ -1617,7 +1752,8 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
                 md_ref[0, 0] = m_new
                 md_ref[0, 1] = d_old * scale + jnp.sum(w)
 
-    leaf_shapes, leaf_specs = _prepare_leaves(leaves)
+    leaf_shapes, leaf_specs = _prepare_leaves(
+        leaves, windowed_idx=frozenset(w[0] for w in windowed))
 
     scalars = jnp.stack([
         jnp.asarray(dt, jnp.float32),
@@ -1675,6 +1811,7 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
         out_specs.append(pl.BlockSpec((T, C, tile_k), lambda i: (0, 0, i),
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((T, C, K_pad), jnp.float32))
+    scratch += _windowed_scratch(windowed)  # stays LAST (kernel slices tail)
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -1710,19 +1847,32 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
     jax.jit,
     static_argnames=("dynamics_static", "cost_static", "T", "C", "S", "K",
                      "K_pad", "tile_k", "interpret", "treedef",
-                     "table_mode"),
+                     "table_mode", "windowed"),
 )
 def _fused_rmppi_call(leaves, treedef, dynamics_static, cost_static,
                       x0_nom, x0_real, U_tck, gains, sigma, coeff,
                       constraints, dt, lam, alpha, T, C, S, K, K_pad,
-                      tile_k, interpret, table_mode="smem"):
+                      tile_k, interpret, table_mode="smem", windowed=()):
     del dynamics_static, cost_static
     rows = tile_k // LANES
     grid = K_pad // tile_k
+    leaves = _pad_windowed(leaves, windowed)
     leaf_ndims = tuple(l.ndim for l in leaves)
 
     @_map_query_layout
     def kernel(*refs):
+        if windowed:  # map-window scratch rides at the very end
+            map_scr = refs[len(refs) - 3 * len(windowed):]
+            refs = refs[: len(refs) - 3 * len(windowed)]
+
+            @pl.when(pl.program_id(0) == 0)
+            def _invalidate_windows():
+                _init_window_origins(windowed, map_scr)
+
+            holders = _windowed_holders(windowed, refs[: len(leaves)],
+                                        map_scr)
+        else:
+            holders = {}
         leaf_refs = refs[: len(leaves)]
         (xn_ref, xr_ref, u_ref, gains_ref, sigma_ref, coeff_ref, cons_ref,
          scal_ref) = refs[len(leaves): len(leaves) + 8]
@@ -1730,7 +1880,8 @@ def _fused_rmppi_call(leaves, treedef, dynamics_static, cost_static,
             len(leaves) + 8:
         ]
 
-        vals = [_read_leaf(r, nd) for r, nd in zip(leaf_refs, leaf_ndims)]
+        vals = [holders[i] if i in holders else _read_leaf(r, nd)
+                for i, (r, nd) in enumerate(zip(leaf_refs, leaf_ndims))]
         dynamics, cost = jax.tree_util.tree_unflatten(treedef, vals)
         dt_k = scal_ref[0, 0]
         lam_k = scal_ref[0, 1]
@@ -1810,7 +1961,8 @@ def _fused_rmppi_call(leaves, treedef, dynamics_static, cost_static,
         sfb_ref[...] = ((s_fb + term_r) / T)[None]
         crash_ref[...] = crash_r[None]
 
-    leaf_shapes, leaf_specs = _prepare_leaves(leaves)
+    leaf_shapes, leaf_specs = _prepare_leaves(
+        leaves, windowed_idx=frozenset(w[0] for w in windowed))
 
     scalars = jnp.stack([
         jnp.asarray(dt, jnp.float32), jnp.asarray(lam, jnp.float32),
@@ -1849,6 +2001,7 @@ def _fused_rmppi_call(leaves, treedef, dynamics_static, cost_static,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=_windowed_scratch(windowed),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=100 * K_pad * T * (S + C),
@@ -1925,8 +2078,10 @@ def fused_rmppi_rollout(
           *rep_leaves)
 
     leaves, treedef = jax.tree_util.tree_flatten((dynamics, cost))
+    windowed = _windowed_spec((dynamics, cost), leaves)
     leaves = [jnp.asarray(l) for l in leaves]
-    _check_compatible(dynamics, leaves)
+    _check_compatible(dynamics, leaves,
+                      skip=frozenset(w[0] for w in windowed))
     table_mode = _table_mode((T, C * S), (T, C))  # gains / sigma
 
     if interpret is None:
@@ -1956,7 +2111,7 @@ def fused_rmppi_rollout(
         x0_nom, x0_real, U_tck, gains_arg,
         sigma_arg, jnp.asarray(coeff, jnp.float32),
         constraints, dt, lam, alpha, T, C, S, K, K_pad, tile_k, interpret,
-        table_mode=table_mode,
+        table_mode=table_mode, windowed=windowed,
     )
 
 
@@ -2050,9 +2205,11 @@ def fused_sample_rollout_costs(
     S = dynamics.STATE_DIM
     K = num_rollouts
     leaves, treedef = jax.tree_util.tree_flatten((dynamics, cost))
+    windowed = _windowed_spec((dynamics, cost), leaves)
     leaves = [jnp.asarray(l) for l in leaves]
     recurrent = dynamics.init_recurrent_state() is not None
-    _check_compatible(dynamics, leaves, allow_recurrent=True)
+    _check_compatible(dynamics, leaves, allow_recurrent=True,
+                      skip=frozenset(w[0] for w in windowed))
     table_mode = _table_mode((T, C), (T, C), (T, C))  # mean / sigma / aux
 
     # the hardware-PRNG path is compiled-TPU-only (guarded above); with
@@ -2141,6 +2298,7 @@ def fused_sample_rollout_costs(
                 inject=inject,
                 zinj=(_prep_zinj(zi_l, K_local, K_pad_local)
                       if inject else zi_l),
+                windowed=windowed,
             )
             if not epilogue:
                 return res
@@ -2190,6 +2348,7 @@ def fused_sample_rollout_costs(
         table_mode=table_mode, recurrent=recurrent, epilogue=epilogue,
         emit_samples=emit_samples or not epilogue,
         inject=inject, zinj=_prep_zinj(zi, K, K_pad) if inject else zi,
+        windowed=windowed,
     )
     if not epilogue:
         return res

@@ -88,7 +88,7 @@ def _lane_rep(tab):
     static_argnames=("treedef", "dynamics_static", "cost_static", "T", "Tp",
                      "Tc", "C", "S", "K", "K_pad", "tile_k", "noise_kind",
                      "emit_samples", "split_cost", "out_dim", "recurrent",
-                     "inject", "interpret"),
+                     "inject", "interpret", "windowed"),
 )
 def _fused_solve_call(leaves, treedef, dynamics_static, cost_static,
                       x0, mean_b, sigma_b, aux_b, lrc_b, tpin_b,
@@ -96,11 +96,20 @@ def _fused_solve_call(leaves, treedef, dynamics_static, cost_static,
                       seed, scal, T, Tp, Tc, C, S, K, K_pad, tile_k,
                       noise_kind="gaussian", emit_samples=False,
                       split_cost=False, out_dim=0, recurrent=False,
-                      inject=False, zinj=None, interpret=False):
+                      inject=False, zinj=None, interpret=False,
+                      windowed=()):
     del dynamics_static, cost_static
+    from mppi_generic_tpu.ops.pallas_rollout import (
+        _init_window_origins,
+        _pad_windowed,
+        _windowed_holders,
+        _windowed_scratch,
+    )
+
     rows = tile_k // LANES
     grid = K_pad // tile_k
     n_chunks = Tp // Tc
+    leaves = _pad_windowed(leaves, windowed)
     leaf_ndims = tuple(l.ndim for l in leaves)
     TWO_PI = 6.2831853071795864
     INV_2_24 = float(2.0 ** -24)
@@ -112,6 +121,18 @@ def _fused_solve_call(leaves, treedef, dynamics_static, cost_static,
 
     @_map_query_layout
     def kernel(*refs):
+        if windowed:  # map-window scratch rides at the very end
+            map_scr = refs[len(refs) - 3 * len(windowed):]
+            refs = refs[: len(refs) - 3 * len(windowed)]
+
+            @pl.when(pl.program_id(0) == 0)
+            def _invalidate_windows():
+                _init_window_origins(windowed, map_scr)
+
+            holders = _windowed_holders(windowed, refs[: len(leaves)],
+                                        map_scr)
+        else:
+            holders = {}
         leaf_refs = refs[: len(leaves)]
         (x0_ref, mean_ref, sigma_ref, aux_ref, lrc_ref, tpin_ref,
          lo_ref, hi_ref, db_ref, zc_ref,
@@ -126,7 +147,8 @@ def _fused_solve_call(leaves, treedef, dynamics_static, cost_static,
         if split_cost:
             y_scr = outs[idx + 2]
 
-        vals = [_read_leaf(r, nd) for r, nd in zip(leaf_refs, leaf_ndims)]
+        vals = [holders[i] if i in holders else _read_leaf(r, nd)
+                for i, (r, nd) in enumerate(zip(leaf_refs, leaf_ndims))]
         dynamics, cost = jax.tree_util.tree_unflatten(treedef, vals)
         dt_k = scal_ref[0, 0]
         lam_k = scal_ref[0, 1]
@@ -355,7 +377,8 @@ def _fused_solve_call(leaves, treedef, dynamics_static, cost_static,
             md_ref[0, 0] = m_new
             md_ref[0, 1] = d_old * scale + jnp.sum(w)
 
-    leaf_shapes, leaf_specs = _prepare_leaves(leaves)
+    leaf_shapes, leaf_specs = _prepare_leaves(
+        leaves, windowed_idx=frozenset(w[0] for w in windowed))
 
     in_specs = leaf_specs + [
         pl.BlockSpec(memory_space=pltpu.VMEM),  # x0 (S, 1)
@@ -401,6 +424,7 @@ def _fused_solve_call(leaves, treedef, dynamics_static, cost_static,
         scratch.append(
             pltpu.VMEM((out_dim, Tp, rows, LANES), jnp.float32)  # outputs
         )
+    scratch += _windowed_scratch(windowed)  # stays LAST (kernel slices tail)
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -523,10 +547,14 @@ def fused_solve_iteration(
     T, C = mean.shape
     S = dynamics.STATE_DIM
     K = num_rollouts
+    from mppi_generic_tpu.ops.pallas_rollout import _windowed_spec
+
     leaves, treedef = jax.tree_util.tree_flatten((dynamics, cost))
+    windowed = _windowed_spec((dynamics, cost), leaves)
     leaves = [jnp.asarray(l) for l in leaves]
     recurrent = dynamics.init_recurrent_state() is not None
-    _check_compatible(dynamics, leaves, allow_recurrent=True)
+    _check_compatible(dynamics, leaves, allow_recurrent=True,
+                      skip=frozenset(w[0] for w in windowed))
 
     tile_was_default = tile_k is None
     if tile_k is None:
@@ -647,6 +675,7 @@ def fused_solve_iteration(
                 recurrent=recurrent, inject=inject, interpret=inject,
                 zinj=(_prep_zinj(zi_l, K_local, K_pad_local)
                       if inject else zi_l),
+                windowed=windowed,
             )
             m_g, d_g, num_g = flash_combine(m, d, num, axis)
             outs = (costs, crash, num_g / d_g, -lamv * m_g, d_g)
@@ -689,6 +718,7 @@ def fused_solve_iteration(
         split_cost=split_cost, out_dim=out_dim, recurrent=recurrent,
         inject=inject, interpret=inject,
         zinj=_prep_zinj(zi, K, K_pad) if inject else zi,
+        windowed=windowed,
     )
     lam_f = jnp.asarray(lam, jnp.float32)
     return costs, crash, num / d, -lam_f * m, d, U
