@@ -188,27 +188,36 @@ def _model_mxu_flops_per_sample_step(dyn):
 
 
 def _map_query_work(ctrl):
-    """(points_per_sample_step, mxu_flops_per_point, on_fused_path).
+    """(points_per_sample_step, mxu_flops_per_point).
 
     Query sites per rollout step: the AR track cost samples the costmap at
     the front AND back axle (ar_standard_cost.cu track term -> 2 points);
     elevation-coupled dynamics run static settling over the four wheel
     positions (racer_dubins.cu:359-430 -> 4 points). On the in-kernel
     tent-mask path each point costs one (H,W)@(W,128) f32-HIGHEST matmul
-    column pair: ~2*H*W MXU FLOPs/point (maps/texture.py::_query_tex_pallas);
-    on the XLA fallback it is a 4-texel serialized gather instead."""
+    column pair over the INTERPOLATION EXTENT — the whole map when
+    VMEM-resident (maps/texture.py::_query_tex_pallas), or the cached
+    (win_h, win_w) window when HBM-windowed (_query_tex_windowed, round 5:
+    work constant in map size) — so FLOPs/point follow the texture's
+    actual routing (pallas_window). On the XLA fallback it is a 4-texel
+    serialized gather instead."""
+
+    def flops_per_point(tex):
+        win = tex.pallas_window()
+        if win is not None:
+            return 2.0 * win[0] * win[1]
+        return 2.0 * tex.height * tex.width
+
     points = 0
     flops = 0.0
     cm = getattr(ctrl.cost, "costmap", None)
     if cm is not None:
-        h, w = cm.data.shape[:2]
         points += 2
-        flops += 2 * (2.0 * h * w)
+        flops += 2 * flops_per_point(cm)
     em = getattr(ctrl.dynamics, "elevation_map", None)
     if em is not None:
-        h, w = em.data.shape[:2]
         points += 4
-        flops += 4 * (2.0 * h * w)
+        flops += 4 * flops_per_point(em)
     return points, (flops / points if points else 0.0)
 
 
@@ -480,12 +489,54 @@ def _steady_state_ms(ctrl, x0, key=None, S1=60, S2=240, escalate=None):
     return dev * 1e3
 
 
-def suite(tiny=False):
+def _verify_pin(ctrl, x0, pinned_ms):
+    """De-stale one suite row's hard-pinned kernel (round-4 verdict): run
+    the auto-tuner with FRESH timings (retune=True bypasses both caches);
+    if its pick differs from the pin, time the pick with the same
+    steady-state harness and flag ``inverted`` when the pin is >10%
+    slower than what the tuner would choose today."""
+    from mppi_generic_tpu.ops.autotune import choose_appropriate_kernel
+
+    try:
+        tuned = choose_appropriate_kernel(ctrl, x0, retune=True)
+    except Exception as e:  # a sweep candidate can fail to build
+        return {"pinned": ctrl.kernel,
+                "error": f"{type(e).__name__}: {e}"[:200]}
+    out = {"pinned": ctrl.kernel, "tuner_pick": tuned.kernel}
+    if tuned.kernel == ctrl.kernel:
+        out["inverted"] = False
+        return out
+    pick_ms = _steady_state_ms(tuned, x0)
+    out["tuner_pick_ms"] = pick_ms
+    out["inverted"] = bool(pick_ms < 0.9 * pinned_ms)
+    if out["inverted"]:
+        print(json.dumps({
+            "warning": "suite pin inversion",
+            "pinned": ctrl.kernel, "pinned_ms": pinned_ms,
+            "tuner_pick": tuned.kernel, "tuner_pick_ms": pick_ms,
+        }), file=sys.stderr, flush=True)
+    return out
+
+
+def suite(tiny=False, verify_pins=False, only=None):
     """The BASELINE.json benchmark configs, one JSON line each.
 
     ``tiny``: shrink every config to seconds-scale shapes (K=128, T=16,
     short scans, no scaling subprocess) — a CPU construction/solve smoke
     of the exact code the driver runs on hardware (tests/test_scripts.py).
+
+    ``verify_pins``: de-stale check for the suite's hard-pinned kernels
+    (round-4 verdict: the pins are past measurements; a Mosaic change
+    that flips the right choice would go unnoticed). For every row it
+    re-runs the kernel auto-tuner with fresh timings (retune=True) and,
+    when the tuner's pick differs from the pin, times the pick too and
+    emits a ``pin_check`` block with ``inverted: true`` when the pinned
+    kernel is actually slower. Expensive (a 3-4-candidate compile+measure
+    sweep per row) — run on demand: ``python bench.py --suite
+    --verify-pins [--only <substr>]``.
+
+    ``only``: substring filter on config names (skips the scaling/ICI
+    tail too unless it matches).
     """
     _np = np
 
@@ -516,6 +567,8 @@ def suite(tiny=False):
         return (128, 16) if tiny else (K, T)
 
     def report(name, ctrl, x0, K, note=""):
+        if only and only not in name:
+            return
         ms = (_steady_state_ms(ctrl, x0, S1=4, S2=8) if tiny
               else _steady_state_ms(ctrl, x0))
         entry = {
@@ -530,6 +583,8 @@ def suite(tiny=False):
             # per-config roofline: the binding resource and the gap to it
             # (VERDICT r3 task 2); tiny mode's CPU shapes would be noise
             entry.update(suite_roofline(ctrl, K, ctrl.num_timesteps, ms))
+        if verify_pins and not tiny:
+            entry["pin_check"] = _verify_pin(ctrl, x0, ms)
         if note:
             entry["note"] = note
         results.append(entry)
@@ -687,6 +742,52 @@ def suite(tiny=False):
     report("racer_lstm_steering_elevation_K1920", ctrl,
            jnp.zeros(9).at[0].set(3.0), kt(1920, 100)[0])
 
+    # 4d/4e. REALISTIC-SCALE map rows (round 5): the reference's data plane
+    # runs ccrf-track-scale maps through CUDA texture units with no size
+    # ceiling; these rows benchmark the same scale through the HBM-windowed
+    # in-kernel query (maps/texture._WindowedMapData — lazily-refetched
+    # (256, 256) VMEM window, work constant in map size). 4e is the float4
+    # layout itself: a 4-channel channel-major costmap with only channel 0
+    # read, exactly ar_standard_cost.cu:50-56,115-128 / :356-360. Measured
+    # round 5 (scripts/large_map_probe.py): the XLA paths BLOW the 20 ms
+    # budget at these sizes (15.7 / 23.3 ms); windowed holds 1.8 / 2.7 ms
+    # (8.5-8.6x).
+    map_side = 128 if tiny else 1024
+    tex1024 = MapTexture2D.create(
+        _np.abs(_np.random.default_rng(2).normal(
+            size=(map_side, map_side))).astype("f"),
+        origin=(-51.2, -51.2, 0), resolution=0.1,
+    )
+    ctrl = VanillaMPPI(
+        dynamics=BicycleSlipDynamics.create(),
+        cost=ARStandardCost(costmap=tex1024,
+                            output_indices=(0, 1, 2, 8, 5, 6)),
+        sampler=ColoredNoiseDistribution.create(
+            std_dev=[0.3, 0.5], exponents=[1.0, 1.0]
+        ),
+        dt=jnp.float32(0.02), lam=jnp.float32(1.0), alpha=jnp.float32(0.0),
+        num_timesteps=kt(1920, 100)[1], num_rollouts=kt(1920, 100)[0],
+        num_iters=1, kernel="pallas" if on_tpu else "combined",
+    )
+    report("bicycle_slip_colored_trackmap_1024", ctrl,
+           jnp.zeros(ctrl.dynamics.STATE_DIM), kt(1920, 100)[0])
+
+    chw = _np.random.default_rng(3).normal(
+        size=(4, map_side, map_side)).astype("f")
+    chw[0] = _np.abs(chw[0])
+    tex4 = MapTexture2D.create(chw, origin=(-51.2, -51.2, 0),
+                               resolution=0.1, channel_major=True)
+    ctrl = VanillaMPPI(
+        dynamics=AutorallyNNDynamics.create(key=jax.random.PRNGKey(0)),
+        cost=ARStandardCost(costmap=tex4),
+        sampler=GaussianDistribution.create(std_dev=[0.3, 0.5]),
+        dt=jnp.float32(0.02), lam=jnp.float32(1.0), alpha=jnp.float32(0.0),
+        num_timesteps=kt(1920, 150)[1], num_rollouts=kt(1920, 150)[0],
+        num_iters=1, kernel="pallas_fused" if on_tpu else "combined",
+    )
+    report("autorally_float4_track_1024", ctrl,
+           jnp.zeros(7).at[4].set(3.0), kt(1920, 150)[0])
+
     # 4c. the 26-state LSTM-uncertainty model through the fused kernel
     # (flat ground; round-2 capability — the mapped variant is 4b-style XLA)
     from mppi_generic_tpu.models import RacerDubinsElevationLSTMUncertainty
@@ -738,9 +839,12 @@ def suite(tiny=False):
     report("tube_ddp_di_corl2020_K2560", ctrl,
            jnp.array([2.0, 0.0, 0.0, 1.0]), kt(2560, 50)[0])
 
-    if tiny:
-        # construction/solve smoke only — skip the scaling subprocess and
-        # the analytic ICI rows (covered by their own tests)
+    if tiny or only:
+        # tiny: construction/solve smoke only — skip the scaling subprocess
+        # and the analytic ICI rows (covered by their own tests).
+        # only: a filtered run is for re-measuring specific rows; the
+        # scaling/ICI tail keys off results[0] (the DI headline) and would
+        # mislabel whatever row happened to come first.
         return results
 
     # 6. multi-device scaling curve (virtual 8-device CPU mesh when no
@@ -847,6 +951,10 @@ if __name__ == "__main__":
 
     _backend_watchdog()
     if "--suite" in sys.argv:
-        suite(tiny="--tiny" in sys.argv)
+        only = None
+        if "--only" in sys.argv:
+            only = sys.argv[sys.argv.index("--only") + 1]
+        suite(tiny="--tiny" in sys.argv,
+              verify_pins="--verify-pins" in sys.argv, only=only)
     else:
         main()
