@@ -264,9 +264,7 @@ class VanillaMPPI(ControllerBase):
         U = self._shard_samples(U)
         if (
             self.kernel == "pallas"
-            and (self.weight_transform == "exp"
-                 or (self.weight_transform == "tsallis"
-                     and self.sample_sharding is None))
+            and self.weight_transform in ("exp", "tsallis")
             and self.shaping_function is None
             and aux is None
             and self._gaussian_lr(self.sampler)
@@ -279,8 +277,9 @@ class VanillaMPPI(ControllerBase):
             # colored-noise / decayed-sigma solves keep the whole epilogue
             # on-chip; per-sample weights for SolveResult are recomputed
             # from costs/baseline in XLA (K elementwise ops). Tsallis rides
-            # the two-pass in-kernel epilogue (single-chip; the reference
-            # ships it as a first-class ColoredMPPI mode,
+            # the two-pass in-kernel epilogue single-chip and the
+            # two-LAUNCH global-pmin scheme under a mesh (round 5; the
+            # reference ships Tsallis as a first-class ColoredMPPI mode,
             # colored_mppi_controller.cu:206); CEM stays on the XLA weight
             # pass — its elite threshold is a global order statistic.
             K = U.shape[0]

@@ -695,9 +695,12 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_ctk,
                 tp_crash = (bool(cost.time_parallel_crash())
                             and not bool(cost.time_parallel_cost()))
 
-                def cost_block(t0, tc, carry):
+                def cost_block(t0, tc, carry, blk=None):
                     """Time-vectorized cost (+ LR) for timesteps [t0, t0+tc);
-                    tc is static (full chunks via fori_loop, one static tail)."""
+                    tc is static (full chunks via fori_loop, one static
+                    tail). ``blk``: the (tc, R8, LANES) LR-table block when
+                    it does not live resident in mean_ref (streamed
+                    horizons)."""
                     acc, crash_c = carry
                     yb = y_scr[:, pl.ds(t0, tc)]       # (O, tc, rows, LANES)
                     ub = u_ref[:, pl.ds(t0, tc)].reshape(C, tc, rows, LANES)
@@ -723,7 +726,8 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_ctk,
                         c = jnp.broadcast_to(c, (tc, rows, LANES))
                     c = c.astype(jnp.float32)
                     if with_lr:
-                        blk = mean_ref[pl.ds(t0, tc)]  # (tc, R8, LANES)
+                        if blk is None:
+                            blk = mean_ref[pl.ds(t0, tc)]  # (tc, R8, LANES)
                         lr_t = jnp.zeros((tc, rows, LANES), jnp.float32)
                         for ch in range(C):
                             m_c = blk[:, ch: ch + 1, :]
@@ -740,14 +744,55 @@ def _fused_call(leaves, treedef, dynamics_static, cost_static, x0, U_ctk,
 
                 Tcb = min(8, T)
                 acc, crash = acc0, crash0
-                if T // Tcb:
+                if with_lr and table_mode == "stream":
+                    # streamed LR tables on the SPLIT cost pass (round 5):
+                    # chunk the HBM-resident table through the same
+                    # double-buffered scratch the combined loop uses, and
+                    # evaluate the chunk's cost in Tcb-blocks read from the
+                    # live slot. Prep guarantees T % Tcb == 0 here.
+                    def get_dma_s(slot, ci):
+                        return pltpu.make_async_copy(
+                            mean_ref.at[pl.ds(ci * stream_tc, stream_tc)],
+                            tbuf_ref.at[slot],
+                            tsem_ref.at[slot],
+                        )
+
+                    def cchunk(ci, carry):
+                        slot = ci % 2
+
+                        @pl.when(ci + 1 < stream_n)
+                        def _prefetch():
+                            get_dma_s((ci + 1) % 2, ci + 1).start()
+
+                        get_dma_s(slot, ci).wait()
+                        r8 = tbuf_ref.shape[2]
+                        n_blocks = jnp.minimum(
+                            stream_tc, T - ci * stream_tc
+                        ) // Tcb
+
+                        def blockf(j, carry2):
+                            blk = tbuf_ref[
+                                pl.ds(slot, 1), pl.ds(j * Tcb, Tcb)
+                            ].reshape(Tcb, r8, LANES)
+                            return cost_block(ci * stream_tc + j * Tcb,
+                                              Tcb, carry2, blk=blk)
+
+                        return jax.lax.fori_loop(0, n_blocks, blockf, carry)
+
+                    get_dma_s(0, 0).start()
                     acc, crash = jax.lax.fori_loop(
-                        0, T // Tcb,
-                        lambda ci, a: cost_block(ci * Tcb, Tcb, a), (acc, crash),
+                        0, stream_n, cchunk, (acc, crash)
                     )
-                if T % Tcb:
-                    acc, crash = cost_block((T // Tcb) * Tcb, T % Tcb,
-                                            (acc, crash))
+                else:
+                    if T // Tcb:
+                        acc, crash = jax.lax.fori_loop(
+                            0, T // Tcb,
+                            lambda ci, a: cost_block(ci * Tcb, Tcb, a),
+                            (acc, crash),
+                        )
+                    if T % Tcb:
+                        acc, crash = cost_block((T // Tcb) * Tcb, T % Tcb,
+                                                (acc, crash))
                 y_last = y_scr[:, pl.ds(T - 1, 1)].reshape(
                     out_dim, rows, LANES
                 )
@@ -1232,16 +1277,19 @@ def _prep_fused_rollout(dynamics, cost, x0, U, lr_params, tile_k, interpret,
         except PallasIncompatible:
             # past the resident-VMEM table budget (T > ~1024): the table
             # stays HBM-resident and the kernel DMA-streams double-buffered
-            # chunks through VMEM — no horizon ceiling. The split variant's
-            # block-wise table reads are not wired to the stream buffer, so
-            # AUTO-chosen split downgrades to the combined loop; an
-            # EXPLICITLY forced split must keep its documented raise
-            # semantics (silently running a different kernel variant than
+            # chunks through VMEM — no horizon ceiling. Round 5: the split
+            # variant's block-wise table reads are wired to the stream
+            # buffer too (its Tcb=8 cost blocks read the live slot), so
+            # split survives streaming whenever the blocks tile the horizon
+            # exactly; ragged horizons downgrade AUTO to the combined loop
+            # (an EXPLICITLY forced split keeps its documented raise
+            # semantics — silently running a different variant than
             # configured would invalidate cached tuner timings).
-            if forced_split:
-                raise
             table_mode = "stream"
-            split_cost = False
+            if split_cost and T % min(8, T):
+                if forced_split:
+                    raise
+                split_cost = False
 
     K_pad = _round_up(K, tile_k)
     U_ctk = jnp.transpose(U, (2, 1, 0))
@@ -1286,6 +1334,81 @@ def _prep_fused_rollout(dynamics, cost, x0, U, lr_params, tile_k, interpret,
     lr_kw["windowed"] = windowed
     return (leaves, treedef, x0, U_ctk, S, tile_k, interpret,
             per_sample_x0, recurrent, lr_kw, split_cost, out_dim)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("T", "C", "tile_k", "interpret"),
+)
+def _tsallis_reduce_call(U_ctk, costs, scal, T, C, tile_k, interpret):
+    """Pass 2 of the SHARDED Tsallis fused epilogue (round-5 VERDICT
+    task 6): Tsallis weights against a FIXED baseline rho (the global
+    pmin, supplied as an operand) + the weighted U sum and eta, tile-
+    accumulated in one launch. The single-chip two-pass epilogue computes
+    rho in its own pass 1; under a mesh the per-shard minima must merge
+    BEFORE any weight exists (the transform has no online rescaling), so
+    the scheme becomes: per-shard rollout launch -> pmin -> this
+    reduction launch -> psum. Per-shard HBM traffic is identical to the
+    single-chip pass 2 (one U re-read); the extra cost is one launch +
+    the 4-byte pmin phase (TsallisTransform, mppi_common.cu:958-985).
+
+    ``scal`` rows: [rho, gamma, 1/(r-1), valid K]. Returns
+    (num (T, C), eta ())."""
+    K_pad = U_ctk.shape[-1]
+    rows = tile_k // LANES
+    grid = K_pad // tile_k
+
+    def kernel(u_ref, j_ref, scal_ref, num_ref, md_ref):
+        i = pl.program_id(0)
+        rho_v = scal_ref[0, 0]
+        gamma_v = scal_ref[0, 1]
+        pw_v = scal_ref[0, 2]
+        k_loc = scal_ref[0, 3]
+        lane = (jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0) * LANES
+                + jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1))
+        valid = (i * tile_k + lane).astype(jnp.float32) < k_loc
+        J = j_ref[...].reshape(rows, LANES)
+        dj = J - rho_v
+        # exact mirror of ops/weights.tsallis_weights / the in-kernel
+        # two-pass epilogue's pass 2
+        base = jnp.clip(1.0 - dj / gamma_v, 1e-30, None)
+        w = jnp.where(dj < gamma_v, jnp.exp(jnp.log(base) * pw_v), 0.0)
+        w = jnp.where(valid, w, 0.0)
+        u4 = u_ref[...].reshape(C, T, rows, LANES)
+        lanes_r = jnp.sum(u4 * w[None, None], axis=3, keepdims=True)
+        ws = jnp.sum(lanes_r, axis=2, keepdims=True)
+
+        @pl.when(i == 0)
+        def _init():
+            num_ref[...] = ws
+            md_ref[0, 0] = jnp.sum(w)
+
+        @pl.when(i > 0)
+        def _accum():
+            num_ref[...] = num_ref[...] + ws
+            md_ref[0, 0] = md_ref[0, 0] + jnp.sum(w)
+
+    costs3d = costs.reshape(grid, rows, LANES)
+    num, md = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((C, T, tile_k), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((C, T, 1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        interpret=interpret,
+    )(U_ctk, costs3d, scal)
+    return jnp.transpose(num[:, :, 0, 0], (1, 0)), md[0, 0]
 
 
 def fused_weighted_rollout(
@@ -1352,10 +1475,72 @@ def fused_weighted_rollout(
         )
     mesh, axis, n_shards = _mesh_axis(sharding)
     if weight_kind == "tsallis" and mesh is not None:
-        raise PallasIncompatible(
-            "the Tsallis fused epilogue is single-chip: per-shard partial "
-            "sums against per-shard minima cannot be merged exactly"
-        )
+        # two-launch global-min scheme (round-5 VERDICT task 6; the
+        # round-4 single-chip restriction was "per-shard partial sums
+        # against per-shard minima cannot be merged exactly" — true for
+        # ONE launch, fixed by splitting the passes around a pmin):
+        # launch 1 = the per-shard fused rollout (costs); pmin -> the
+        # exact global rho; launch 2 = _tsallis_reduce_call (per-shard
+        # weighted sums against rho); psum num/eta. Exact up to psum
+        # reassociation.
+        from jax.sharding import PartitionSpec as P
+
+        if K % n_shards:
+            raise PallasIncompatible(
+                f"K={K} not divisible by mesh axis '{axis}'={n_shards}"
+            )
+        if _raw:
+            raise PallasIncompatible(
+                "_raw (unmerged flash carries) is an exp-epilogue contract"
+            )
+        gamma_w, r_w = weight_params
+        leaves, treedef = jax.tree_util.tree_flatten((dynamics, cost))
+        leaves = [jnp.asarray(l) for l in leaves]
+        per_sample_x0 = x0.ndim == 2
+        K_local = K // n_shards
+        tile_local = min(tile_k or default_tile_k(K_local, T, C),
+                         _round_up(K_local, LANES))
+        K_pad_local = _round_up(K_local, tile_local)
+        lr_pack, with_lr = _lr_pack(lr_params, T, C)
+
+        def body(x0_l, U_l, dt_l, gpw, lrp, *leaf_vals):
+            d, c = jax.tree_util.tree_unflatten(treedef, leaf_vals)
+            off = jax.lax.axis_index(axis) * K_local
+            costs, crash = fused_rollout_costs(
+                d, c, x0_l, U_l, dt_l,
+                lr_params=lrp if with_lr else None,
+                tile_k=tile_local, interpret=interpret,
+                state_dtype=state_dtype, _idx_offset=off,
+                split_cost=split_cost,
+            )
+            rho = jax.lax.pmin(jnp.min(costs), axis)
+            U_ctk = jnp.transpose(U_l, (2, 1, 0))
+            if K_pad_local != K_local:
+                U_ctk = jnp.pad(
+                    U_ctk, ((0, 0), (0, 0), (0, K_pad_local - K_local)))
+            scal = jnp.stack([
+                rho, gpw[0], gpw[1], jnp.float32(K_local),
+            ]).reshape(1, 4)
+            num_s, eta_s = _tsallis_reduce_call(
+                U_ctk, jnp.pad(costs, (0, K_pad_local - K_local)),
+                scal, T, C, tile_local,
+                (interpret if interpret is not None
+                 else jax.default_backend() != "tpu"),
+            )
+            num_g = jax.lax.psum(num_s, axis)
+            eta_g = jax.lax.psum(eta_s, axis)
+            return costs, crash, num_g / eta_g, rho, eta_g
+
+        gpw = jnp.stack([jnp.asarray(gamma_w, jnp.float32),
+                         1.0 / (jnp.asarray(r_w, jnp.float32) - 1.0)])
+        return jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(axis) if per_sample_x0 else P(), P(axis), P(), P(),
+                      (P(),) * 6) + _replicated(len(leaves)),
+            out_specs=(P(axis), P(axis), P(), P(), P()),
+            check_vma=False,
+        )(x0, U, jnp.asarray(dt, jnp.float32), gpw, lr_pack, *leaves)
     if mesh is not None:
         from jax.sharding import PartitionSpec as P
 
@@ -1467,6 +1652,17 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
     if not inject:
         # (1,)*4 dummy keeps one call structure; never read when not inject
         zinj = jnp.zeros((1, 1, 1, 1), jnp.float32)
+    # DMA table streaming: chunk geometry + pad the HBM-resident stacked
+    # table to a whole number of chunks (sigma rows pad with 1.0 — the
+    # tail steps never execute but a 0 would still be a traced divisor)
+    stream_tc = stream_n = 0
+    if table_mode == "stream":
+        stream_tc = min(_STREAM_CHUNK_T, _round_up(T, 8))
+        stream_n = -(-T // stream_tc)
+        pad_rows = stream_n * stream_tc - mean.shape[0]
+        if pad_rows:
+            mean = jnp.pad(mean, ((0, pad_rows), (0, 0), (0, 0)),
+                           constant_values=1.0)
 
     @_map_query_layout
     def kernel(*refs):
@@ -1482,6 +1678,9 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
                                         map_scr)
         else:
             holders = {}
+        if table_mode == "stream":  # stream buffers ride just before them
+            tbuf_ref, tsem_ref = refs[-2], refs[-1]
+            refs = refs[:-2]
         leaf_refs = refs[: len(leaves)]
         (x0_ref, mean_ref, sigma_ref, aux_ref, coeff_ref, cons_ref,
          seed_ref, scal_ref, zinj_ref) = refs[len(leaves): len(leaves) + 9]
@@ -1561,7 +1760,9 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
             free scalar reads. VMEM mode: mean_ref is the stacked
             (T, R8, LANES) table — one sublane-block load, rows as static
             (1, LANES) slices (sublanes [0,C)=mean, [C,2C)=sigma,
-            [2C,3C)=aux) that broadcast against (rows, LANES) blocks."""
+            [2C,3C)=aux) that broadcast against (rows, LANES) blocks.
+            Stream mode never calls this — the chunk driver reads the live
+            double-buffer slot instead (see ``srows``)."""
             if table_mode == "vmem":
                 r8 = mean_ref.shape[1]
                 blk = mean_ref[pl.ds(t, 1)].reshape(r8, LANES)
@@ -1572,14 +1773,15 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
                     [sigma_ref[t, ch] for ch in range(C)],
                     [aux_ref[t, ch] for ch in range(C)])
 
-        def do_step(t, eps, carry):
+        def do_step(t, eps, carry, tab3=None):
             """One timestep given its N(0,1) draws: carve-outs, per-channel
-            constraint clamp, likelihood-ratio + running cost, dynamics."""
+            constraint clamp, likelihood-ratio + running cost, dynamics.
+            ``tab3``: pre-read (mean, sigma, aux) rows (streamed tables)."""
             x, rec, crash, acc, _ = carry
             # --- setGaussianControls carve-outs (gaussian.cu:101-121) ---
             # channels unroll to scalar/row broadcasts (lane-transposing
             # reshapes are not lowerable)
-            m_cs, s_cs, a_cs = tab_rows(t)
+            m_cs, s_cs, a_cs = tab3 if tab3 is not None else tab_rows(t)
             pin_mean = is_zero | (t < stride_k)
             u_cs = []
             w_cs = []
@@ -1626,87 +1828,153 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
             return (x_next, rec, crash, acc + c + lr_t, y)
 
         init = (x, rec0, crash0, acc0, y0)
-        if inject:
+
+        def body_inj(t, carry, tab3=None):
             # test-only injected standard normals (interpret mode): replace
             # the HW-PRNG draw one-for-one so the CPU suite can
             # parity-check everything downstream of the draw against the
             # XLA oracle (the reference's injected-noise test pattern,
             # rollout_kernel_tests.cu:211-213)
-            def body_inj(t, carry):
-                z1 = zinj_ref[0, pl.ds(t, 1)].reshape(C, rows, LANES)
-                if noise_kind == "nln":
-                    z2 = zinj_ref[1, pl.ds(t, 1)].reshape(C, rows, LANES)
-                    a_cs = tab_rows(t)[2]
-                    eps = jnp.stack([
-                        z1[ch] * jnp.exp(a_cs[ch] * z2[ch])
-                        for ch in range(C)
-                    ])
-                else:
-                    eps = z1
-                return do_step(t, eps, carry)
-
-            _, _, crash, acc, y_last = jax.lax.fori_loop(
-                0, T, body_inj, init
-            )
-        elif noise_kind == "nln":
-            # log-MPPI: eps = z1 * exp(ln_sigma * z2) — one Box-Muller pair
-            # yields both independent normals per timestep (nln.cu:12-24)
-            def body_nln(t, carry):
-                f1, f2 = draw_bits()
-                u1 = (f1 + 0.5) * INV_2_24
-                u2 = f2 * INV_2_24
-                r = jnp.sqrt(-2.0 * jnp.log(u1))
-                theta = TWO_PI * u2
-                z1 = r * jnp.cos(theta)
-                z2 = r * jnp.sin(theta)
-                a_cs = tab_rows(t)[2]
+            z1 = zinj_ref[0, pl.ds(t, 1)].reshape(C, rows, LANES)
+            if noise_kind == "nln":
+                z2 = zinj_ref[1, pl.ds(t, 1)].reshape(C, rows, LANES)
+                a_cs = (tab3 if tab3 is not None else tab_rows(t))[2]
                 eps = jnp.stack([
                     z1[ch] * jnp.exp(a_cs[ch] * z2[ch])
                     for ch in range(C)
                 ])
-                return do_step(t, eps, carry)
+            else:
+                eps = z1
+            return do_step(t, eps, carry, tab3=tab3)
 
+        def body_nln(t, carry, tab3=None):
+            # log-MPPI: eps = z1 * exp(ln_sigma * z2) — one Box-Muller pair
+            # yields both independent normals per timestep (nln.cu:12-24)
+            f1, f2 = draw_bits()
+            u1 = (f1 + 0.5) * INV_2_24
+            u2 = f2 * INV_2_24
+            r = jnp.sqrt(-2.0 * jnp.log(u1))
+            theta = TWO_PI * u2
+            z1 = r * jnp.cos(theta)
+            z2 = r * jnp.sin(theta)
+            a_cs = (tab3 if tab3 is not None else tab_rows(t))[2]
+            eps = jnp.stack([
+                z1[ch] * jnp.exp(a_cs[ch] * z2[ch])
+                for ch in range(C)
+            ])
+            return do_step(t, eps, carry, tab3=tab3)
+
+        def body_pair(t0, carry, tabf=None):
+            # dual-output Box-Muller: one (u1, u2) draw yields BOTH the cos
+            # and sin normals — two timesteps per PRNG/log/sqrt evaluation
+            f1, f2 = draw_bits()
+            u1 = (f1 + 0.5) * INV_2_24  # (0, 1)
+            u2 = f2 * INV_2_24          # [0, 1)
+            r = jnp.sqrt(-2.0 * jnp.log(u1))
+            theta = TWO_PI * u2
+            carry = do_step(t0, r * jnp.cos(theta), carry,
+                            tab3=tabf(t0) if tabf else None)
+            return do_step(t0 + 1, r * jnp.sin(theta), carry,
+                           tab3=tabf(t0 + 1) if tabf else None)
+
+        def body_single(t, carry, tab3=None):
+            f1, f2 = draw_bits()
+            u1 = (f1 + 0.5) * INV_2_24
+            u2 = f2 * INV_2_24
+            eps = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(TWO_PI * u2)
+            return do_step(t, eps, carry, tab3=tab3)
+
+        if table_mode == "stream":
+            # DMA table streaming (round 5): the stacked (Tp_s, R8, LANES)
+            # mean/sigma/aux table stays HBM-resident; double-buffered
+            # chunks prefetch through VMEM while the horizon loop consumes
+            # the live slot — the same machinery as _fused_call's streamed
+            # LR tables, now on the SAMPLE-GENERATING kernel. Removes this
+            # path's T ~ 1024 ceiling (the reference kernels never had
+            # one, core/mppi_common.cu:98-137).
+            r8s = mean_ref.shape[1]
+
+            def sget_dma(slot, ci):
+                return pltpu.make_async_copy(
+                    mean_ref.at[pl.ds(ci * stream_tc, stream_tc)],
+                    tbuf_ref.at[slot],
+                    tsem_ref.at[slot],
+                )
+
+            def chunk(ci, carry):
+                slot = ci % 2
+
+                @pl.when(ci + 1 < stream_n)
+                def _prefetch():
+                    sget_dma((ci + 1) % 2, ci + 1).start()
+
+                sget_dma(slot, ci).wait()
+                base = ci * stream_tc
+
+                def tabf(t):
+                    blk = tbuf_ref[
+                        pl.ds(slot, 1), pl.ds(t - base, 1)
+                    ].reshape(r8s, LANES)
+                    return (
+                        [blk[ch: ch + 1] for ch in range(C)],
+                        [blk[C + ch: C + ch + 1] for ch in range(C)],
+                        [blk[2 * C + ch: 2 * C + ch + 1] for ch in range(C)],
+                    )
+
+                n_steps = jnp.minimum(stream_tc, T - base)
+                if inject:
+                    return jax.lax.fori_loop(
+                        0, n_steps,
+                        lambda tl, c: body_inj(base + tl, c,
+                                               tab3=tabf(base + tl)),
+                        carry,
+                    )
+                if noise_kind == "nln":
+                    return jax.lax.fori_loop(
+                        0, n_steps,
+                        lambda tl, c: body_nln(base + tl, c,
+                                               tab3=tabf(base + tl)),
+                        carry,
+                    )
+                if T % 2 == 0:  # chunk bases are even, so n_steps is too
+                    return jax.lax.fori_loop(
+                        0, n_steps // 2,
+                        lambda i2, c: body_pair(base + 2 * i2, c, tabf=tabf),
+                        carry,
+                    )
+                return jax.lax.fori_loop(
+                    0, n_steps,
+                    lambda tl, c: body_single(base + tl, c,
+                                              tab3=tabf(base + tl)),
+                    carry,
+                )
+
+            sget_dma(0, 0).start()
+            _, _, crash, acc, y_last = jax.lax.fori_loop(
+                0, stream_n, chunk, init
+            )
+        elif inject:
+            _, _, crash, acc, y_last = jax.lax.fori_loop(
+                0, T, body_inj, init
+            )
+        elif noise_kind == "nln":
             _, _, crash, acc, y_last = jax.lax.fori_loop(0, T, body_nln, init)
         elif T % 4 == 0:
             # 4 timesteps per loop iteration (two Box-Muller pairs):
             # amortizes the fori_loop carry/branch overhead a bit further
             def body4(i4, carry):
-                for h in range(2):
-                    f1, f2 = draw_bits()
-                    u1 = (f1 + 0.5) * INV_2_24
-                    u2 = f2 * INV_2_24
-                    r = jnp.sqrt(-2.0 * jnp.log(u1))
-                    theta = TWO_PI * u2
-                    carry = do_step(4 * i4 + 2 * h, r * jnp.cos(theta), carry)
-                    carry = do_step(4 * i4 + 2 * h + 1, r * jnp.sin(theta),
-                                    carry)
-                return carry
+                carry = body_pair(4 * i4, carry)
+                return body_pair(4 * i4 + 2, carry)
 
             _, _, crash, acc, y_last = jax.lax.fori_loop(0, T // 4, body4, init)
         elif T % 2 == 0:
-            # dual-output Box-Muller: one (u1, u2) draw yields BOTH the cos
-            # and sin normals — two timesteps per PRNG/log/sqrt evaluation
-            def body2(i2, carry):
-                f1, f2 = draw_bits()
-                u1 = (f1 + 0.5) * INV_2_24  # (0, 1)
-                u2 = f2 * INV_2_24          # [0, 1)
-                r = jnp.sqrt(-2.0 * jnp.log(u1))
-                theta = TWO_PI * u2
-                carry = do_step(2 * i2, r * jnp.cos(theta), carry)
-                return do_step(2 * i2 + 1, r * jnp.sin(theta), carry)
-
             _, _, crash, acc, y_last = jax.lax.fori_loop(
-                0, T // 2, body2, init
+                0, T // 2, lambda i2, c: body_pair(2 * i2, c), init
             )
         else:
-            def body(t, carry):
-                f1, f2 = draw_bits()
-                u1 = (f1 + 0.5) * INV_2_24
-                u2 = f2 * INV_2_24
-                eps = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(TWO_PI * u2)
-                return do_step(t, eps, carry)
-
-            _, _, crash, acc, y_last = jax.lax.fori_loop(0, T, body, init)
+            _, _, crash, acc, y_last = jax.lax.fori_loop(
+                0, T, body_single, init
+            )
         J = (acc + cost.terminal_cost(y_last)) / T
         costs_ref[...] = J[None]
         crash_ref[...] = crash[None]
@@ -1765,10 +2033,12 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
 
     in_specs = leaf_specs + [
         pl.BlockSpec(memory_space=pltpu.VMEM),  # x0 (S, 1)
-        # mean: (T, C) SMEM scalars, or the stacked (T, R8, LANES) VMEM
-        # table holding mean+sigma+aux rows (long horizons)
+        # mean: (T, C) SMEM scalars, the stacked (T, R8, LANES) VMEM table
+        # holding mean+sigma+aux rows (long horizons), or the HBM-resident
+        # padded table the kernel DMA-streams (T past the VMEM budget)
         pl.BlockSpec(memory_space=(
-            pltpu.VMEM if table_mode == "vmem" else pltpu.SMEM)),
+            pl.ANY if table_mode == "stream"
+            else pltpu.VMEM if table_mode == "vmem" else pltpu.SMEM)),
         pl.BlockSpec(memory_space=pltpu.SMEM),  # sigma (T, C) | dummy
         pl.BlockSpec(memory_space=pltpu.SMEM),  # aux (T, C): NLN lognormal sigma / smooth deriv mean | dummy
         pl.BlockSpec(memory_space=pltpu.SMEM),  # coeff (1, C) scalars
@@ -1811,6 +2081,11 @@ def _fused_sample_call(leaves, treedef, dynamics_static, cost_static,
         out_specs.append(pl.BlockSpec((T, C, tile_k), lambda i: (0, 0, i),
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((T, C, K_pad), jnp.float32))
+    if table_mode == "stream":
+        scratch.append(pltpu.VMEM(
+            (2, stream_tc, mean.shape[1], LANES), jnp.float32
+        ))  # double-buffered table chunks
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
     scratch += _windowed_scratch(windowed)  # stays LAST (kernel slices tail)
     outs = pl.pallas_call(
         kernel,
@@ -1858,6 +2133,17 @@ def _fused_rmppi_call(leaves, treedef, dynamics_static, cost_static,
     grid = K_pad // tile_k
     leaves = _pad_windowed(leaves, windowed)
     leaf_ndims = tuple(l.ndim for l in leaves)
+    # DMA table streaming: chunk geometry + pad the HBM-resident stacked
+    # gains/sigma table to a whole number of chunks (round 5 — removes the
+    # RMPPI kernel's horizon ceiling; rmppi_kernels.cu:441-443 never had one)
+    stream_tc = stream_n = 0
+    if table_mode == "stream":
+        stream_tc = min(_STREAM_CHUNK_T, _round_up(T, 8))
+        stream_n = -(-T // stream_tc)
+        pad_rows = stream_n * stream_tc - gains.shape[0]
+        if pad_rows:
+            gains = jnp.pad(gains, ((0, pad_rows), (0, 0), (0, 0)),
+                            constant_values=1.0)
 
     @_map_query_layout
     def kernel(*refs):
@@ -1873,6 +2159,9 @@ def _fused_rmppi_call(leaves, treedef, dynamics_static, cost_static,
                                         map_scr)
         else:
             holders = {}
+        if table_mode == "stream":  # stream buffers ride just before them
+            tbuf_ref, tsem_ref = refs[-2], refs[-1]
+            refs = refs[:-2]
         leaf_refs = refs[: len(leaves)]
         (xn_ref, xr_ref, u_ref, gains_ref, sigma_ref, coeff_ref, cons_ref,
          scal_ref) = refs[len(leaves): len(leaves) + 8]
@@ -1906,7 +2195,7 @@ def _fused_rmppi_call(leaves, treedef, dynamics_static, cost_static,
                 [_clamp_channel(u[ch], cons_ref, ch) for ch in range(C)]
             )
 
-        def body(t, carry):
+        def body(t, carry, blk=None):
             (x_nom, x_real, crash_n, crash_r, s_nom, j_real, s_fb,
              _, _) = carry
             u_raw = u_ref[pl.ds(t, 1)].reshape(C, rows, LANES)
@@ -1914,12 +2203,14 @@ def _fused_rmppi_call(leaves, treedef, dynamics_static, cost_static,
             # feedback u_fb = K[t] (x_real - x_nom), gains as SMEM scalars
             # or — past the scalar-memory budget — static sublane slices of
             # the stacked (T, R8, LANES) VMEM table (sublanes [0, C*S) =
-            # gains, [C*S, C*S+C) = sigma)
+            # gains, [C*S, C*S+C) = sigma), resident or DMA-streamed (then
+            # ``blk`` arrives pre-read from the live double-buffer slot)
             # (rolloutRMPPIDynamicsKernel feedback-in-loop,
             # core/rmppi_kernels.cu:441-443)
             if table_mode == "vmem":
                 r8 = gains_ref.shape[1]
                 blk = gains_ref[pl.ds(t, 1)].reshape(r8, LANES)
+            if table_mode in ("vmem", "stream"):
                 g_read = lambda ch, s: blk[ch * S + s: ch * S + s + 1]
                 sg_read = lambda ch: blk[C * S + ch: C * S + ch + 1]
             else:
@@ -1951,9 +2242,43 @@ def _fused_rmppi_call(leaves, treedef, dynamics_static, cost_static,
                     s_nom + c_nom, j_real + c_real,
                     s_fb + c_real + fb_cost, y_nom, y_real)
 
-        (_, _, _, crash_r, s_nom, j_real, s_fb, y_nom, y_real) = (
-            jax.lax.fori_loop(0, T, body, init)
-        )
+        if table_mode == "stream":
+            r8s = gains_ref.shape[1]
+
+            def sget_dma(slot, ci):
+                return pltpu.make_async_copy(
+                    gains_ref.at[pl.ds(ci * stream_tc, stream_tc)],
+                    tbuf_ref.at[slot],
+                    tsem_ref.at[slot],
+                )
+
+            def chunk(ci, carry):
+                slot = ci % 2
+
+                @pl.when(ci + 1 < stream_n)
+                def _prefetch():
+                    sget_dma((ci + 1) % 2, ci + 1).start()
+
+                sget_dma(slot, ci).wait()
+                base = ci * stream_tc
+
+                def step(tl, c):
+                    blk = tbuf_ref[
+                        pl.ds(slot, 1), pl.ds(tl, 1)
+                    ].reshape(r8s, LANES)
+                    return body(base + tl, c, blk=blk)
+
+                n_steps = jnp.minimum(stream_tc, T - base)
+                return jax.lax.fori_loop(0, n_steps, step, carry)
+
+            sget_dma(0, 0).start()
+            (_, _, _, crash_r, s_nom, j_real, s_fb, y_nom, y_real) = (
+                jax.lax.fori_loop(0, stream_n, chunk, init)
+            )
+        else:
+            (_, _, _, crash_r, s_nom, j_real, s_fb, y_nom, y_real) = (
+                jax.lax.fori_loop(0, T, body, init)
+            )
         term_n = cost.terminal_cost(y_nom)
         term_r = cost.terminal_cost(y_real)
         snom_ref[...] = ((s_nom + term_n) / T)[None]
@@ -1974,10 +2299,12 @@ def _fused_rmppi_call(leaves, treedef, dynamics_static, cost_static,
         pl.BlockSpec(memory_space=pltpu.VMEM),  # x0_real (S, 1)
         pl.BlockSpec((T, C, tile_k), lambda i: (0, 0, i),
                      memory_space=pltpu.VMEM),  # U tile
-        # gains: (T, C*S) SMEM scalars, or the stacked (T, R8, LANES)
-        # VMEM table holding gains+sigma rows (long horizons)
+        # gains: (T, C*S) SMEM scalars, the stacked (T, R8, LANES) VMEM
+        # table holding gains+sigma rows (long horizons), or the
+        # HBM-resident padded table the kernel DMA-streams
         pl.BlockSpec(memory_space=(
-            pltpu.VMEM if table_mode == "vmem" else pltpu.SMEM)),
+            pl.ANY if table_mode == "stream"
+            else pltpu.VMEM if table_mode == "vmem" else pltpu.SMEM)),
         pl.BlockSpec(memory_space=pltpu.SMEM),  # sigma (T, C) | dummy
         pl.BlockSpec(memory_space=pltpu.SMEM),  # coeff (1, C)
         pl.BlockSpec(memory_space=pltpu.SMEM),  # constraints (4, C)
@@ -1995,13 +2322,20 @@ def _fused_rmppi_call(leaves, treedef, dynamics_static, cost_static,
         jax.ShapeDtypeStruct((grid, rows, LANES), jnp.int32),
         jax.ShapeDtypeStruct((T, C, K_pad), jnp.float32),
     )
+    scratch = []
+    if table_mode == "stream":
+        scratch.append(pltpu.VMEM(
+            (2, stream_tc, gains.shape[1], LANES), jnp.float32
+        ))  # double-buffered table chunks
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
+    scratch += _windowed_scratch(windowed)  # stays LAST (kernel slices tail)
     s_nom3, j_real3, s_fb3, crash3, Ur_tck = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=_windowed_scratch(windowed),
+        scratch_shapes=scratch,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=100 * K_pad * T * (S + C),
@@ -2082,7 +2416,12 @@ def fused_rmppi_rollout(
     leaves = [jnp.asarray(l) for l in leaves]
     _check_compatible(dynamics, leaves,
                       skip=frozenset(w[0] for w in windowed))
-    table_mode = _table_mode((T, C * S), (T, C))  # gains / sigma
+    try:
+        table_mode = _table_mode((T, C * S), (T, C))  # gains / sigma
+    except PallasIncompatible:
+        # past the resident-VMEM table budget (the (T, C*S) gain table
+        # crosses it well before T=1024): DMA-stream it (round 5)
+        table_mode = "stream"
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -2100,7 +2439,7 @@ def fused_rmppi_rollout(
     sigma_2d = jnp.broadcast_to(
         jnp.asarray(sigma, jnp.float32).reshape(-1, C), (T, C)
     )
-    if table_mode == "vmem":
+    if table_mode in ("vmem", "stream"):
         gains_arg = _stack_time_tables(gains_2d, sigma_2d)
         sigma_arg = jnp.ones((1, 1), jnp.float32)  # unused dummy
     else:
@@ -2210,7 +2549,13 @@ def fused_sample_rollout_costs(
     recurrent = dynamics.init_recurrent_state() is not None
     _check_compatible(dynamics, leaves, allow_recurrent=True,
                       skip=frozenset(w[0] for w in windowed))
-    table_mode = _table_mode((T, C), (T, C), (T, C))  # mean / sigma / aux
+    try:
+        table_mode = _table_mode((T, C), (T, C), (T, C))  # mean/sigma/aux
+    except PallasIncompatible:
+        # past the resident-VMEM table budget (T > ~1024): DMA-stream the
+        # stacked table through a double buffer (round 5 — removes the
+        # sampling kernel's horizon ceiling)
+        table_mode = "stream"
 
     # the hardware-PRNG path is compiled-TPU-only (guarded above); with
     # injected noise the kernel runs interpreted on any backend
@@ -2260,7 +2605,7 @@ def fused_sample_rollout_costs(
     sigma = jnp.broadcast_to(
         jnp.asarray(sigma, jnp.float32).reshape(-1, C), (T, C)
     )
-    if table_mode == "vmem":
+    if table_mode in ("vmem", "stream"):
         mean_arg = _stack_time_tables(mean, sigma, aux_tab)
         sigma_arg = jnp.ones((1, 1), jnp.float32)  # unused dummies
         aux_arg = jnp.zeros((1, 1), jnp.float32)

@@ -933,12 +933,122 @@ def check_streamed_long_horizon():
     np.testing.assert_allclose(np.asarray(r_pal.costs),
                                np.asarray(r_ref.costs),
                                rtol=1e-4, atol=1e-4)
+    # control_mean atol: since round 5 the streamed pallas path also runs
+    # the SPLIT cost pass (summation reassociated over T=2048 f32 terms);
+    # the exp weights amplify the ~1e-4-relative cost differences into
+    # ~1e-3 absolute on the soft-argmin weighted mean (measured max
+    # 1.05e-3) — association noise, not a semantic gap (the costs check
+    # above stays at 1e-4)
     np.testing.assert_allclose(np.asarray(r_pal.control_mean),
                                np.asarray(r_ref.control_mean),
-                               rtol=1e-3, atol=1e-4)
+                               rtol=1e-3, atol=3e-3)
 
 
 CHECKS.append(check_streamed_long_horizon)
+
+
+def check_streamed_sampling_rmppi_horizon():
+    """Round 5 (VERDICT r4 task 5): the horizon ceiling is gone from the
+    SAMPLE-GENERATING and RMPPI kernels too — their per-timestep tables
+    (mean/sigma/aux; gains/sigma) DMA-stream through the double buffer
+    past the resident-VMEM budget. Hardware checks:
+
+    1. Gaussian HW-PRNG fused sampling at T=1100 (mean tables stream):
+       the emitted samples U must reproduce the kernel's own costs/crash
+       through the XLA oracle — everything downstream of the draw agrees.
+    2. RMPPI augmented rollout at T=640 (the (T, C*S) gain table streams
+       well before T=1024): direct parity vs the XLA double-rollout given
+       the same U (deterministic).
+    """
+    from mppi_generic_tpu.ops.pallas_rollout import (
+        PallasIncompatible,
+        _table_mode,
+        fused_rmppi_rollout,
+        fused_sample_rollout_costs,
+    )
+    from mppi_generic_tpu.ops.rollout import (
+        rollout_outputs,
+        trajectory_state_costs,
+    )
+    from mppi_generic_tpu.sampling import GaussianDistribution
+
+    dyn, cost, x0, dt = _fixtures()
+    C, S = dyn.CONTROL_DIM, dyn.STATE_DIM
+
+    # --- 1. streamed sampling kernel ---
+    T_s, K_s = 1100, 512
+    try:
+        _table_mode((T_s, C), (T_s, C), (T_s, C))
+        raise AssertionError("T=1100 tables unexpectedly fit VMEM")
+    except PallasIncompatible:
+        pass  # prep resolves to "stream" at this horizon
+    samp = GaussianDistribution.create(
+        std_dev=[1.0, 0.7], control_cost_coeff=[0.02, 0.01],
+        pure_noise_percentage=0.1,
+    )
+    key = jax.random.PRNGKey(7)
+    mean = 0.1 * jax.random.normal(key, (T_s, C))
+    lam, alpha = 1.2, 0.1
+    costs, crash, U, _aux = fused_sample_rollout_costs(
+        dyn, cost, samp, x0, mean, jnp.int32(3), dt, lam, alpha, K_s,
+        optimization_stride=2, tile_k=128,
+    )
+    Y = rollout_outputs(dyn, x0, U, dt)
+    co, cro = trajectory_state_costs(cost, Y, U, sequential_crash=True)
+    lr = samp.likelihood_ratio_cost(U, mean, lam, alpha)
+    np.testing.assert_allclose(np.asarray(costs),
+                               np.asarray(co + lr / T_s),
+                               rtol=2e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(crash), np.asarray(cro))
+
+    # --- 2. streamed RMPPI kernel ---
+    T_r, K_r = 640, 256
+    U2 = 0.2 * jax.random.normal(jax.random.PRNGKey(8), (K_r, T_r, C))
+    gains = 0.02 * jax.random.normal(jax.random.PRNGKey(9), (T_r, C, S))
+    sigma = jnp.asarray([1.0, 1.0], jnp.float32)
+    coeff = jnp.asarray([0.01, 0.01], jnp.float32)
+    xr = x0.at[1].set(0.1)
+    s_nom, j_real, s_fb, crash_r, U_real = fused_rmppi_rollout(
+        dyn, cost, x0, xr, U2, gains, sigma, coeff, dt, lam, alpha,
+        tile_k=128,
+    )
+
+    def clamp(u):
+        return dyn.enforce_constraints(None, u)
+
+    def step_pair(carry, inp):
+        xnv, xrv = carry
+        u_raw, g_t = inp
+        u_nom = jax.vmap(clamp)(u_raw)
+        u_fb = jnp.einsum("cs,ks->kc", g_t, xrv - xnv)
+        u_real = jax.vmap(clamp)(u_raw + u_fb)
+        fb = 0.5 * lam * (1 - alpha) * jnp.sum(
+            coeff * u_fb ** 2 / sigma ** 2, -1)
+        t = jnp.float32(0)
+        xn2, yn = jax.vmap(lambda x, u: dyn.step(x, u, t, dt))(xnv, u_nom)
+        xr2, yr = jax.vmap(lambda x, u: dyn.step(x, u, t, dt))(xrv, u_real)
+        return (xn2, xr2), (yn, yr, u_nom, u_real, fb)
+
+    carry = (jnp.broadcast_to(x0, (K_r, S)), jnp.broadcast_to(xr, (K_r, S)))
+    _, (Yn, Yr, Un, Ur, FB) = jax.lax.scan(
+        step_pair, carry, (jnp.moveaxis(U2, 0, 1), gains))
+    Yn, Yr, Un, Ur = (jnp.moveaxis(a, 0, 1) for a in (Yn, Yr, Un, Ur))
+    ref_snom, _ = trajectory_state_costs(cost, Yn, Un,
+                                         sequential_crash=True)
+    ref_jreal, ref_crash = trajectory_state_costs(cost, Yr, Ur,
+                                                  sequential_crash=True)
+    ref_sfb = ref_jreal + jnp.sum(jnp.moveaxis(FB, 0, 1), axis=1) / T_r
+    np.testing.assert_allclose(np.asarray(s_nom), np.asarray(ref_snom),
+                               rtol=2e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(j_real), np.asarray(ref_jreal),
+                               rtol=2e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s_fb), np.asarray(ref_sfb),
+                               rtol=2e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(crash_r),
+                                  np.asarray(ref_crash))
+
+
+CHECKS.append(check_streamed_sampling_rmppi_horizon)
 
 
 # keep this at the very END of the file: checks appended above must be

@@ -359,3 +359,50 @@ def test_sharded_fused_weighted_rollout():
     mean_ref, _ = samp.update_mean(U, None, w, weight_ops.normalizer(w), mean)
     np.testing.assert_allclose(np.asarray(sh[2]), np.asarray(mean_ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_fused_weighted_rollout_tsallis():
+    """The round-5 two-LAUNCH sharded Tsallis epilogue: per-shard rollout
+    launch -> pmin (the exact global rho) -> per-shard Tsallis reduction
+    launch -> psum. Must match the single-chip two-pass in-kernel epilogue
+    (up to psum reassociation) and the XLA Tsallis oracle."""
+    from mppi_generic_tpu.ops import weights as weight_ops
+    from mppi_generic_tpu.ops.pallas_rollout import fused_weighted_rollout
+    from mppi_generic_tpu.parallel import sample_sharding
+
+    dyn = DoubleIntegratorDynamics.create(control_ranges=[[-3, 3], [-3, 3]])
+    cost = DoubleIntegratorCircleCost()
+    samp = GaussianDistribution.create(
+        std_dev=[1.0, 0.7], control_cost_coeff=[0.02, 0.01],
+        pure_noise_percentage=0.25,
+    )
+    K, T, C = 512, 16, 2
+    x0 = jnp.array([2.0, 0.0, 0.0, 1.0])
+    mean = jnp.tile(jnp.array([0.3, -0.2]), (T, 1))
+    lam, alpha = jnp.float32(1.3), jnp.float32(0.2)
+    gamma, r_t = jnp.float32(10.0), jnp.float32(2.0)
+    U = mean[None] + 0.5 * jax.random.normal(jax.random.PRNGKey(4), (K, T, C))
+    lr_params = (mean, samp._sigma(T, 0), samp.control_cost_coeff,
+                 lam, alpha, (1.0 - samp.pure_noise_percentage) * K)
+
+    ref = fused_weighted_rollout(
+        dyn, cost, x0, U, jnp.float32(0.02), lam, lr_params=lr_params,
+        tile_k=128, weight_kind="tsallis", weight_params=(gamma, r_t),
+    )
+    mesh = make_sample_mesh()
+    sh = fused_weighted_rollout(
+        dyn, cost, x0, U, jnp.float32(0.02), lam, lr_params=lr_params,
+        tile_k=128, weight_kind="tsallis", weight_params=(gamma, r_t),
+        sharding=sample_sharding(mesh),
+    )
+    # (costs, crash, mean, rho, eta)
+    for r, s, tol in zip(ref, sh, (1e-6, 0, 1e-5, 1e-6, 1e-4)):
+        np.testing.assert_allclose(np.asarray(s), np.asarray(r),
+                                   rtol=tol, atol=tol)
+    # against the XLA Tsallis oracle too
+    bl = weight_ops.baseline_cost(ref[0])
+    w = weight_ops.tsallis_weights(ref[0], gamma, r_t, bl)
+    mean_ref, _ = samp.update_mean(U, None, w, weight_ops.normalizer(w),
+                                   mean)
+    np.testing.assert_allclose(np.asarray(sh[2]), np.asarray(mean_ref),
+                               rtol=1e-5, atol=1e-6)

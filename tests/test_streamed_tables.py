@@ -1,0 +1,201 @@
+"""CPU parity tests for DMA-streamed per-timestep tables on the
+sample-generating, RMPPI and split-cost kernel paths (round-5 VERDICT
+task 5).
+
+Round 4 removed the horizon ceiling from the precomputed-U fused kernels
+(table_mode="stream"); this round extends the same double-buffered HBM
+streaming to ``fused_sample_rollout_costs`` (mean/sigma/aux tables),
+``fused_rmppi_rollout`` (gain/sigma tables — whose (T, C*S) table crosses
+the resident budget well before T=1024) and the SPLIT cost pass (Tcb-block
+reads from the live stream slot). The reference's kernels read their
+per-timestep tables from CUDA shared memory with no horizon ceiling at all
+(core/mppi_common.cu:98-137, rmppi_kernels.cu:441-443) — these tests pin
+the same no-ceiling contract, in Pallas interpret mode against the XLA
+oracles (DMA + pl.when stream machinery runs in interpret:
+scripts/mosaic_capability_probe4.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mppi_generic_tpu.costs import DoubleIntegratorCircleCost
+from mppi_generic_tpu.models import DoubleIntegratorDynamics
+from mppi_generic_tpu.ops.pallas_rollout import (
+    PallasIncompatible,
+    _prep_fused_rollout,
+    _table_mode,
+    fused_rmppi_rollout,
+    fused_rollout_costs,
+    fused_sample_rollout_costs,
+)
+from mppi_generic_tpu.ops.rollout import (
+    rollout_outputs,
+    trajectory_state_costs,
+)
+from mppi_generic_tpu.sampling import (
+    GaussianDistribution,
+    NLNDistribution,
+)
+
+DT, LAM, ALPHA = 0.02, 1.2, 0.1
+# Horizons chosen to cross each path's resident-VMEM table budget (and
+# stream): the sampling kernel stacks 3 (T, 2) tables -> 8 sublanes ->
+# streams past T=1024; RMPPI stacks (T, C*S=8)+(T, 2) -> 16 sublanes ->
+# streams past T=512.
+T_SAMPLE = 1100
+T_RMPPI = 640
+
+
+def _dyn():
+    return DoubleIntegratorDynamics.create(
+        control_ranges=[[-0.9, 0.9], [-0.8, 0.8]]
+    )
+
+
+def _oracle(dyn, cost, sampler, x0, U, mean):
+    Y = rollout_outputs(dyn, x0, U, DT)
+    costs, crash = trajectory_state_costs(cost, Y, U, sequential_crash=True)
+    lr = sampler.likelihood_ratio_cost(U, mean, LAM, ALPHA)
+    return costs + lr / U.shape[1], crash
+
+
+def test_sampling_table_mode_streams_at_t1100():
+    try:
+        mode = _table_mode((T_SAMPLE, 2), (T_SAMPLE, 2), (T_SAMPLE, 2))
+    except PallasIncompatible:
+        mode = "stream-by-raise"
+    assert mode == "stream-by-raise"  # the prep catches this -> "stream"
+
+
+def test_streamed_sampling_gaussian_matches_oracle():
+    rng = np.random.default_rng(0)
+    dyn, cost = _dyn(), DoubleIntegratorCircleCost()
+    sampler = GaussianDistribution.create(
+        std_dev=[1.0, 1.0], control_cost_coeff=[0.01, 0.01],
+        pure_noise_percentage=0.1,
+    )
+    K, T, C = 128, T_SAMPLE, 2
+    mean = jnp.asarray(0.1 * rng.normal(size=(T, C)), jnp.float32)
+    x0 = jnp.array([2.0, 0.0, 0.0, 1.0])
+    z = jnp.asarray(rng.normal(size=(K, T, C)), jnp.float32)
+    costs, crash, U, _aux = fused_sample_rollout_costs(
+        dyn, cost, sampler, x0, mean, jnp.int32(0), DT, LAM, ALPHA, K,
+        optimization_stride=2, tile_k=128, injected_noise=z,
+    )
+    co, cro = _oracle(dyn, cost, sampler, x0, U, mean)
+    np.testing.assert_allclose(np.asarray(costs), np.asarray(co),
+                               rtol=2e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(crash), np.asarray(cro))
+    # the injected-noise carve-outs must still land: sample 0 pins to the
+    # mean for every t (and all samples pin for t < stride)
+    Uc = jnp.moveaxis(dyn.enforce_constraints(
+        None, jnp.moveaxis(jnp.broadcast_to(mean, (K, T, C)), -1, 0)
+    ), 0, -1)
+    np.testing.assert_allclose(np.asarray(U[0]), np.asarray(Uc[0]),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(U[:, :2]), np.asarray(Uc[:, :2]),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_streamed_sampling_nln_matches_oracle():
+    rng = np.random.default_rng(1)
+    dyn, cost = _dyn(), DoubleIntegratorCircleCost()
+    sampler = NLNDistribution.create(
+        std_dev=[0.8, 0.6], control_cost_coeff=[0.01, 0.02],
+    )
+    K, T, C = 128, T_SAMPLE, 2
+    mean = jnp.asarray(0.1 * rng.normal(size=(T, C)), jnp.float32)
+    x0 = jnp.array([2.0, 0.0, 0.0, 1.0])
+    z = jnp.asarray(rng.normal(size=(2, K, T, C)), jnp.float32)
+    costs, crash, U, _aux = fused_sample_rollout_costs(
+        dyn, cost, sampler, x0, mean, jnp.int32(0), DT, LAM, ALPHA, K,
+        tile_k=128, injected_noise=z,
+    )
+    co, cro = _oracle(dyn, cost, sampler, x0, U, mean)
+    np.testing.assert_allclose(np.asarray(costs), np.asarray(co),
+                               rtol=2e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(crash), np.asarray(cro))
+
+
+def test_streamed_rmppi_matches_oracle():
+    rng = np.random.default_rng(2)
+    dyn, cost = _dyn(), DoubleIntegratorCircleCost()
+    S, C = dyn.STATE_DIM, dyn.CONTROL_DIM
+    K, T = 64, T_RMPPI
+    U = jnp.asarray(0.2 * rng.normal(size=(K, T, C)), jnp.float32)
+    gains = jnp.asarray(0.02 * rng.normal(size=(T, C, S)), jnp.float32)
+    sigma = jnp.asarray([1.0, 1.0], jnp.float32)
+    coeff = jnp.asarray([0.01, 0.01], jnp.float32)
+    xn = jnp.array([2.0, 0.0, 0.0, 1.0])
+    xr = xn.at[1].set(0.1)
+    s_nom, j_real, s_fb, crash_r, U_real = fused_rmppi_rollout(
+        dyn, cost, xn, xr, U, gains, sigma, coeff, DT, LAM, ALPHA,
+        tile_k=128, interpret=True,
+    )
+
+    def clamp(u):
+        return dyn.enforce_constraints(None, u)
+
+    def step_pair(carry, inp):
+        xnv, xrv = carry
+        u_raw, g_t = inp
+        u_nom = jax.vmap(clamp)(u_raw)
+        u_fb = jnp.einsum("cs,ks->kc", g_t, xrv - xnv)
+        u_real = jax.vmap(clamp)(u_raw + u_fb)
+        fb = 0.5 * LAM * (1 - ALPHA) * jnp.sum(
+            coeff * u_fb ** 2 / sigma ** 2, -1)
+        t = jnp.float32(0)
+        xn2, yn = jax.vmap(lambda x, u: dyn.step(x, u, t, DT))(xnv, u_nom)
+        xr2, yr = jax.vmap(lambda x, u: dyn.step(x, u, t, DT))(xrv, u_real)
+        return (xn2, xr2), (yn, yr, u_nom, u_real, fb)
+
+    carry = (jnp.broadcast_to(xn, (K, S)), jnp.broadcast_to(xr, (K, S)))
+    _, (Yn, Yr, Un, Ur, FB) = jax.lax.scan(
+        step_pair, carry, (jnp.moveaxis(U, 0, 1), gains))
+    Yn, Yr, Un, Ur = (jnp.moveaxis(a, 0, 1) for a in (Yn, Yr, Un, Ur))
+    ref_snom, _ = trajectory_state_costs(cost, Yn, Un,
+                                         sequential_crash=True)
+    ref_jreal, ref_crash = trajectory_state_costs(cost, Yr, Ur,
+                                                  sequential_crash=True)
+    ref_sfb = ref_jreal + jnp.sum(jnp.moveaxis(FB, 0, 1), axis=1) / T
+    # rtol 2e-4: T=640 f32 accumulation-order noise, not a semantic gap
+    np.testing.assert_allclose(np.asarray(s_nom), np.asarray(ref_snom),
+                               rtol=2e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(j_real), np.asarray(ref_jreal),
+                               rtol=2e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s_fb), np.asarray(ref_sfb),
+                               rtol=2e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(crash_r),
+                                  np.asarray(ref_crash))
+    np.testing.assert_allclose(np.asarray(U_real), np.asarray(Ur),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_streamed_split_cost_matches_combined():
+    """split_cost survives table streaming (the round-4 restriction that
+    streamed horizons force the combined loop is removed): identical
+    samples, costs equal up to summation order."""
+    rng = np.random.default_rng(3)
+    dyn, cost = _dyn(), DoubleIntegratorCircleCost()
+    K, T, C = 128, 1040, 2
+    U = jnp.asarray(0.3 * rng.normal(size=(K, T, C)), jnp.float32)
+    x0 = jnp.array([2.0, 0.0, 0.0, 1.0])
+    mean = jnp.asarray(0.1 * rng.normal(size=(T, C)), jnp.float32)
+    lr = (mean, jnp.ones((T, C)), jnp.array([0.01, 0.01]), LAM, ALPHA,
+          float(K))
+    # prep must resolve to stream AND keep the forced split
+    prep = _prep_fused_rollout(dyn, cost, x0, U, lr, None, True, 0,
+                               split_cost=True)
+    assert prep[9].get("table_mode") == "stream"
+    assert prep[10] is True  # split_cost survived
+    c_split, cr_split = fused_rollout_costs(
+        dyn, cost, x0, U, DT, tile_k=128, interpret=True, lr_params=lr,
+        split_cost=True)
+    c_comb, cr_comb = fused_rollout_costs(
+        dyn, cost, x0, U, DT, tile_k=128, interpret=True, lr_params=lr,
+        split_cost=False)
+    np.testing.assert_allclose(np.asarray(c_split), np.asarray(c_comb),
+                               rtol=2e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(cr_split),
+                                  np.asarray(cr_comb))
