@@ -84,6 +84,7 @@ class PlantStats:
         self.avg_sleep_ms = 0.0
         self.avg_publish_interval_ms = 0.0
         self.avg_solution_interval_ms = 0.0
+        self.avg_device_solve_ms = 0.0  # relay-immune probe (device_probe_every)
         self._counts = {}
         self._samples = {}
 
@@ -124,18 +125,51 @@ class PlantStats:
         }
 
 
+def device_tail_gate(samples, k=2.5):
+    """The DEVICE-attributed tail gate over a mission's
+    ``avg_device_solve_ms`` probe series (round-5 VERDICT task 7):
+    ``max(probe) < k * p25(positive probes)``. Anchoring on the LOW
+    quartile (not the median) keeps the gate sensitive to a sustained
+    mid-mission slowdown — which shifts the median toward itself and
+    would hide from a purely median-relative bound — while the
+    positivity filter drops under-resolved (jitter-clamped-to-0)
+    samples a storm could otherwise use to drag the anchor down. k=2.5
+    is calibrated to the probes' observed session variance (~±20%) with
+    a demonstrated 4x-slowdown catch (scripts/device_tail_gate_probe.py).
+
+    Returns ``(ok, anchor_ms, max_ms)``; ok is False when fewer than 4
+    positive probes exist (under-resolved probing must fail loudly, not
+    vacuously pass)."""
+    dev = np.asarray(samples, np.float64)
+    mx = float(dev.max()) if dev.size else 0.0
+    pos = dev[dev > 0]
+    if pos.size < 4:
+        return False, 0.0, mx
+    anchor = float(np.percentile(pos, 25))
+    return bool(mx < k * anchor), anchor, mx
+
+
 class BasePlant:
     """Abstract MPC runtime. Subclasses implement the I/O boundary:
     ``pub_control``, ``pub_nominal_state``, ``pub_free_energy_statistics``,
     ``check_status``, ``get_current_time``."""
 
     def __init__(self, controller, controller_state, hz=10.0,
-                 optimization_stride=1, debug_mode=False):
+                 optimization_stride=1, debug_mode=False,
+                 device_probe_every=0, device_probe_chain=8):
         self.controller = controller
         self.controller_state = controller_state
         self.hz = hz
         self.optimization_stride = optimization_stride
         self.debug_mode = debug_mode
+        # every N-th iteration, record one RELAY-IMMUNE device-time sample
+        # into stats ("avg_device_solve_ms"): the two-length chained-solve
+        # slope, median of 3 (round-5 VERDICT task 7 — wall-clock tails
+        # through a relay cannot attribute a slowdown to the device; the
+        # slope can, and a relay storm corrupts at most 1 of the 3
+        # repeats). 0 = off (the default: each probe costs ~6 dispatches).
+        self.device_probe_every = int(device_probe_every)
+        self.device_probe_chain = int(device_probe_chain)
 
         S = controller.dynamics.STATE_DIM
         self._mailbox = make_mailbox(S)
@@ -413,7 +447,53 @@ class BasePlant:
             "avg_loop_ms", (time_mod.monotonic() - loop_start) * 1e3
         )
         self.stats.num_iterations += 1
+        if (self.device_probe_every
+                and self.stats.num_iterations % self.device_probe_every == 0):
+            self._device_probe(jnp.asarray(state))
         return True
+
+    def _device_probe(self, x):
+        """Record one device-attributed per-solve time into
+        ``stats["avg_device_solve_ms"]``: time the SAME jitted solve chain
+        at two lengths and take the slope (the relay's fixed dispatch cost
+        cancels; bench.py methodology), median of 3 repeats so one relay
+        spike cannot corrupt the sample. The chains run on the live
+        controller + state, so a genuine device-side slowdown (bigger
+        config after a hot-swap, a Mosaic regression, thermal throttling)
+        shows up here even when wall-clock tails are relay-dominated —
+        this series is what soft-real-time DEVICE health is gated on
+        (scripts/tpu_racer_mission_smoke.py)."""
+        from mppi_generic_tpu.ops.autotune import _solve_chain
+
+        def run(length):
+            t0 = time_mod.perf_counter()
+            out = _solve_chain(self.controller, x,
+                               self.controller_state, length)
+            jax.device_get(jax.tree_util.tree_leaves(out)[0])
+            return time_mod.perf_counter() - t0
+
+        n = getattr(self, "_probe_n_eff", 0) or self.device_probe_chain
+        if not getattr(self, "_probe_n_eff", 0):
+            # first probe: escalate the chain length until the n-vs-2n
+            # marginal signal clears the relay's run-to-run dispatch
+            # jitter (~several ms), else every sample clamps to ~0 —
+            # the same escalation rationale as bench._steady_state_ms.
+            # Compiles happen here, which is why callers pre-warm with an
+            # explicit _device_probe call before timed windows.
+            while (jax.default_backend() == "tpu"
+                   and (run(2 * n) - run(n)) * 1e3 < 15.0
+                   and n < 1024):
+                n *= 4
+            self._probe_n_eff = n
+        deltas = []
+        for _ in range(5):
+            tn = run(n)
+            t2n = run(2 * n)
+            deltas.append(max((t2n - tn) / n * 1e3, 0.0))
+        # median of 5: a relay spike burst must corrupt >= 3 repeats (in
+        # the same direction) to move the recorded sample; a burst that
+        # spans a whole repeat inflates tn and t2n equally and cancels
+        self.stats.update("avg_device_solve_ms", float(np.median(deltas)))
 
     def run_control_loop(self, is_alive, max_iterations=None):
         """Threaded solver loop (runControlLoop, base_plant.hpp:566-601)."""

@@ -129,6 +129,10 @@ def run_mission(duration_s=6.0, estimator_hz=50.0, solver_hz=20.0,
         ctrl, cs, hz=solver_hz,
         buffer_dim=STATE_DIM, buffer_tau=2.0,
         buffer_dt=0.02, buffer_steps=BUFFER_STEPS,
+        # one relay-immune device-time sample every 40 solver iterations
+        # (~every 2 s at 20 Hz): the device-attributed tail gate reads
+        # this series (round-5 VERDICT task 7)
+        device_probe_every=40, device_probe_chain=8,
     )
     dyn0 = ctrl.dynamics
     x = np.zeros(STATE_DIM, np.float32)
@@ -151,6 +155,9 @@ def run_mission(duration_s=6.0, estimator_hz=50.0, solver_hz=20.0,
     plant.update_state(x, 0.12)
     plant.add_buffer_entry(0.12, x)
     assert plant.run_control_iteration(timeout=30.0)
+    # pre-compile the device-probe chains too (each is its own executable;
+    # a compile landing mid-mission would read as a multi-second outage)
+    plant._device_probe(jnp.asarray(x))
     plant.reset_timing()
 
     # the estimator's own plant-model step must also be jitted + warmed:
@@ -269,6 +276,40 @@ def main():
         print(f"tail gate: p50 {p50:.1f} < {budget_ms:.0f} + 2*{rtt_ms:.1f}"
               f" ms; p99 {p99:.1f} < {budget_ms:.0f} + 8*{rtt_ms:.1f} ms "
               f"({len(outages)} relay outages excluded)")
+
+        # DEVICE-attributed tail gate (round-5 VERDICT task 7): the
+        # wall-clock gate above grants ~8x headroom for relay storms, so a
+        # sub-8x CONTROLLER regression would hide inside it. The periodic
+        # chained-solve-slope probes are relay-immune (the fixed dispatch
+        # cancels in the slope; a spike burst must corrupt >= 3 of a
+        # probe's 5 medianed repeats), so device health gets its own
+        # relative gate (runtime.plant.device_tail_gate: max probe <
+        # 2.5x the low-quartile anchor), plus an absolute budget check on
+        # the median. Demonstrated sensitivity + storm immunity:
+        # scripts/device_tail_gate_probe.py injects a genuine 4x device
+        # slowdown (mid-mission hot-swap to a 4x-rollout controller) ->
+        # gate fails; a simulated relay storm (bursty 150 ms fetch
+        # delays) -> gate holds.
+        from mppi_generic_tpu.runtime.plant import device_tail_gate
+
+        dev = plant.stats.samples("avg_device_solve_ms")
+        assert dev.size >= 5, (
+            f"only {dev.size} device probes recorded — probing broken?"
+        )
+        ok, anchor, dev_max = device_tail_gate(dev)
+        assert ok, (
+            f"device solve-time probes reached {dev_max:.2f} ms vs the "
+            f"session anchor {anchor:.2f} ms — a DEVICE-side slowdown "
+            "(relay storms cannot reach this series)"
+        )
+        dev_p50 = float(np.median(dev))
+        assert dev_p50 < budget_ms, (
+            f"median device solve {dev_p50:.1f} ms exceeds the "
+            f"{budget_ms:.0f} ms solver budget outright"
+        )
+        print(f"device tail gate: anchor {anchor:.2f} ms, median "
+              f"{dev_p50:.2f} ms, max {dev_max:.2f} ms < 2.5x anchor "
+              f"({dev.size} probes)")
     # the native fast path publishes at estimator rate once solutions flow
     assert plant.n_pub > (0.2 if tiny else 0.5) * n_est, (plant.n_pub, n_est)
     assert plant.last_u is not None and np.all(np.isfinite(plant.last_u))

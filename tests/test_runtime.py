@@ -443,3 +443,39 @@ def test_plant_records_publish_and_solution_intervals():
     sol = plant.stats.tail("avg_solution_interval_ms")
     assert pub is not None and pub["n"] >= 1 and pub["p50"] >= 0.0
     assert sol is not None and sol["n"] == 1 and sol["p50"] > 0.0
+
+
+def test_device_probe_records_samples():
+    """device_probe_every=N: every N-th iteration lands one relay-immune
+    chained-solve-slope sample in stats["avg_device_solve_ms"] (round-5
+    VERDICT task 7; on CPU device == host, so the slope is simply > 0)."""
+    plant = make_plant(device_probe_every=2, device_probe_chain=4)
+    x = np.array([2.0, 0.0, 0.0, 1.0], np.float32)
+    for i in range(4):
+        plant.update_state(x, 0.02 * (i + 1))
+        assert plant.run_control_iteration(timeout=10.0)
+    dev = plant.stats.samples("avg_device_solve_ms")
+    assert dev.size == 2  # iterations 2 and 4
+    assert np.all(dev >= 0)
+
+
+def test_device_tail_gate_semantics():
+    from mppi_generic_tpu.runtime.plant import device_tail_gate
+
+    # steady series: holds
+    ok, anchor, mx = device_tail_gate([1.0, 1.1, 0.9, 1.05, 1.0])
+    assert ok and mx < 2.5 * anchor
+    # a sustained mid-mission 4x slowdown: fails even though the slowdown
+    # dominates the window (the LOW-quartile anchor stays pre-slowdown)
+    ok, _, _ = device_tail_gate([1.0, 1.0, 1.0, 4.0, 4.0, 4.0, 4.0])
+    assert not ok
+    # a single spike: fails (that is the point of a tail gate)
+    ok, _, _ = device_tail_gate([1.0, 1.0, 1.0, 1.0, 3.0])
+    assert not ok
+    # under-resolved probing (jitter-clamped zeros) must fail loudly,
+    # not vacuously pass
+    ok, _, _ = device_tail_gate([0.0, 0.0, 0.0, 1.0, 1.0])
+    assert not ok
+    # zeros are excluded from the anchor, not allowed to drag it down
+    ok, _, _ = device_tail_gate([0.0, 1.0, 1.1, 0.9, 1.0, 1.05])
+    assert ok
