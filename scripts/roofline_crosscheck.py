@@ -102,21 +102,26 @@ def _trace_us_per_solve(ctrl, x0, outdir):
     from jax.profiler import ProfileData
 
     pd = ProfileData.from_file(sorted(files)[-1])
-    total_ns = 0
+    module_ns = 0
     kernel_ns = 0
     for plane in pd.planes:
         if not plane.name.startswith("/device:TPU"):
             continue
         for line in plane.lines:
+            if line.name == "XLA Modules":
+                # the module event's span IS the program's device time
+                # (measured: it equals the merged-interval union of the
+                # op events exactly; the raw op-duration SUM double-counts
+                # nested fusion parents ~2x and must not be used)
+                module_ns += sum(e.duration_ns for e in line.events)
             if line.name != "XLA Ops":
                 continue
             for e in line.events:
-                total_ns += e.duration_ns
                 nm = e.name.lower()
                 if "custom-call" in nm or "fused_solve" in nm or \
                         "mosaic" in nm or "tpu_custom_call" in nm:
                     kernel_ns += e.duration_ns
-    return total_ns / S_TRACE / 1e3, kernel_ns / S_TRACE / 1e3
+    return module_ns / S_TRACE / 1e3, kernel_ns / S_TRACE / 1e3
 
 
 def main():
@@ -132,9 +137,9 @@ def main():
         row = {
             "config": name,
             "slope_us_per_solve": round(slope_ms * 1e3, 2),
-            "trace_total_us_per_solve": round(tot_us, 2),
+            "trace_module_us_per_solve": round(tot_us, 2),
             "trace_kernel_us_per_solve": round(kern_us, 2),
-            "slope_vs_trace": round(slope_ms * 1e3 / tot_us, 3)
+            "slope_vs_module": round(slope_ms * 1e3 / tot_us, 3)
             if tot_us else None,
             "model_unit_busy_us": {k: round(v, 2) for k, v in busys.items()},
             "binding_unit": bound_unit,
