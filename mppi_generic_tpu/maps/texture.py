@@ -50,13 +50,52 @@ if _MAP_MXU_PRECISION not in ("highest", "high", "default"):
     )
 _MXU_PRECISION = {
     "highest": jax.lax.Precision.HIGHEST,
-    "high": jax.lax.Precision.HIGH,
+    "high": jax.lax.Precision.DEFAULT,  # 3-pass is hand-rolled, see below
     "default": jax.lax.Precision.DEFAULT,
 }[_MAP_MXU_PRECISION]
 
 
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+def _tent_dot(data, wx):
+    """The tent-mask interpolation matmul ``data (H, W) @ wx (W, lanes)``
+    at the module's precision knob.
+
+    "highest": Precision.HIGHEST (XLA's exact-f32 6-pass bf16 emulation).
+    "high": a HAND-ROLLED 3-pass bf16x3 — Mosaic has no lowering for
+    Precision.HIGH at all (NotImplementedError, jax 0.9 mosaic
+    lowering.py), so the classic decomposition is built explicitly: split
+    each operand into a bf16 head + bf16 residual and sum the three
+    significant cross terms (hi@hi + hi@lo + lo@hi; the lo@lo term is
+    below f32 resolution). ~2^-22 relative error at HALF the HIGHEST pass
+    count — 2x MXU rate on map-bound configs. "default": single-pass
+    bf16 (~2e-3 — enough to flip near-threshold crash flags; measure
+    first)."""
+    if _MAP_MXU_PRECISION != "high":
+        return jax.lax.dot_general(
+            data, wx, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_MXU_PRECISION,
+        )
+    bf16 = jnp.bfloat16
+
+    def split(a):
+        hi = a.astype(bf16)
+        lo = (a - hi.astype(jnp.float32)).astype(bf16)
+        return hi, lo
+
+    d_hi, d_lo = split(data)
+    w_hi, w_lo = split(wx)
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    return dot(d_hi, w_hi) + (dot(d_hi, w_lo) + dot(d_lo, w_hi))
 
 # Set while a Pallas kernel body traces (ops/pallas_rollout, ops/pallas_solve
 # wrap their kernels in ``pallas_layout()``): queries then use the
@@ -409,11 +448,7 @@ class MapTexture2D(struct.PyTreeNode):
         for r in range(xl.shape[0]):
             wxr = jnp.maximum(0.0, 1.0 - jnp.abs(iw - xl[r: r + 1]))
             wyr = jnp.maximum(0.0, 1.0 - jnp.abs(ih - yl[r: r + 1]))
-            tmp = jax.lax.dot_general(
-                win, wxr, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_MXU_PRECISION,
-            )
+            tmp = _tent_dot(win, wxr)
             outs.append(jnp.sum(tmp * wyr, axis=0, keepdims=True))
         out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
         return out.reshape(lead + (lanes,))
@@ -460,11 +495,7 @@ class MapTexture2D(struct.PyTreeNode):
         for r in range(x.shape[0]):
             wx = jnp.maximum(0.0, 1.0 - jnp.abs(iw - x[r: r + 1]))
             wy = jnp.maximum(0.0, 1.0 - jnp.abs(ih - y[r: r + 1]))
-            tmp = jax.lax.dot_general(
-                d, wx, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_MXU_PRECISION,
-            )
+            tmp = _tent_dot(d, wx)
             outs.append(jnp.sum(tmp * wy, axis=0, keepdims=True))
         out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
         return out.reshape(lead + (lanes,))

@@ -37,7 +37,21 @@ CONFIG_KERNELS = {
     "autorally_nn_K1920_T150": "pallas_fused",
     "bicycle_slip_colored_trackmap": "pallas",
     "racer_lstm_steering_elevation_K1920": "pallas_fused",
+    # round-5 realistic-scale rows (HBM-windowed query; 83-85% MXU-bound
+    # at HIGHEST, so these have the most to gain from the 3-pass)
+    "bicycle_slip_colored_trackmap_1024": "pallas",
+    "autorally_nn_float4_track_1024": "pallas_fused",
 }
+
+
+def all_configs():
+    from large_map_probe import configs as large_configs
+    from map_kernel_probe import configs as small_configs
+
+    yield from small_configs()
+    for name, kw, x0 in large_configs():
+        if name in CONFIG_KERNELS:
+            yield name, kw, x0
 
 
 def run_cell(config_name, precision, out_npz):
@@ -46,7 +60,6 @@ def run_cell(config_name, precision, out_npz):
     import numpy as np
 
     import bench
-    from map_kernel_probe import configs
     from mppi_generic_tpu.controllers import VanillaMPPI
     from mppi_generic_tpu.maps import texture
 
@@ -55,7 +68,7 @@ def run_cell(config_name, precision, out_npz):
     assert texture._MAP_MXU_PRECISION == precision, (
         texture._MAP_MXU_PRECISION, precision)
 
-    for name, kw, x0 in configs():
+    for name, kw, x0 in all_configs():
         if name != config_name:
             continue
         kernel = CONFIG_KERNELS[name]

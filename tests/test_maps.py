@@ -198,10 +198,13 @@ def test_component_wise_settling_matches_quat_oracle():
 
 
 def test_map_mxu_precision_env_knob():
-    """ADVICE r4: the MPPI_MAP_MXU_PRECISION knob must map each allowed
-    value to a DISTINCT lax.Precision (in particular "high" -> HIGH, not
-    HIGHEST — the r4 A/B probe's two arms compiled identical kernels) and
-    reject unknown values at import."""
+    """ADVICE r4 (amended r5): each allowed MPPI_MAP_MXU_PRECISION value
+    must trace a STRUCTURALLY DISTINCT interpolation matmul — the r4 A/B
+    probe's two arms compiled identical kernels. "high" cannot use
+    lax.Precision.HIGH (Mosaic has no lowering for it at all:
+    'Unsupported dot precision: HIGH'), so it is the HAND-ROLLED 3-pass
+    bf16x3: THREE dot_generals over bf16 operand splits. Unknown values
+    reject at import."""
     import subprocess
     import sys
 
@@ -212,20 +215,25 @@ def test_map_mxu_precision_env_knob():
         "jx = jax.make_jaxpr(lambda d, w: t.MapTexture2D.create(d)"
         "._query_tex_pallas(w, w))"
         "(jnp.zeros((8, 8)), jnp.zeros((1, 128)));"
-        "print([str(e.params.get('precision')) for e in jx.eqns"
-        " if e.primitive.name == 'dot_general'] or"
-        " [str(e.params.get('precision')) for sub in jx.eqns"
+        "eqs = [e for e in jx.eqns if e.primitive.name == 'dot_general']"
+        " or [e for sub in jx.eqns"
         " if (sub.params.get('jaxpr') or sub.params.get('call_jaxpr'))"
         " for e in (sub.params.get('jaxpr') or"
         " sub.params.get('call_jaxpr')).eqns"
-        " if e.primitive.name == 'dot_general'])"
+        " if e.primitive.name == 'dot_general'];"
+        "print('ndots', len(eqs));"
+        "print([str(e.params.get('precision')) for e in eqs]);"
+        "print([str(v.aval.dtype) for e in eqs for v in e.invars])"
     )
     import os
 
-    for val, expect in (
-        ("highest", "Precision.HIGHEST"),
-        ("high", "Precision.HIGH"),
-        ("default", "Precision.DEFAULT"),
+    for val, expects in (
+        # exact f32: ONE dot at HIGHEST over f32 operands
+        ("highest", ("ndots 1", "Precision.HIGHEST")),
+        # hand-rolled bf16x3: THREE dots over bf16 operand splits
+        ("high", ("ndots 3", "bfloat16")),
+        # single-pass bf16: ONE dot at DEFAULT
+        ("default", ("ndots 1", "Precision.DEFAULT")),
     ):
         env = dict(os.environ, MPPI_MAP_MXU_PRECISION=val,
                    JAX_PLATFORMS="cpu")
@@ -234,7 +242,8 @@ def test_map_mxu_precision_env_knob():
             text=True, timeout=300,
         )
         assert out.returncode == 0, out.stderr
-        assert expect in out.stdout, (val, out.stdout)
+        for expect in expects:
+            assert expect in out.stdout, (val, expect, out.stdout)
     env = dict(os.environ, MPPI_MAP_MXU_PRECISION="hihgest",
                JAX_PLATFORMS="cpu")
     out = subprocess.run(
@@ -242,3 +251,32 @@ def test_map_mxu_precision_env_knob():
         env=env, capture_output=True, text=True, timeout=300,
     )
     assert out.returncode != 0 and "MPPI_MAP_MXU_PRECISION" in out.stderr
+
+
+def test_bf16x3_tent_dot_accuracy():
+    """The hand-rolled 3-pass decomposition lands ~4e-6 relative on a
+    256-deep dot (measured; the dropped lo@lo term and bf16 residual
+    rounding) — ~500x tighter than the reference's own 9-bit texture
+    lerp (~2e-3) and ~3 orders tighter than single-pass bf16."""
+    import os
+    import subprocess
+    import sys
+
+    prog = (
+        "import numpy as np, jax, jax.numpy as jnp;"
+        "import mppi_generic_tpu.maps.texture as t;"
+        "rng = np.random.default_rng(0);"
+        "d = jnp.asarray(rng.normal(size=(256, 256)), jnp.float32);"
+        "w = jnp.asarray(rng.uniform(0, 1, size=(256, 128)), jnp.float32);"
+        "got = t._tent_dot(d, w);"
+        "ref = np.asarray(d, np.float64) @ np.asarray(w, np.float64);"
+        "rel = np.abs(np.asarray(got, np.float64) - ref).max()"
+        " / np.abs(ref).max();"
+        "print('rel', rel);"
+        "assert rel < 1e-5, rel"
+    )
+    env = dict(os.environ, MPPI_MAP_MXU_PRECISION="high",
+               JAX_PLATFORMS="cpu")
+    out = subprocess.run([sys.executable, "-c", prog], env=env,
+                         capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr
