@@ -602,6 +602,48 @@ class MapTexture2D(struct.PyTreeNode):
         return self.query_at_world_pose(world_offset)
 
 
+def load_track_npz(path_or_dict, window_texels=0):
+    """Load the reference's AutoRally track-map npz into a
+    :class:`MapTexture2D` — the ``loadTrackData`` analog
+    (ar_standard_cost.cu:85-140). Format: ``xBounds`` (2,), ``yBounds``
+    (2,), ``pixelsPerMeter`` (1,), ``channel0..3`` flattened row-major
+    float4 planes of shape (H, W) = ((y_max-y_min)*ppm,
+    (x_max-x_min)*ppm).
+
+    The returned texture is channel-major (the float4 layout re-blocked
+    for the in-kernel windowed query; channel 0 carries the track, which
+    is all the AR costs read — ar_standard_cost.cu:356-360), with
+    origin/resolution chosen so ``world_to_tex`` reproduces the
+    reference's normalized transform EXACTLY: R/trs there maps
+    u = (x - x_min)/(x_max - x_min) (updateTransform,
+    ar_standard_cost.cu:136-140); here origin=(x_min, y_min),
+    resolution=1/ppm, W=(x_max-x_min)*ppm give the identical u.
+
+    Accepts a path or an already-loaded dict-like (``np.load`` result).
+    """
+    import numpy as np
+
+    d = path_or_dict
+    if not hasattr(d, "__getitem__") or isinstance(d, (str, bytes)):
+        d = np.load(d)
+    x_min, x_max = (float(v) for v in np.asarray(d["xBounds"]).reshape(-1))
+    y_min, y_max = (float(v) for v in np.asarray(d["yBounds"]).reshape(-1))
+    ppm = float(np.asarray(d["pixelsPerMeter"]).reshape(-1)[0])
+    W = int((x_max - x_min) * ppm)
+    H = int((y_max - y_min) * ppm)
+    chans = [
+        np.asarray(d[f"channel{i}"], np.float32).reshape(H, W)
+        for i in range(4)
+    ]
+    return MapTexture2D.create(
+        np.stack(chans),
+        origin=(x_min, y_min, 0.0),
+        resolution=1.0 / ppm,
+        channel_major=True,
+        window_texels=window_texels,
+    )
+
+
 class MapTexture3D(struct.PyTreeNode):
     """One 3D (layered) map (ThreeDTextureHelper analog): trilinear lookup."""
 

@@ -280,3 +280,58 @@ def test_bf16x3_tent_dot_accuracy():
     out = subprocess.run([sys.executable, "-c", prog], env=env,
                          capture_output=True, text=True, timeout=300)
     assert out.returncode == 0, out.stderr
+
+
+def test_load_track_npz_reference_fixture():
+    """Round-trip the EXACT fixture the reference's generateTestMaps.py
+    writes (scripts/autorally/test/generateTestMaps.py: width=10,
+    height=20, ppm=2, channelN[i, j] = counter * 10^N flattened
+    row-major) and verify the loaded texture reproduces the reference's
+    loadTrackData semantics (ar_standard_cost.cu:85-140): float4 ->
+    channel-major planes, W = (x_max-x_min)*ppm, H = (y_max-y_min)*ppm,
+    and the world->tex transform u = (x - x_min)/(x_max - x_min)."""
+    from mppi_generic_tpu.maps import load_track_npz
+
+    width, height, ppm = 10, 20, 2
+    ch = np.zeros((4, width * ppm, height * ppm), np.float32)
+    counter = 0
+    for i in range(width * ppm):
+        for j in range(height * ppm):
+            counter += 1
+            for c in range(4):
+                ch[c, i, j] = counter * 10 ** c
+    d = {
+        "xBounds": np.array([-width / 2, width / 2], np.float32),
+        "yBounds": np.array([-height / 2, height / 2], np.float32),
+        "pixelsPerMeter": np.array([ppm], np.float32),
+        **{f"channel{c}": ch[c].flatten() for c in range(4)},
+    }
+    tex = load_track_npz(d)
+    W, H = width * ppm, height * ppm
+    assert tex.channel_major and tex.data.shape == (4, H, W)
+    assert tex.channels == 4 and (tex.height, tex.width) == (H, W)
+    # the flat buffer is interpreted exactly as CUDA's linear texture
+    # copy does: texel (x, y) = flat[y*W + x]
+    flat = ch[0].flatten()
+    for (ix, iy) in ((0, 0), (3, 7), (W - 1, H - 1)):
+        # world position of the texel CENTER: u*W - 0.5 == ix exactly
+        wx = -width / 2 + (ix + 0.5) / ppm
+        wy = -height / 2 + (iy + 0.5) / ppm
+        got = float(tex.query_world_components_channel(
+            jnp.float32(wx), jnp.float32(wy), 0))
+        np.testing.assert_allclose(got, flat[iy * W + ix], rtol=1e-6)
+    # normalized-transform endpoints match the reference's R/trs scaling
+    u, v = tex.world_to_tex_components(jnp.float32(-width / 2),
+                                       jnp.float32(-height / 2))
+    np.testing.assert_allclose([float(u), float(v)], [0.0, 0.0], atol=1e-6)
+    u, v = tex.world_to_tex_components(jnp.float32(width / 2),
+                                       jnp.float32(height / 2))
+    np.testing.assert_allclose([float(u), float(v)], [1.0, 1.0], atol=1e-6)
+    # a loaded track drives the AR cost end-to-end (channel-0 read)
+    from mppi_generic_tpu.costs import ARStandardCost
+
+    cost = ARStandardCost(costmap=tex)
+    y = jnp.zeros(6).at[0].set(0.25).at[1].set(0.25)
+    c, crash = cost.running_cost(y, jnp.zeros(2), jnp.float32(0),
+                                 jnp.int32(0))
+    assert np.isfinite(float(c))
