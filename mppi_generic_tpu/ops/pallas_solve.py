@@ -73,6 +73,16 @@ from mppi_generic_tpu.ops.pallas_rollout import (
 )
 
 _NEG_INF = -1e30
+# Resident-VMEM budget for the solve kernel's per-tile working set
+# (lane-replicated tables + sample scratch + optional split/emission
+# blocks). Past it the kernel would die in Mosaic with a raw VMEM
+# overflow the controllers' PallasIncompatible fallback cannot catch —
+# so the budget check raises FIRST, and long horizons degrade to
+# fused_sample_rollout_costs, whose tables DMA-stream (round 5) and
+# whose horizon is unbounded. Same headroom philosophy as
+# pallas_rollout._SPLIT_SCRATCH_BYTES (~16 MB/core minus Mosaic
+# temporaries).
+_SOLVE_VMEM_BUDGET = 11 * 1024 * 1024
 
 
 def _lane_rep(tab):
@@ -643,6 +653,25 @@ def fused_solve_iteration(
         ws_rows=(C + out_dim) + (2 * C if return_samples else 0),
         shrink_rows=C + out_dim,
     )
+
+    # resident-VMEM fit: lane-replicated tables (mean/sigma/aux/lrc = C
+    # rows each + the 1-row t-pin) + the (C, Tp, rows, LANES) sample
+    # scratch + split/emission blocks. Long horizons that cannot fit
+    # raise here (a trace-time Mosaic VMEM overflow is NOT a
+    # PallasIncompatible) and fall back to the streamed sampling kernel.
+    vmem = (4 * C + 1) * Tp * LANES * 4
+    vmem += C * Tp * tile_k * 4
+    if split_cost:
+        vmem += out_dim * Tp * tile_k * 4
+    if return_samples:
+        vmem += 2 * C * Tp * tile_k * 4
+    if vmem > _SOLVE_VMEM_BUDGET:
+        raise PallasIncompatible(
+            f"fused solve iteration working set {vmem} B exceeds the "
+            f"{_SOLVE_VMEM_BUDGET} B VMEM budget at T={T}, "
+            f"tile_k={tile_k} — use fused_sample_rollout_costs (streamed "
+            "tables) or the XLA paths"
+        )
 
     mesh, axis, n_shards = _mesh_axis(sharding)
     if mesh is not None:

@@ -199,3 +199,34 @@ def test_streamed_split_cost_matches_combined():
                                rtol=2e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(cr_split),
                                   np.asarray(cr_comb))
+
+
+def test_solve_kernel_long_horizon_refuses_into_streamed_fallback():
+    """fused_solve_iteration's working set (lane-replicated tables +
+    sample scratch) grows with T and would die at trace time in Mosaic
+    with a raw VMEM overflow the controllers' PallasIncompatible fallback
+    cannot catch; the budget guard must raise FIRST so the dispatch chain
+    degrades to fused_sample_rollout_costs, whose tables stream (and
+    whose horizon is therefore unbounded)."""
+    import pytest
+
+    from mppi_generic_tpu.ops.pallas_solve import fused_solve_iteration
+
+    rng = np.random.default_rng(5)
+    dyn, cost = _dyn(), DoubleIntegratorCircleCost()
+    sampler = GaussianDistribution.create(std_dev=[1.0, 1.0])
+    K, T, C = 256, 4096, 2
+    mean = jnp.zeros((T, C), jnp.float32)
+    x0 = jnp.array([2.0, 0.0, 0.0, 1.0])
+    z = jnp.asarray(rng.normal(size=(K, T, C)), jnp.float32)
+    with pytest.raises(PallasIncompatible, match="VMEM budget"):
+        fused_solve_iteration(
+            dyn, cost, sampler, x0, mean, jnp.int32(0), DT, LAM, ALPHA, K,
+            tile_k=1024, injected_noise=z,
+        )
+    # the fallback target handles the same horizon (streamed tables)
+    costs, crash, U, _aux = fused_sample_rollout_costs(
+        dyn, cost, sampler, x0, mean, jnp.int32(0), DT, LAM, ALPHA, K,
+        tile_k=128, injected_noise=z,
+    )
+    assert np.all(np.isfinite(np.asarray(costs)))
